@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock of all headline queries (actions timed with
+a warm session; session startup excluded, as the baseline's per-run timing
+also excludes cluster spin-up — BASELINE.md "Per-run wall-clock timing").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "topk_orders",
+    "set_ops_nations",
+    "window_rank_orders",
+    "agg_rollup_orders",
+    "dedup_exact_documents",
+    "text_quality_score",
+    "knn_cosine_topk",
+    "events_sessionize",
+    "change_detection",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from feature_datalake_sl_mandic_spark import registry
+    from feature_datalake_sl_mandic_spark.session import get_spark
+
+    spark = get_spark("bench")
+    specs = registry.load_all()
+    names = [n for n in HEADLINE if n in specs] or sorted(specs)
+
+    # Warm the JVM + parquet footer caches with one cheap action.
+    specs[names[0]].fn(spark, sf_dir).limit(1).count()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = specs[name].fn(spark, sf_dir)
+        n = df.count()  # force full execution
+        times[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,237 @@
+"""Relational core: scan -> filter -> project -> aggregate -> sort pipelines.
+
+These are the engine's flagship analytics queries (TPC-H-shaped, adapted to
+the fixture schemas in FIXTURES.md §1). The reference outsources all of this
+to BigQuery (SURVEY.md §2.1 S4 is its only aggregation); here each is a
+declarative DataFrame plan so Catalyst performs predicate pushdown, column
+pruning, partial aggregation and AQE re-planning automatically (SURVEY.md §4).
+
+Scale notes (100 TB design point):
+- groupBy on low-cardinality keys => partial (map-side) aggregation shrinks
+  shuffle to |groups| x partitions rows; safe at any input size.
+- filters/projections are pushed into the parquet scan (verified in
+  tests/test_plans.py via PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feature_datalake_sl_mandic_spark.catalog import load_table
+from feature_datalake_sl_mandic_spark.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag, l_linestatus,
+      round(sum(l_quantity), 2)                                        AS sum_qty,
+      round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+      round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+      round(avg(l_quantity), 4)                                        AS avg_qty,
+      round(avg(l_extendedprice), 4)                                   AS avg_price,
+      round(avg(l_discount), 6)                                        AS avg_disc,
+      count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("scan", "filter", "groupby-agg", "sort"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary (TPC-H Q1 shape): wide aggregate over filtered scan.
+
+    Single shuffle on a 6-ish-key groupBy; partial aggregation makes the
+    shuffle O(groups), so the plan is scan-bound at any scale.
+    """
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT
+      l.l_orderkey,
+      round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+      strftime(o.o_orderdate, '%Y-%m-%d')                   AS orderdate,
+      o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 20
+    """,
+    tags=("join", "broadcast-join", "groupby-agg", "topk"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping priority (TPC-H Q3 shape): dim⋈fact⋈fact + top-k.
+
+    customer (filtered) broadcasts into orders, which then joins lineitem on
+    the shuffle key l_orderkey; final TakeOrderedAndProject avoids a global
+    sort. At 100 TB the only full shuffle is orders⋈lineitem on orderkey.
+    """
+    cu, od, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        li.where(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+        .join(
+            od.where(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cu.where(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+    tags=("join", "multi-join", "broadcast-join", "groupby-agg"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local supplier volume (TPC-H Q5 shape): 6-way star join.
+
+    region/nation/supplier/customer are dims → all broadcast; the only
+    shuffle joins are on the fact keys. Catalyst + AQE pick broadcast-hash
+    for every dim side under the 64 MB threshold.
+    """
+    cu, od, li, su, na, re = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    return (
+        li.join(
+            od.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(su),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(re.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("nation"))
+    )
+
+
+@register(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("sort", "limit", "topk"),
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: orderBy+limit compiles to TakeOrderedAndProject —
+    per-partition heaps + driver merge of k rows, never a full sort."""
+    (od,) = _t(spark, sf_dir, "orders")
+    return (
+        od.select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice")
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "set_ops_nations",
+    oracle="""
+    WITH cust_n AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+         supp_n AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+    SELECT nationkey, 'both' AS src FROM (SELECT * FROM cust_n INTERSECT SELECT * FROM supp_n)
+    UNION ALL
+    SELECT nationkey, 'cust_only' AS src FROM (SELECT * FROM cust_n EXCEPT SELECT * FROM supp_n)
+    ORDER BY src, nationkey
+    """,
+    tags=("set-ops", "distinct"),
+)
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL over distinct key sets."""
+    cu, su = _t(spark, sf_dir, "customer", "supplier")
+    cust_n = cu.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    supp_n = su.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = cust_n.intersect(supp_n).withColumn("src", F.lit("both"))
+    cust_only = cust_n.exceptAll(supp_n).withColumn("src", F.lit("cust_only"))
+    return both.unionAll(cust_only).select("nationkey", "src").orderBy("src", "nationkey")

@@ -1,0 +1,73 @@
+"""SparkSession construction with scale-oriented defaults.
+
+The reference creates a bare session per job
+(``Sites/DataProc_Script/spark_ingest_slmandicprd.py:49-51``). Here we
+centralize session construction and turn on the features that matter at the
+100 TB design point: AQE (runtime re-planning, partition coalescing, skew-join
+splitting), a sane broadcast threshold, Arrow for any Python exchange, and
+UTC session time so timestamp semantics match the lake.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs we also apply defensively to externally-provided
+# sessions (e.g. the driver's) in catalog.load_tables.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    # testdata events.ts is parquet TIMESTAMP(NANOS): Spark has no ns
+    # timestamp; read as LongType nanos and convert (catalog.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # dims (region/nation/customer/supplier/part at small SF) broadcast;
+    # 64m is safe with 100 TB fact tables because the threshold gates the
+    # *small* side only.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def get_spark(
+    app_name: str = "feature_datalake_sl_mandic_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (falling back to
+    ``local[*]``); on a real cluster the caller passes none and
+    spark-submit decides.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        # local mode: match cores*2 so AQE has room to coalesce; a cluster
+        # deployment overrides via --conf (see ARCHITECTURE.md).
+        shuffle_partitions = 64
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def apply_runtime_confs(spark: SparkSession) -> None:
+    """Best-effort apply runtime confs to an externally-created session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on this build; fallbacks handle it
