@@ -1,0 +1,247 @@
+"""Aggregation family: rollup/cube/grouping sets, distinct aggs, statistics,
+exact percentiles, conditional aggregation, approximate sketches.
+
+The reference's entire aggregation surface is one MAX…GROUP BY outsourced to
+BigQuery plus df.count() (SURVEY.md §2.1 S4/S7). Everything here is
+partial-aggregatable (map-side combine), so shuffles carry O(groups) rows.
+Approximate sketches (HLL, approx quantiles) are engine-specific by design —
+they get rows-only driver checks (no oracle) while their exact counterparts
+are oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feature_datalake_sl_mandic_spark.catalog import load_tables
+from feature_datalake_sl_mandic_spark.operators.relational import _t
+from feature_datalake_sl_mandic_spark.registry import register
+
+
+@register(
+    "agg_rollup_orders",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           grouping(o_orderstatus)          AS g_status,
+           grouping(o_orderpriority)        AS g_priority,
+           count(*)                         AS n,
+           round(sum(o_totalprice), 2)      AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY g_status, g_priority, status, priority
+    """,
+    tags=("groupby-agg", "rollup", "grouping"),
+)
+def agg_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy with GROUPING() disambiguation of the NULL rows."""
+    (od,) = _t(spark, sf_dir, "orders")
+    return (
+        od.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.grouping("o_orderpriority").alias("g_priority"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n",
+            "total",
+        )
+        .orderBy("g_status", "g_priority", "status", "priority")
+    )
+
+
+@register(
+    "agg_cube_lineitem",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           grouping(l_returnflag) AS g_rf,
+           grouping(l_linestatus) AS g_ls,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY g_rf, g_ls, returnflag, linestatus
+    """,
+    tags=("groupby-agg", "cube", "grouping"),
+)
+def agg_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions — all 2^2 grouping combinations in one pass."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").alias("g_rf"),
+            F.grouping("l_linestatus").alias("g_ls"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "g_rf",
+            "g_ls",
+            "n",
+            "qty",
+        )
+        .orderBy("g_rf", "g_ls", "returnflag", "linestatus")
+    )
+
+
+@register(
+    "agg_grouping_sets_events",
+    oracle="""
+    SELECT coalesce(event_type, 'ALL') AS etype,
+           coalesce(CAST(user_id % 10 AS VARCHAR), 'ALL') AS user_bucket,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+    ORDER BY etype, user_bucket
+    """,
+    tags=("groupby-agg", "grouping-sets"),
+)
+def agg_grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (via spark.sql — the SQL surface over the same
+    catalog the DataFrame API sees)."""
+    load_tables(spark, sf_dir, names=["events"])
+    return spark.sql(
+        """
+        SELECT coalesce(event_type, 'ALL') AS etype,
+               coalesce(CAST(user_id % 10 AS STRING), 'ALL') AS user_bucket,
+               count(*) AS n,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+        ORDER BY etype, user_bucket
+        """
+    )
+
+
+@register(
+    "agg_distinct_suppliers",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("groupby-agg", "distinct-agg"),
+)
+def agg_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one aggregate (Spark expands + re-aggregates)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_stats_acctbal",
+    oracle="""
+    SELECT c_mktsegment,
+           round(min(c_acctbal), 2) AS min_bal,
+           round(max(c_acctbal), 2) AS max_bal,
+           round(avg(c_acctbal), 4) AS avg_bal,
+           round(stddev_samp(c_acctbal), 4) AS std_bal,
+           round(var_samp(c_acctbal), 4) AS var_bal,
+           round(quantile_cont(c_acctbal, 0.5)::DOUBLE, 4) AS median_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("groupby-agg", "statistics", "percentile"),
+)
+def agg_stats_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates incl. exact interpolated median."""
+    (cu,) = _t(spark, sf_dir, "customer")
+    return (
+        cu.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.round(F.stddev_samp("c_acctbal"), 4).alias("std_bal"),
+            F.round(F.var_samp("c_acctbal"), 4).alias("var_bal"),
+            F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("median_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "agg_conditional_pivot",
+    oracle="""
+    SELECT n.n_name AS nation,
+           count(*) FILTER (WHERE o.o_orderstatus = 'O') AS open_orders,
+           count(*) FILTER (WHERE o.o_orderstatus = 'F') AS finished_orders,
+           count(*) FILTER (WHERE o.o_orderstatus = 'P') AS pending_orders,
+           round(sum(o.o_totalprice) FILTER (WHERE o.o_orderpriority = '1-URGENT'), 2)
+             AS urgent_total
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+    tags=("groupby-agg", "conditional-agg", "pivot"),
+)
+def agg_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (manual pivot): count/sum FILTER equivalents
+    via sum(when(...)) — one pass, no multi-query pivot."""
+    od, cu, na = _t(spark, sf_dir, "orders", "customer", "nation")
+    st = F.col("o_orderstatus")
+    return (
+        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.when(st == "O", 1)).alias("open_orders"),
+            F.count(F.when(st == "F", 1)).alias("finished_orders"),
+            F.count(F.when(st == "P", 1)).alias("pending_orders"),
+            F.round(
+                F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice"))),
+                2,
+            ).alias("urgent_total"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "agg_approx_sketches",
+    oracle=None,  # approximate by design: engine-specific sketch values
+    tags=("groupby-agg", "approx", "sketch"),
+)
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL++ distinct, approx quantiles): the sketch
+    path a 100 TB profile job would take instead of exact distincts.
+    Rows-only check; tests/test_aggregates.py bounds the error vs exact."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_suppliers"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.round(
+                F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))")[0], 2
+            ).alias("p50_price"),
+        )
+        .orderBy("l_returnflag")
+    )

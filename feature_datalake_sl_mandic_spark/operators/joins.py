@@ -1,0 +1,179 @@
+"""Join family: broadcast / semi / anti / range / as-of.
+
+The reference's only joins are a pushdown SQL inner join
+(``TOTVS/DataProc_Script/verifica_carga_TOTVSAUDIT.py:53-65``) and a
+driver-side Python anti-join (``verifica_carga_slmandicprd.py:91-100``).
+Here the full family is expressed declaratively so Catalyst picks the
+physical strategy (broadcast-hash for dims, sort-merge for fact⋈fact, AQE
+skew splitting).
+
+Scale notes:
+- semi/anti joins shuffle only the key columns after pruning — cheapest
+  possible existence checks at 100 TB.
+- the as-of join deliberately avoids the naive O(n·m) self-join: it is a
+  union + single window pass (one shuffle on user_id), the same trick a
+  native engine's ASOF JOIN operator performs after co-partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from feature_datalake_sl_mandic_spark.operators.relational import _t
+from feature_datalake_sl_mandic_spark.registry import register
+
+
+@register(
+    "join_broadcast_order_priority",
+    oracle="""
+    SELECT n.n_name AS nation, o.o_orderpriority AS priority,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name, o.o_orderpriority
+    ORDER BY nation, priority
+    """,
+    tags=("join", "broadcast-join", "groupby-agg"),
+)
+def join_broadcast_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim⋈dim with explicit broadcast hints: zero fact-side shuffle
+    before aggregation."""
+    od, cu, na = _t(spark, sf_dir, "orders", "customer", "nation")
+    return (
+        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("nation", "priority")
+    )
+
+
+@register(
+    "join_semi_customers_with_urgent_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    ORDER BY c.c_custkey
+    """,
+    tags=("join", "semi-join"),
+)
+def join_semi_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — existence check without duplication; only the join
+    key of the probe side is shuffled."""
+    cu, od = _t(spark, sf_dir, "customer", "orders")
+    urgent = od.where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cu.join(urgent, cu.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c.c_custkey
+    """,
+    tags=("join", "anti-join"),
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join — the DataFrame-native form of the reference's
+    driver-side "never loaded" check (verifica_carga_slmandicprd.py:91-100)."""
+    cu, od = _t(spark, sf_dir, "customer", "orders")
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_range_lineitem_shipped_late",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           count(*) AS late_lines,
+           round(avg(date_diff('day', o.o_orderdate, l.l_shipdate)), 4) AS avg_lag_days
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY o.o_orderpriority
+    ORDER BY priority
+    """,
+    tags=("join", "range-join", "groupby-agg"),
+)
+def join_range_lineitem_shipped_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range join: Catalyst keeps the equi key for the shuffle and
+    applies the range predicate as a post-join filter — no cartesian blowup."""
+    od, li = _t(spark, sf_dir, "orders", "lineitem")
+    return (
+        od.join(
+            li,
+            (li.l_orderkey == od.o_orderkey)
+            & (li.l_shipdate > od.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        )
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("late_lines"),
+            F.round(F.avg(F.datediff("l_shipdate", "o_orderdate")), 4).alias(
+                "avg_lag_days"
+            ),
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
+    "join_asof_purchase_after_click",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN epoch_us(CAST(ts AS TIMESTAMP)) END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_click_us
+      FROM events
+    )
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, asof_click_us
+    FROM tagged
+    WHERE event_type = 'purchase'
+    ORDER BY user_id, event_id
+    """,
+    tags=("join", "asof-join", "window"),
+)
+def join_asof_purchase_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (each purchase ↔ latest prior click per user) as a single
+    window pass over the unioned stream — one shuffle on user_id, linear per
+    partition; scales where the naive per-user self-join would be quadratic."""
+    (ev,) = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_us = F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+    return (
+        ev.withColumn("asof_click_us", F.last(click_us, ignorenulls=True).over(w))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "asof_click_us",
+        )
+        .orderBy("user_id", "event_id")
+    )

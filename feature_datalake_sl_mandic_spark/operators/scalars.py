@@ -1,0 +1,164 @@
+"""Scalar function coverage: string / date / math / conditional / JSON.
+
+The reference's scalar surface is a single TIMESTAMP_SUB in BigQuery SQL
+(``verifica_carga_slmandicprd.py:77``). Here each family is exercised as a
+whole-stage-codegen-friendly projection (no UDFs — everything stays JVM-side,
+SURVEY.md §4) and paired with the exact DuckDB equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feature_datalake_sl_mandic_spark.operators.relational import _t
+from feature_datalake_sl_mandic_spark.registry import register
+
+
+@register(
+    "scalar_string_part",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                                   AS name_upper,
+           lower(p_brand)                                  AS brand_lower,
+           length(p_name)                                  AS name_len,
+           substr(p_name, 1, 5)                            AS name_prefix,
+           concat(p_brand, ':', p_type)                    AS brand_type,
+           replace(p_type, 'A', '_')                       AS type_repl,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')           AS size_pad,
+           regexp_extract(p_brand, '([0-9]+)', 1)          AS brand_num,
+           CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END   AS has_a,
+           trim('  ' || p_brand || ' ')                    AS trimmed
+    FROM part
+    ORDER BY p_partkey
+    """,
+    tags=("scalar", "string-functions"),
+)
+def scalar_string_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family over part (all JVM built-ins, codegen'd)."""
+    (pt,) = _t(spark, sf_dir, "part")
+    return pt.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_type", "A", "_").alias("type_repl"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.when(F.col("p_name").like("%a%"), 1).otherwise(0).alias("has_a"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit(" "))).alias("trimmed"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "scalar_date_orders",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                                    AS yr,
+           month(o_orderdate)                                   AS mo,
+           day(o_orderdate)                                     AS dy,
+           quarter(o_orderdate)                                 AS qtr,
+           isodow(o_orderdate)                                  AS iso_dow,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')  AS plus_30d,
+           date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS days_to_2000
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    tags=("scalar", "date-functions"),
+)
+def scalar_date_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time extraction, truncation, interval arithmetic, diffs."""
+    (od,) = _t(spark, sf_dir, "orders")
+    return od.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.quarter("o_orderdate").alias("qtr"),
+        (F.weekday("o_orderdate") + 1).alias("iso_dow"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd"
+        ).alias("plus_30d"),
+        F.datediff(F.lit("2000-01-01").cast("timestamp"), "o_orderdate").alias(
+            "days_to_2000"
+        ),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "scalar_math_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 4)        AS abs_disc_diff,
+           ceil(l_quantity / 7)                    AS qty_ceil7,
+           floor(l_extendedprice / 1000)           AS price_k_floor,
+           round(sqrt(l_extendedprice), 4)         AS price_sqrt,
+           round(ln(l_extendedprice + 1), 6)       AS price_ln,
+           round(log10(l_extendedprice + 1), 6)    AS price_log10,
+           round(pow(1 + l_tax, 2), 6)             AS tax_sq,
+           CAST(l_partkey % 16 AS BIGINT)          AS part_bucket,
+           sign(l_discount - 0.05)                 AS disc_sign,
+           round(greatest(l_discount, l_tax), 2)   AS max_rate,
+           round(least(l_discount, l_tax), 2)      AS min_rate
+    FROM lineitem
+    WHERE l_orderkey <= 200
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("scalar", "math-functions"),
+)
+def scalar_math_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function family (abs/ceil/floor/sqrt/ln/log10/pow/mod/sign/least/greatest)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_orderkey") <= 200)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("abs_disc_diff"),
+            F.ceil(F.col("l_quantity") / 7).alias("qty_ceil7"),
+            F.floor(F.col("l_extendedprice") / 1000).alias("price_k_floor"),
+            F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+            F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+            F.round(F.log10(F.col("l_extendedprice") + 1), 6).alias("price_log10"),
+            F.round(F.pow(1 + F.col("l_tax"), 2), 6).alias("tax_sq"),
+            (F.col("l_partkey") % 16).alias("part_bucket"),
+            F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+            F.round(F.greatest("l_discount", "l_tax"), 2).alias("max_rate"),
+            F.round(F.least("l_discount", "l_tax"), 2).alias("min_rate"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "scalar_json_events",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+                THEN 'high' ELSE 'low' END AS k_band,
+           coalesce(nullif(event_type, 'error'), 'ERR') AS etype_clean
+    FROM events
+    ORDER BY event_id
+    """,
+    tags=("scalar", "json-functions", "conditional"),
+)
+def scalar_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over events.props + conditional scalars
+    (the events table's props column exercises semi-structured access)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.select(
+        "event_id",
+        k.alias("k_value"),
+        F.when(k >= 50, "high").otherwise("low").alias("k_band"),
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("ERR")).alias(
+            "etype_clean"
+        ),
+    ).orderBy("event_id")

@@ -1,0 +1,126 @@
+"""Window functions: ranking, offsets (lag/lead), frames (running aggregates).
+
+Absent from the reference entirely (SURVEY.md §2.2 grep-verified). Expressed
+via ``pyspark.sql.window.Window`` so the physical plan is a single sort within
+each hash-partitioned group — the canonical scalable pattern (no self-joins).
+All orderings carry a unique tiebreaker column so results are deterministic
+and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from feature_datalake_sl_mandic_spark.operators.relational import _t
+from feature_datalake_sl_mandic_spark.registry import register
+
+
+@register(
+    "window_rank_orders",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
+             row_number()   OVER w AS rn,
+             rank()         OVER w AS rnk,
+             dense_rank()   OVER w AS drnk,
+             ntile(4)       OVER w AS quartile,
+             round(percent_rank() OVER w, 6) AS prank,
+             round(cume_dist()    OVER w, 6) AS cdist
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    )
+    SELECT * FROM ranked WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+    tags=("window", "rank", "topk-per-group"),
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer with the full ranking-function family.
+
+    row_number-filter is the scalable top-k-per-group idiom: one shuffle on
+    the partition key, per-group sort, early filter."""
+    (od,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        od.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("prank"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        )
+        .where(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "window_lag_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(o_totalprice, 2) AS totalprice,
+           round(lag(o_totalprice)  OVER w, 2) AS prev_price,
+           round(lead(o_totalprice) OVER w, 2) AS next_price,
+           date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window", "lag-lead"),
+)
+def window_lag_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead offsets along each customer's order timeline."""
+    (od,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias(
+            "days_since_prev"
+        ),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "window_running_totals",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_total,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+             AS moving_avg_3,
+           count(*) OVER (PARTITION BY o_custkey) AS cust_orders
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("window", "frame", "running-agg"),
+)
+def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative + sliding ROWS frames and a whole-partition aggregate."""
+    (od,) = _t(spark, sf_dir, "orders")
+    w_order = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_mov = w_order.rowsBetween(-2, Window.currentRow)
+    w_all = Window.partitionBy("o_custkey")
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_total"),
+        F.round(F.avg("o_totalprice").over(w_mov), 4).alias("moving_avg_3"),
+        F.count(F.lit(1)).over(w_all).alias("cust_orders"),
+    ).orderBy("o_custkey", "o_orderkey")
