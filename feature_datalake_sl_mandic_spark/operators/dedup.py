@@ -1,0 +1,380 @@
+"""Deduplication family over ``documents``: exact, n-gram Jaccard, MinHash+LSH,
+SimHash, embedding-cosine near-dup.
+
+Extension surface (BASELINE.json: "dedup" for LLM data pipelines). Every
+variant is expressed as declarative DataFrame ops — shingling via higher-order
+array functions, hashing via md5 (identical on both engines, so even MinHash
+is oracle-hash-checkable), candidate generation via equi-joins that Catalyst
+shuffles on the blocking key.
+
+Scale design (100 TB):
+- exact dedup: one shuffle on the content hash, not the content.
+- n-gram Jaccard: candidate pairs come from an equi-join on shared shingles
+  (inverted-index semantics); at larger corpora add a document-frequency cap
+  on shingles (drop df > K) to bound the worst-case pair blowup — the join
+  shape is unchanged.
+- MinHash+LSH: candidates from equality on banded signatures — the classic
+  sub-quadratic path; signature computation is a single groupBy(min×k).
+- SimHash: per-doc 32-bit signature via one explode + sum aggregation.
+- embedding near-dup: blocked (label) pair join — swap the block key for an
+  LSH bucket at scale (see operators/similarity.py ann_lsh_bucketed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from feature_datalake_sl_mandic_spark.operators.relational import _t
+from feature_datalake_sl_mandic_spark.registry import register
+
+MINHASH_K = 8
+LSH_BANDS = 4  # 2 rows per band
+JACCARD_THRESHOLD = 0.2
+COSINE_NEARDUP_THRESHOLD = 0.35
+
+# ---------------------------------------------------------------- shingles
+
+_DUCK_SHINGLES = """
+    SELECT doc_id, unnest(list_distinct(
+             list_transform(range(1, greatest(len(ws) - 1, 1)),
+                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+"""
+
+
+def _spark_shingles(dc: DataFrame) -> DataFrame:
+    """doc_id, s — distinct word-trigram shingles per document."""
+    ws = F.split("text", " ")
+    trigrams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+        ),
+    )
+    shingles = F.when(F.size(ws) >= 3, F.array_distinct(trigrams)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return dc.select("doc_id", F.explode(shingles).alias("s"))
+
+
+def _minhash_col(seed: int, col: str = "s") -> Column:
+    """Deterministic 60-bit hash_j(shingle) = int(md5(j ':' s)[:15], 16).
+    md5 is identical across Spark and DuckDB, making MinHash oracle-checkable."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col(col))), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def _duck_minhash(seed: int) -> str:
+    return f"min(('0x' || substr(md5('{seed}:' || s), 1, 15))::BIGINT)"
+
+
+# ---------------------------------------------------------------- operators
+
+
+@register(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+           CASE WHEN row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1
+                THEN 1 ELSE 0 END AS is_dup,
+           count(*) OVER (PARTITION BY md5(text)) AS group_size
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "exact-dedup", "window"),
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group on md5(text) (shuffle carries the 16-byte hash, not
+    the document), keep the lowest doc_id as canonical — the keep-decision
+    form of ``dropDuplicates`` with full provenance."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    h = F.md5("text")
+    wp = Window.partitionBy(h)
+    return dc.select(
+        "doc_id",
+        F.min("doc_id").over(wp).alias("canonical_id"),
+        (F.row_number().over(wp.orderBy("doc_id")) > 1).cast("int").alias("is_dup"),
+        F.count(F.lit(1)).over(wp).alias("group_size"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "near-dedup", "ngram-jaccard", "self-join"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-trigram Jaccard: inverted-index equi-join
+    on shared shingles generates candidates, |A∩B|/|A∪B| filters them."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    dc.createOrReplaceTempView("documents")
+    sh = _spark_shingles(dc).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_inter") / (F.col("sa.n") + F.col("sb.n") - F.col("n_inter"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _duck_minhash_lsh_sql() -> str:
+    mins = ",\n           ".join(
+        f"{_duck_minhash(j)} AS m{j}" for j in range(MINHASH_K)
+    )
+    bands = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {b} AS band, m{2*b} || '_' || m{2*b+1} AS sig FROM sig_t"
+        for b in range(LSH_BANDS)
+    )
+    sig_eq = " + ".join(
+        f"(sa.m{j} = sb.m{j})::INT" for j in range(MINHASH_K)
+    )
+    return f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    sig_t AS (
+      SELECT doc_id,
+           {mins}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+{bands}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(({sig_eq.replace('sa.', 'siga.').replace('sb.', 'sigb.')}) / {MINHASH_K}.0, 6)
+             AS minhash_sim,
+           round(coalesce(i.n_inter, 0) * 1.0
+                 / (sa.n + sb.n - coalesce(i.n_inter, 0)), 6) AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes sa ON c.doc_a = sa.doc_id
+    JOIN sizes sb ON c.doc_b = sb.doc_id
+    JOIN sig_t siga ON c.doc_a = siga.doc_id
+    JOIN sig_t sigb ON c.doc_b = sigb.doc_id
+    WHERE coalesce(i.n_inter, 0) * 1.0 / (sa.n + sb.n - coalesce(i.n_inter, 0))
+          >= {JACCARD_THRESHOLD}
+    ORDER BY c.doc_a, c.doc_b
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_duck_minhash_lsh_sql(),
+    tags=("dedup", "near-dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=8) + LSH(4 bands × 2 rows) near-dup: sub-quadratic candidate
+    generation by equality on banded signatures, then exact-Jaccard verify.
+
+    The hash family is md5-derived and identical in the oracle, so the full
+    pipeline — signatures, banding, candidates, verification — hash-matches
+    DuckDB exactly rather than being spot-checked."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    dc.createOrReplaceTempView("documents")
+    sh = _spark_shingles(dc).cache()
+
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(_minhash_col(j)).alias(f"m{j}") for j in range(MINHASH_K)]
+    )
+    bands = None
+    for b in range(LSH_BANDS):
+        piece = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat_ws("_", f"m{2*b}", f"m{2*b+1}").alias("sig"),
+        )
+        bands = piece if bands is None else bands.unionAll(piece)
+    ba, bb = bands.alias("a"), bands.alias("b")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        cand.alias("c")
+        .join(x, F.col("x.doc_id") == F.col("c.doc_a"))
+        .join(y, (F.col("y.doc_id") == F.col("c.doc_b")) & (F.col("y.s") == F.col("x.s")))
+        .groupBy("c.doc_a", "c.doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+
+    siga, sigb = sig.alias("siga"), sig.alias("sigb")
+    sig_matches = sum(
+        (F.col(f"siga.m{j}") == F.col(f"sigb.m{j}")).cast("int") for j in range(MINHASH_K)
+    )
+    n_inter = F.coalesce(F.col("n_inter"), F.lit(0))
+    jac = n_inter / (F.col("sa.n") + F.col("sb.n") - n_inter)
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .join(siga, F.col("doc_a") == F.col("siga.doc_id"))
+        .join(sigb, F.col("doc_b") == F.col("sigb.doc_id"))
+        .where(jac >= JACCARD_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(sig_matches / float(MINHASH_K), 6).alias("minhash_sim"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _duck_simhash_sql() -> str:
+    sums = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(32)
+    )
+    assemble = " + ".join(f"((s{i} > 0)::BIGINT << {i})" for i in range(32))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h FROM toks
+    ),
+    bitsums AS (
+      SELECT doc_id,
+           {sums}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, {assemble} AS simhash,
+           bit_count({assemble}) AS popcount
+    FROM bitsums
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle=_duck_simhash_sql(),
+    tags=("dedup", "near-dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-weighted 32-bit SimHash per document (md5-derived token
+    hashes): one explode + one aggregation; near-dup detection then becomes
+    hamming-distance joins on signature prefixes (bounded by design)."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    dc.createOrReplaceTempView("documents")
+    toks = dc.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    hashed = toks.select(
+        "doc_id", F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint").alias("h")
+    )
+    bitsums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(32)
+        ]
+    )
+    simhash = None
+    for i in range(32):
+        term = F.shiftleft((F.col(f"s{i}") > 0).cast("bigint"), i)
+        simhash = term if simhash is None else simhash + term
+    return bitsums.select(
+        "doc_id",
+        simhash.alias("simhash"),
+        F.bit_count(simhash).alias("popcount"),
+    ).orderBy("doc_id")
+
+
+_DUCK_COS = (
+    "list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))"
+    " * sqrt(list_sum(list_transform(range(1, 65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))))"
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           round({_DUCK_COS}, 6) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_DUCK_COS} >= {COSINE_NEARDUP_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """,
+    tags=("dedup", "near-dedup", "embedding-cosine", "blocked-join"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via blocked pair join (block key = label; at scale,
+    an LSH bucket — see ann_lsh_bucketed): cosine in pure JVM higher-order
+    functions over double-cast arrays, no UDF."""
+    (em,) = _t(spark, sf_dir, "embeddings")
+    emd = em.withColumn("emb", F.col("embedding").cast("array<double>"))
+    a = emd.alias("a")
+    b = emd.alias("b")
+
+    def dot(x: str, y: str) -> Column:
+        return F.aggregate(
+            F.zip_with(F.col(x), F.col(y), lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cos = dot("a.emb", "b.emb") / (
+        F.sqrt(dot("a.emb", "a.emb")) * F.sqrt(dot("b.emb", "b.emb"))
+    )
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .where(cos >= COSINE_NEARDUP_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )

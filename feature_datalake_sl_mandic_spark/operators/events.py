@@ -1,0 +1,208 @@
+"""Event / time-series analytics over the ``events`` table.
+
+The reference has no streaming or time-series surface (SURVEY.md §2.2); this
+is the batch half of the extension surface (BASELINE.json north star). The
+streaming half (Structured Streaming with watermarks) lives in
+``feature_datalake_sl_mandic_spark.streaming``.
+
+All queries cast/emit timestamps as epoch microseconds (BIGINT) so the
+oracle comparison is representation-independent. The oracle SQL always
+``CAST(ts AS TIMESTAMP)`` first because DuckDB reads the parquet column as
+TIMESTAMP_NS while Spark reads ns-as-long truncated to µs (catalog.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from feature_datalake_sl_mandic_spark.operators.relational import _t
+from feature_datalake_sl_mandic_spark.registry import register
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle="""
+    SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600 AS hour_epoch,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour_epoch, event_type
+    """,
+    tags=("events", "time-window", "tumbling", "groupby-agg"),
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows via ``F.window`` — the built-in bucketing
+    operator Structured Streaming shares; emitted as epoch seconds."""
+    (ev,) = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "n_users",
+        )
+        .orderBy("hour_epoch", "event_type")
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                         OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                       > {SESSION_GAP_MIN} * 60 * 1000000
+                  OR lag(event_id) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sessions AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM ordered
+    )
+    SELECT user_id, session_seq,
+           count(*) AS n_events,
+           epoch_us(min(ts)) AS session_start_us,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec,
+           round(sum(value), 2) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+    tags=("events", "sessionization", "window", "groupby-agg"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → new-session flag →
+    running sum as session id → per-session aggregate. Two window passes and
+    one aggregation, all partitioned by user_id — a single shuffle."""
+    (ev,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    ts_us = F.unix_micros("ts")
+    is_new = (
+        F.when(
+            (ts_us - F.lag(ts_us).over(w) > gap_us)
+            | F.lag("event_id").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new")
+    )
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.select("user_id", "event_id", "ts", "value", is_new)
+        .withColumn("session_seq", F.sum("is_new").over(w_run))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            ((F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1_000_000)
+            .cast("bigint")
+            .alias("duration_sec"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+@register(
+    "events_session_window_builtin",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                         OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                       > {SESSION_GAP_MIN} * 60 * 1000000
+                  OR lag(event_id) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sessions AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM ordered
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS start_us,
+           epoch_us(max(ts)) + {SESSION_GAP_MIN} * 60 * 1000000 AS end_us,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, start_us
+    """,
+    tags=("events", "sessionization", "session-window"),
+)
+def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in ``session_window`` (gap-merged, streaming-compatible);
+    oracle reproduces its [first_ts, last_ts + gap) window semantics."""
+    (ev,) = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            F.unix_micros(F.col("w.end")).alias("end_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "start_us")
+    )
+
+
+@register(
+    "events_funnel_signup_purchase",
+    oracle="""
+    SELECT e.user_id,
+           epoch_us(min(CASE WHEN e.event_type = 'signup' THEN CAST(e.ts AS TIMESTAMP) END))
+             AS first_signup_us,
+           epoch_us(min(CASE WHEN e.event_type = 'purchase' THEN CAST(e.ts AS TIMESTAMP) END))
+             AS first_purchase_us,
+           count(CASE WHEN e.event_type = 'purchase' THEN 1 END) AS n_purchases
+    FROM events e
+    GROUP BY e.user_id
+    HAVING first_signup_us IS NOT NULL AND first_purchase_us > first_signup_us
+    ORDER BY e.user_id
+    """,
+    tags=("events", "funnel", "conditional-agg"),
+)
+def events_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel: users whose first purchase followed their first signup —
+    conditional min-aggregation, single pass, no self-join."""
+    (ev,) = _t(spark, sf_dir, "events")
+    first_signup = F.min(
+        F.when(F.col("event_type") == "signup", F.unix_micros("ts"))
+    ).alias("first_signup_us")
+    first_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+    ).alias("first_purchase_us")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            first_signup,
+            first_purchase,
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+        )
+        .where(
+            F.col("first_signup_us").isNotNull()
+            & (F.col("first_purchase_us") > F.col("first_signup_us"))
+        )
+        .orderBy("user_id")
+    )

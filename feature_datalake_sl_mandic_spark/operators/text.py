@@ -1,0 +1,198 @@
+"""Text analysis over the ``documents`` table: token stats, language ID,
+quality scoring, document fingerprinting.
+
+Extension surface (BASELINE.json: "text analysis" for LLM data pipelines).
+Everything is built-in higher-order array functions — ``split`` +
+``filter/transform/aggregate`` — which stay JVM-side; no Python UDFs in the
+hot path. Each has an exact DuckDB oracle via the mirrored list lambdas, so
+correctness is hash-checked, not eyeballed.
+
+Scale: each query is an embarrassingly-parallel projection + one small
+aggregation; no shuffle grows with corpus size except the final group-by on
+bounded keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feature_datalake_sl_mandic_spark.operators.relational import _t
+from feature_datalake_sl_mandic_spark.registry import register
+
+# Tiny deterministic marker-word lists per language for the heuristic
+# language-ID (the classic stopword-profile approach, shrunk). Kept identical
+# in the oracle SQL.
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "fast"),
+    "es": ("el", "la", "de", "que", "rapido"),
+    "fr": ("le", "la", "de", "et", "vite"),
+    "de": ("der", "die", "das", "und", "schnell"),
+    "zh": ("de", "shi", "le", "zai", "kuai"),
+}
+
+FP_MOD = 1_000_000_007
+FP_MUL = 31
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id, lang,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars_actual,
+           len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+           round(length(replace(text, ' ', '')) * 1.0
+                 / len(string_split(text, ' ')), 4) AS avg_token_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "tokenize", "token-count"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + uniqueness — the cheap first-pass stats an
+    LLM-corpus pipeline computes for every document."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return dc.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")) / F.size(toks), 4
+        ).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+def _marker_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return f"len(list_filter(string_split(text, ' '), w -> w IN ({words})))"
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_marker_sql('en')} AS s_en,
+             {_marker_sql('es')} AS s_es,
+             {_marker_sql('fr')} AS s_fr,
+             {_marker_sql('de')} AS s_de,
+             {_marker_sql('zh')} AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, lang AS lang_label, s_en, s_es, s_fr, s_de, s_zh,
+           CASE greatest(s_en, s_es, s_fr, s_de, s_zh)
+             WHEN s_en THEN 'en' WHEN s_es THEN 'es' WHEN s_fr THEN 'fr'
+             WHEN s_de THEN 'de' ELSE 'zh' END AS lang_pred
+    FROM scored
+    ORDER BY doc_id
+    """,
+    tags=("text", "language-id"),
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID by stopword-marker profile (argmax of per-lang
+    marker hits, first-match tie-break mirroring the oracle's CASE)."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def score(lang: str):
+        markers = list(LANG_MARKERS[lang])
+        return F.size(F.filter(toks, lambda w: w.isin(markers))).alias(f"s_{lang}")
+
+    scored = dc.select(
+        "doc_id", F.col("lang").alias("lang_label"),
+        score("en"), score("es"), score("fr"), score("de"), score("zh"),
+    )
+    best = F.greatest("s_en", "s_es", "s_fr", "s_de", "s_zh")
+    pred = (
+        F.when(F.col("s_en") == best, "en")
+        .when(F.col("s_es") == best, "es")
+        .when(F.col("s_fr") == best, "fr")
+        .when(F.col("s_de") == best, "de")
+        .otherwise("zh")
+    )
+    return scored.withColumn("lang_pred", pred).orderBy("doc_id")
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_unique,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ('the', 'a', 'of', 'and', 'in'))) AS n_stop,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           round(n_unique * 1.0 / n_tokens, 4) AS unique_ratio,
+           round(n_stop * 1.0 / n_tokens, 4) AS stopword_ratio,
+           round( least(n_tokens / 50.0, 1.0) * 0.4
+                + (n_unique * 1.0 / n_tokens) * 0.4
+                + least(n_stop * 4.0 / n_tokens, 1.0) * 0.2, 4) AS quality
+    FROM feats
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality-score"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score (length, lexical diversity, stopword
+    density) — the filter signal an LLM-data pipeline thresholds on."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop = ["the", "a", "of", "and", "in"]
+    feats = dc.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.size(F.filter(toks, lambda w: w.isin(stop))).alias("n_stop"),
+    )
+    return feats.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.round(F.col("n_unique") / F.col("n_tokens"), 4).alias("unique_ratio"),
+        F.round(F.col("n_stop") / F.col("n_tokens"), 4).alias("stopword_ratio"),
+        F.round(
+            F.least(F.col("n_tokens") / 50.0, F.lit(1.0)) * 0.4
+            + (F.col("n_unique") / F.col("n_tokens")) * 0.4
+            + F.least(F.col("n_stop") * 4.0 / F.col("n_tokens"), F.lit(1.0)) * 0.2,
+            4,
+        ).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(range(1, length(text) + 1),
+                              i -> ascii(substr(text, i, 1))::BIGINT)),
+             (acc, c) -> (acc * {FP_MUL} + c) % {FP_MOD}) AS fingerprint,
+           length(text) AS n_chars_actual
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "fingerprint", "rolling-hash"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint over the full character stream
+    (mod 1e9+7, base 31) — deterministic content identity without storing
+    text; computed via the JVM higher-order ``aggregate`` (no UDF)."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    return dc.select(
+        "doc_id",
+        F.expr(
+            f"aggregate(sequence(1, length(text)), 0L, "
+            f"(acc, i) -> (acc * {FP_MUL} + ascii(substring(text, i, 1))) % {FP_MOD})"
+        ).alias("fingerprint"),
+        F.length("text").alias("n_chars_actual"),
+    ).orderBy("doc_id")
