@@ -1,0 +1,99 @@
+"""JDBC sources (MySQL / SQL Server) — online-ingest parity, offline-testable.
+
+The reference reads whole OLTP tables through a SINGLE-partition JDBC scan
+(``spark_ingest_slmandicprd.py:56-63`` — options carry only
+user/password/driver, no partitionColumn; SURVEY.md §4 flags this as its
+scan-parallelism anti-pattern) and pushes its catalog queries down as
+subquery-tables (``verifica_carga_slmandicprd.py:56-62`` MySQL;
+``TOTVS/DataProc_Script/verifica_carga_TOTVSAUDIT.py:53-65`` MSSQL).
+
+This module keeps the same capability surface but parallelizes the scan
+(partitionColumn/bounds/numPartitions) and preserves the reference's
+zero-date handling (``zeroDateTimeBehavior=CONVERT_TO_NULL``,
+``spark_ingest_slmandicprd.py:28``). No live DB exists in the test
+environment, so functions build and return readers/configs that tests assert
+on; execution requires a configured URL.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+MYSQL_DRIVER = "com.mysql.cj.jdbc.Driver"
+MSSQL_DRIVER = "com.microsoft.sqlserver.jdbc.SQLServerDriver"
+
+
+@dataclass
+class JdbcConfig:
+    url: str  # e.g. jdbc:mysql://host:3306/db?zeroDateTimeBehavior=CONVERT_TO_NULL
+    user: str
+    password: str
+    driver: str = MYSQL_DRIVER
+    # Scan-parallelism (absent in the reference; SURVEY.md §4 remediation):
+    num_partitions: int = 8
+    fetch_size: int = 10_000
+    extra: dict[str, str] = field(default_factory=dict)
+
+    def options(self) -> dict[str, str]:
+        return {
+            "url": self.url,
+            "user": self.user,
+            "password": self.password,
+            "driver": self.driver,
+            "fetchsize": str(self.fetch_size),
+            **self.extra,
+        }
+
+
+def read_table(
+    spark: SparkSession,
+    cfg: JdbcConfig,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> DataFrame:
+    """Parallel full-table scan (S1 parity, parallelized). Without a numeric
+    ``partition_column`` the read degrades to single-partition — exactly the
+    reference's behavior — so callers should supply one for big tables."""
+    reader = spark.read.format("jdbc").options(**cfg.options()).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound if lower_bound is not None else 0))
+            .option("upperBound", str(upper_bound if upper_bound is not None else 1_000_000))
+            .option("numPartitions", str(cfg.num_partitions))
+        )
+    return reader.load()
+
+
+def mysql_catalog_query(database: str) -> str:
+    """Pushdown freshness scan (S2 parity —
+    ``verifica_carga_slmandicprd.py:56-60``)."""
+    return (
+        "(SELECT table_name, update_time FROM information_schema.tables "
+        f"WHERE table_schema = '{database}') AS t"
+    )
+
+
+def mssql_catalog_query(schema: str = "dbo") -> str:
+    """Pushdown join freshness scan (S3 parity —
+    ``TOTVS/DataProc_Script/verifica_carga_TOTVSAUDIT.py:53-65``)."""
+    return (
+        "(SELECT t.name AS table_name, t.modify_date AS update_time "
+        "FROM sys.tables t JOIN sys.schemas s ON t.schema_id = s.schema_id "
+        f"WHERE s.name = '{schema}') AS t"
+    )
+
+
+def read_catalog(spark: SparkSession, cfg: JdbcConfig, catalog_query: str) -> DataFrame:
+    """Run a pushdown catalog query; projection+filter execute in the source
+    DB (the subquery-as-table pattern both reference variants use)."""
+    return (
+        spark.read.format("jdbc")
+        .options(**cfg.options())
+        .option("dbtable", catalog_query)
+        .load()
+    )
