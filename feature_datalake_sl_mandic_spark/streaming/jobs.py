@@ -1,0 +1,123 @@
+"""Structured Streaming jobs over the events stream.
+
+The reference has no streaming at all — its "incremental" behavior is a
+daily batch poll (SURVEY.md §2.2). This module supplies the streaming half
+of the extension surface with the standard Spark constructs:
+
+- file-source ``readStream`` with an explicit schema (streaming readers
+  can't infer),
+- event-time tumbling windows with watermarks for late data,
+- streaming dedup bounded by the watermark
+  (``dropDuplicatesWithinWatermark``),
+- gap sessionization via the same ``session_window`` used in batch
+  (operators/events.py) — one definition, two execution modes.
+
+These jobs are exercised with ``trigger(availableNow=True)`` against a
+parquet copy of ``events`` (tests/test_streaming.py): the batch-equivalent
+execution of the streaming plan, which is also the production backfill path.
+Non-SQL-expressible by design, so no DuckDB oracle — the tests compare
+against the equivalent batch DataFrame result instead, which is a stronger
+check than rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Event-time tumbling aggregation with a watermark: late rows beyond the
+    watermark are dropped, state is bounded — the streaming twin of
+    ``events_tumbling_hourly``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id with watermark-bounded state —
+    at-least-once sources become effectively-once within the lateness bound."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def session_aggregates(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming gap sessions via ``session_window`` — merges as events
+    arrive, emits when the watermark passes a session's close."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("start_us"),
+            F.unix_micros("w.end").alias("end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, checkpoint: str, output_mode: str = "append"
+) -> list:
+    """Execute a streaming plan over all currently-available input (the
+    backfill/batch-equivalence mode) into an in-memory sink; returns rows.
+
+    Use ``output_mode='complete'`` for windowed aggregations so trailing
+    windows the watermark never closed are still emitted; ``'append'`` for
+    row streams (dedup/projection)."""
+    import uuid
+
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}").collect()

@@ -1,0 +1,75 @@
+"""Structured Streaming tests: availableNow execution must match the
+equivalent batch plan (stronger than rows-only)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_datalake_sl_mandic_spark.streaming import jobs
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Events re-encoded as us-timestamps (streaming reader can't take the
+    ns-as-long conf path through an explicit schema mismatch)."""
+    from feature_datalake_sl_mandic_spark.catalog import load_table
+
+    out = str(tmp_path_factory.mktemp("stream") / "events")
+    load_table(spark, SF_SMALL, "events").write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_windowed_counts_matches_batch(spark, events_dir, tmp_path):
+    stream = jobs.read_events_stream(spark, events_dir)
+    rows = jobs.run_available_now(
+        jobs.windowed_counts(stream),
+        str(tmp_path / "ckpt1"),
+        output_mode="complete",
+    )
+    got = {(r["window_start_epoch"], r["event_type"]): (r["n_events"], r["total_value"]) for r in rows}
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .select(F.unix_timestamp("w.start").alias("e"), "event_type", "n", "v")
+        .collect()
+    )
+    want = {(r["e"], r["event_type"]): (r["n"], r["v"]) for r in batch}
+    assert got == want
+
+
+def test_dedup_within_watermark(spark, events_dir, tmp_path):
+    # duplicate the input: same directory read twice via union at the source
+    # level is not possible for a stream, so write dupes to a fresh dir
+    dup_dir = str(tmp_path / "dup")
+    df = spark.read.parquet(events_dir)
+    df.write.mode("overwrite").parquet(dup_dir)
+    df.write.mode("append").parquet(dup_dir)  # every event twice
+
+    stream = jobs.read_events_stream(spark, dup_dir)
+    rows = jobs.run_available_now(
+        jobs.dedup_within_watermark(stream), str(tmp_path / "ckpt2")
+    )
+    ids = [r["event_id"] for r in rows]
+    assert len(ids) == len(set(ids)) == df.count()
+
+
+def test_session_aggregates_matches_batch_operator(spark, events_dir, tmp_path):
+    stream = jobs.read_events_stream(spark, events_dir)
+    rows = jobs.run_available_now(
+        jobs.session_aggregates(stream),
+        str(tmp_path / "ckpt3"),
+        output_mode="complete",
+    )
+    got = {(r["user_id"], r["start_us"], r["end_us"]): r["n_events"] for r in rows}
+
+    from feature_datalake_sl_mandic_spark.operators.events import (
+        events_session_window_builtin,
+    )
+
+    batch = events_session_window_builtin(spark, SF_SMALL).collect()
+    want = {(r["user_id"], r["start_us"], r["end_us"]): r["n_events"] for r in batch}
+    assert got == want
