@@ -1,0 +1,295 @@
+"""Coverage completers: outer joins, MERGE-style upsert, arg-max, real pivot,
+array aggregation, correlated subqueries, Arrow-vectorized UDF, sampling.
+
+Each closes a line of the SURVEY.md §2.2/§2.3 checklist not already covered
+by the themed modules.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from feature_datalake_sl_mandic_spark.catalog import load_tables
+from feature_datalake_sl_mandic_spark.operators.relational import _t
+from feature_datalake_sl_mandic_spark.registry import register
+
+
+@register(
+    "join_full_outer_nation_activity",
+    oracle="""
+    WITH cust_n AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+                    FROM customer GROUP BY 1),
+         supp_n AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+                    FROM supplier GROUP BY 1)
+    SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+           coalesce(c.n_cust, 0) AS n_cust,
+           coalesce(s.n_supp, 0) AS n_supp
+    FROM cust_n c FULL OUTER JOIN supp_n s ON c.nationkey = s.nationkey
+    ORDER BY nationkey
+    """,
+    tags=("join", "full-outer-join"),
+)
+def join_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two pre-aggregated sides (aggregate-before-join:
+    the outer join sees O(keys) rows, not O(input))."""
+    cu, su = _t(spark, sf_dir, "customer", "supplier")
+    cn = cu.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    sn = su.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return (
+        cn.alias("c")
+        .join(sn.alias("s"), F.col("c.nationkey") == F.col("s.nationkey"), "full_outer")
+        .select(
+            F.coalesce("c.nationkey", "s.nationkey").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, round(o_totalprice + 100, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, 1.0 FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    merged AS (
+      SELECT coalesce(u.o_orderkey, b.o_orderkey) AS okey,
+             coalesce(u.o_totalprice, round(b.o_totalprice, 2)) AS price,
+             CASE WHEN u.o_orderkey IS NULL THEN 'kept'
+                  WHEN b.o_orderkey IS NULL THEN 'inserted'
+                  ELSE 'updated' END AS action
+      FROM orders b FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+    )
+    SELECT action, count(*) AS n, round(sum(price), 2) AS total
+    FROM merged GROUP BY action ORDER BY action
+    """,
+    tags=("ingest", "merge-upsert", "full-outer-join", "incremental"),
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (SCD-1 upsert) semantics as a full-outer join + coalesce —
+    the incremental-ingest upgrade path of the reference's full-refresh S10
+    (Delta MERGE compiles to this same shape; shuffle is on the merge key)."""
+    (od,) = _t(spark, sf_dir, "orders")
+    updates = (
+        od.where(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey", F.round(F.col("o_totalprice") + 100, 2).alias("o_totalprice"))
+        .unionAll(
+            od.where(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + 1_000_000_000).alias("o_orderkey"),
+                F.lit(1.0).alias("o_totalprice"),
+            )
+        )
+    )
+    b, u = od.alias("b"), updates.alias("u")
+    merged = b.join(u, F.col("b.o_orderkey") == F.col("u.o_orderkey"), "full_outer").select(
+        F.coalesce("u.o_orderkey", "b.o_orderkey").alias("okey"),
+        F.coalesce("u.o_totalprice", F.round("b.o_totalprice", 2)).alias("price"),
+        F.when(F.col("u.o_orderkey").isNull(), "kept")
+        .when(F.col("b.o_orderkey").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("action"),
+    )
+    return (
+        merged.groupBy("action")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("price"), 2).alias("total"))
+        .orderBy("action")
+    )
+
+
+@register(
+    "agg_argmax_order_per_customer",
+    oracle="""
+    SELECT c_mktsegment,
+           arg_max(o_orderkey, o_totalprice) AS top_orderkey,
+           round(max(o_totalprice), 2) AS top_price,
+           arg_min(o_orderkey, o_totalprice) AS bottom_orderkey
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("groupby-agg", "argmax"),
+)
+def agg_argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (arg-max) — top-1-per-group without a window sort."""
+    od, cu = _t(spark, sf_dir, "orders", "customer")
+    return (
+        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("top_orderkey"),
+            F.round(F.max("o_totalprice"), 2).alias("top_price"),
+            F.min_by("o_orderkey", "o_totalprice").alias("bottom_orderkey"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "pivot_status_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS status_p
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+    tags=("groupby-agg", "pivot"),
+)
+def pivot_status_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real ``.pivot()`` with an explicit value list (explicit values keep the
+    plan single-pass and schema-stable — no distinct-scan of the pivot col)."""
+    od, cu, na = _t(spark, sf_dir, "orders", "customer", "nation")
+    out = (
+        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "nation",
+        F.coalesce("O", F.lit(0)).alias("status_o"),
+        F.coalesce("F", F.lit(0)).alias("status_f"),
+        F.coalesce("P", F.lit(0)).alias("status_p"),
+    ).orderBy("nation")
+
+
+@register(
+    "arrays_collect_per_order",
+    oracle="""
+    SELECT l_orderkey,
+           list_sort(list(l_linenumber)) AS linenumbers,
+           len(list_distinct(list(l_suppkey))) AS n_supps,
+           list_sort(list(l_linenumber))[1] AS first_line,
+           round(list_sum(list(l_quantity)), 2) AS qty_sum
+    FROM lineitem
+    WHERE l_orderkey <= 500
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+    tags=("groupby-agg", "arrays", "collect-list"),
+)
+def arrays_collect_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: collect_list/set + array functions. collect_list is
+    order-nondeterministic under parallelism, so results are sort_array'd —
+    the discipline that makes array aggs reproducible at any partition count."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_orderkey") <= 500)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sort_array(F.collect_list("l_linenumber")).alias("linenumbers"),
+            F.size(F.collect_set("l_suppkey")).alias("n_supps"),
+            F.round(F.sum("l_quantity"), 2).alias("qty_sum"),
+        )
+        .select(
+            "l_orderkey",
+            "linenumbers",
+            "n_supps",
+            F.element_at("linenumbers", 1).alias("first_line"),
+            "qty_sum",
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+@register(
+    "subquery_above_segment_avg",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, round(c.c_acctbal, 2) AS acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+      SELECT avg(c2.c_acctbal) FROM customer c2
+      WHERE c2.c_mktsegment = c.c_mktsegment
+    )
+    ORDER BY c.c_custkey
+    """,
+    tags=("subquery", "correlated-subquery", "sql-surface"),
+)
+def subquery_above_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL surface — Catalyst
+    decorrelates it into an aggregate + join (no per-row re-execution)."""
+    load_tables(spark, sf_dir, names=["customer"])
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, round(c.c_acctbal, 2) AS acctbal
+        FROM customer c
+        WHERE c.c_acctbal > (
+          SELECT avg(c2.c_acctbal) FROM customer c2
+          WHERE c2.c_mktsegment = c.c_mktsegment
+        )
+        ORDER BY c.c_custkey
+        """
+    )
+
+
+@register(
+    "text_tokenize_vectorized_udf",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS n_bpe_ish,
+           len(regexp_extract_all(lower(text), '[0-9]+')) AS n_numeric
+    FROM documents
+    ORDER BY doc_id
+    """,
+    tags=("text", "pandas-udf", "tokenize"),
+)
+def text_tokenize_vectorized_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting via an Arrow-vectorized pandas_udf — the
+    sanctioned shape for Python that built-ins can't express (10-100× over
+    row-at-a-time UDFs; still oracle-checked because the regex is engine-
+    portable)."""
+    import re
+
+    pat = re.compile(r"[a-z]+|[0-9]+")
+    num = re.compile(r"[0-9]+")
+
+    @pandas_udf("long")
+    def n_bpe_ish(s: pd.Series) -> pd.Series:
+        return s.str.lower().map(lambda t: len(pat.findall(t)))
+
+    @pandas_udf("long")
+    def n_numeric(s: pd.Series) -> pd.Series:
+        return s.str.lower().map(lambda t: len(num.findall(t)))
+
+    (dc,) = _t(spark, sf_dir, "documents")
+    return dc.select(
+        "doc_id",
+        n_bpe_ish("text").alias("n_bpe_ish"),
+        n_numeric("text").alias("n_numeric"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "sample_stratified_orders",
+    oracle=None,  # RNG differs across engines by design: rows-only check
+    tags=("sampling", "approx"),
+)
+def sample_stratified_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (``sampleBy`` with per-stratum fractions, seeded) —
+    the profiling path at 100 TB; engine RNGs differ, so the driver records a
+    rows-only check while tests bound the per-stratum rates."""
+    (od,) = _t(spark, sf_dir, "orders")
+    sampled = od.sampleBy(
+        "o_orderstatus", {"O": 0.2, "F": 0.2, "P": 0.5}, seed=42
+    )
+    return (
+        sampled.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("o_orderstatus")
+    )

@@ -41,6 +41,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # Modules that register queries on import.
 _QUERY_MODULES = [
     "feature_datalake_sl_mandic_spark.operators.relational",
+    "feature_datalake_sl_mandic_spark.operators.misc",
     "feature_datalake_sl_mandic_spark.operators.joins",
     "feature_datalake_sl_mandic_spark.operators.windows",
     "feature_datalake_sl_mandic_spark.operators.aggregates",
