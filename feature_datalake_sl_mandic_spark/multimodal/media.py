@@ -135,3 +135,31 @@ def filter_before_decode(media: DataFrame, kind: str = "image") -> DataFrame:
     return media.where(
         (F.col("kind") == kind) & (F.col("meta.width") >= 16)
     )
+
+
+from feature_datalake_sl_mandic_spark.registry import register  # noqa: E402
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle=None,  # binary decode via mapInPandas: not SQL-expressible
+    tags=("multimodal", "binary", "mapInPandas", "pandas-udf"),
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal pipeline on the synthetic media table:
+    metadata-prune -> Arrow-batched decode -> per-kind feature aggregate.
+    (Deterministic synthetic payloads; sf_dir unused — media isn't part of
+    the fixture lake. Rows-only driver check; exact checks in
+    tests/test_multimodal.py.)"""
+    media = make_synthetic_media(spark, n=256, partitions=8)
+    feats = extract_features(media)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg("aspect_ratio"), 6).alias("avg_aspect"),
+            F.sum("sampled_frames").alias("total_sampled_frames"),
+            F.sum("payload_bytes").alias("total_bytes"),
+        )
+        .orderBy("kind")
+    )

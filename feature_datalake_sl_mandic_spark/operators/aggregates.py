@@ -40,8 +40,8 @@ def agg_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         od.rollup("o_orderstatus", "o_orderpriority")
         .agg(
-            F.grouping("o_orderstatus").alias("g_status"),
-            F.grouping("o_orderpriority").alias("g_priority"),
+            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+            F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
@@ -78,8 +78,8 @@ def agg_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(
-            F.grouping("l_returnflag").alias("g_rf"),
-            F.grouping("l_linestatus").alias("g_ls"),
+            F.grouping("l_returnflag").cast("bigint").alias("g_rf"),
+            F.grouping("l_linestatus").cast("bigint").alias("g_ls"),
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("l_quantity"), 2).alias("qty"),
         )

@@ -289,7 +289,7 @@ def _duck_simhash_sql() -> str:
       FROM hashed GROUP BY doc_id
     )
     SELECT doc_id, {assemble} AS simhash,
-           bit_count({assemble}) AS popcount
+           bit_count({assemble})::BIGINT AS popcount
     FROM bitsums
     ORDER BY doc_id
     """
@@ -325,7 +325,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bitsums.select(
         "doc_id",
         simhash.alias("simhash"),
-        F.bit_count(simhash).alias("popcount"),
+        F.bit_count(simhash).cast("bigint").alias("popcount"),
     ).orderBy("doc_id")
 
 

@@ -194,7 +194,7 @@ def arrays_collect_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(
             F.sort_array(F.collect_list("l_linenumber")).alias("linenumbers"),
-            F.size(F.collect_set("l_suppkey")).alias("n_supps"),
+            F.size(F.collect_set("l_suppkey")).cast("bigint").alias("n_supps"),
             F.round(F.sum("l_quantity"), 2).alias("qty_sum"),
         )
         .select(

@@ -41,7 +41,7 @@ def scalar_string_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.upper("p_name").alias("name_upper"),
         F.lower("p_brand").alias("brand_lower"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("bigint").alias("name_len"),
         F.substring("p_name", 1, 5).alias("name_prefix"),
         F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
         F.regexp_replace("p_type", "A", "_").alias("type_repl"),
@@ -74,20 +74,20 @@ def scalar_date_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     (od,) = _t(spark, sf_dir, "orders")
     return od.select(
         "o_orderkey",
-        F.year("o_orderdate").alias("yr"),
-        F.month("o_orderdate").alias("mo"),
-        F.dayofmonth("o_orderdate").alias("dy"),
-        F.quarter("o_orderdate").alias("qtr"),
-        (F.weekday("o_orderdate") + 1).alias("iso_dow"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dy"),
+        F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+        (F.weekday("o_orderdate") + 1).cast("bigint").alias("iso_dow"),
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
             "month_start"
         ),
         F.date_format(
             F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd"
         ).alias("plus_30d"),
-        F.datediff(F.lit("2000-01-01").cast("timestamp"), "o_orderdate").alias(
-            "days_to_2000"
-        ),
+        F.datediff(F.lit("2000-01-01").cast("timestamp"), "o_orderdate")
+        .cast("bigint")
+        .alias("days_to_2000"),
     ).orderBy("o_orderkey")
 
 
@@ -96,14 +96,14 @@ def scalar_date_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            round(abs(l_discount - 0.05), 4)        AS abs_disc_diff,
-           ceil(l_quantity / 7)                    AS qty_ceil7,
-           floor(l_extendedprice / 1000)           AS price_k_floor,
+           CAST(ceil(l_quantity / 7) AS BIGINT)       AS qty_ceil7,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
            round(sqrt(l_extendedprice), 4)         AS price_sqrt,
            round(ln(l_extendedprice + 1), 6)       AS price_ln,
            round(log10(l_extendedprice + 1), 6)    AS price_log10,
            round(pow(1 + l_tax, 2), 6)             AS tax_sq,
            CAST(l_partkey % 16 AS BIGINT)          AS part_bucket,
-           sign(l_discount - 0.05)                 AS disc_sign,
+           CAST(sign(l_discount - 0.05) AS BIGINT)    AS disc_sign,
            round(greatest(l_discount, l_tax), 2)   AS max_rate,
            round(least(l_discount, l_tax), 2)      AS min_rate
     FROM lineitem
@@ -128,7 +128,7 @@ def scalar_math_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log10(F.col("l_extendedprice") + 1), 6).alias("price_log10"),
             F.round(F.pow(1 + F.col("l_tax"), 2), 6).alias("tax_sq"),
             (F.col("l_partkey") % 16).alias("part_bucket"),
-            F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+            F.signum(F.col("l_discount") - 0.05).cast("bigint").alias("disc_sign"),
             F.round(F.greatest("l_discount", "l_tax"), 2).alias("max_rate"),
             F.round(F.least("l_discount", "l_tax"), 2).alias("min_rate"),
         )

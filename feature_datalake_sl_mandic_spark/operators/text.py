@@ -57,9 +57,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dc.select(
         "doc_id",
         "lang",
-        F.size(toks).alias("n_tokens"),
-        F.length("text").alias("n_chars_actual"),
-        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_tokens"),
         F.round(
             F.length(F.regexp_replace("text", " ", "")) / F.size(toks), 4
         ).alias("avg_token_len"),
@@ -100,7 +100,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def score(lang: str):
         markers = list(LANG_MARKERS[lang])
-        return F.size(F.filter(toks, lambda w: w.isin(markers))).alias(f"s_{lang}")
+        return F.size(F.filter(toks, lambda w: w.isin(markers))).cast("bigint").alias(f"s_{lang}")
 
     scored = dc.select(
         "doc_id", F.col("lang").alias("lang_label"),
@@ -149,7 +149,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = dc.select(
         "doc_id",
         "source",
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique"),
         F.size(F.filter(toks, lambda w: w.isin(stop))).alias("n_stop"),
     )
@@ -194,5 +194,5 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"aggregate(sequence(1, length(text)), 0L, "
             f"(acc, i) -> (acc * {FP_MUL} + ascii(substring(text, i, 1))) % {FP_MOD})"
         ).alias("fingerprint"),
-        F.length("text").alias("n_chars_actual"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
     ).orderBy("doc_id")

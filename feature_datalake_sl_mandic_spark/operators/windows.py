@@ -50,10 +50,10 @@ def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             F.round("o_totalprice", 2).alias("totalprice"),
-            F.row_number().over(w).alias("rn"),
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
-            F.ntile(4).over(w).alias("quartile"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
             F.round(F.percent_rank().over(w), 6).alias("prank"),
             F.round(F.cume_dist().over(w), 6).alias("cdist"),
         )

@@ -48,6 +48,13 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str = "") -> 
         errs.append(f"{name}: row count spark={len(a)} duck={len(b)}")
         return errs
     for col in a.columns:
+        da, db = str(a[col].dtype), str(b[col].dtype)
+        if da != db:
+            errs.append(
+                f"{name}.{col}: WARNING dtype spark={da} duck={db} — align casts "
+                "in case the driver's schema check is type-strict"
+            )
+    for col in a.columns:
         av, bv = a[col], b[col]
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             af = pd.to_numeric(av, errors="coerce").astype(float)

@@ -1,0 +1,55 @@
+"""applyInPandasWithState: state must survive across micro-batches and the
+final per-user profile must equal the batch aggregate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from feature_datalake_sl_mandic_spark.streaming import jobs
+from feature_datalake_sl_mandic_spark.streaming.stateful import user_profiles
+from tests.conftest import SF_SMALL
+
+
+def test_user_profiles_match_batch(spark, tmp_path):
+    from feature_datalake_sl_mandic_spark.catalog import load_table
+
+    # split events into 3 files so availableNow + maxFilesPerTrigger=1 runs
+    # multiple micro-batches -> state actually carries over
+    src = load_table(spark, SF_SMALL, "events")
+    events_dir = str(tmp_path / "events")
+    src.repartition(3).write.mode("overwrite").parquet(events_dir)
+
+    stream = jobs.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    rows = jobs.run_available_now(
+        user_profiles(stream), str(tmp_path / "ckpt"), output_mode="update"
+    )
+    # keep the LAST emission per user (update mode emits one row per batch
+    # in which the user appears; lifetime counts only grow)
+    final: dict[int, tuple] = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["lifetime_events"] >= cur[0]:
+            final[r["user_id"]] = (
+                r["lifetime_events"],
+                r["lifetime_value"],
+                r["last_seen_us"],
+            )
+
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("v"),
+            F.unix_micros(F.max("ts")).alias("last_us"),
+        )
+        .collect()
+    )
+    want = {r["user_id"]: (r["n"], r["v"], r["last_us"]) for r in batch}
+    assert set(final) == set(want)
+    for uid, (n, v, last) in want.items():
+        gn, gv, glast = final[uid]
+        assert gn == n, uid
+        assert abs(gv - v) < 0.02, uid
+        assert glast == last, uid
