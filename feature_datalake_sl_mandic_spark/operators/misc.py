@@ -276,6 +276,32 @@ def text_tokenize_vectorized_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_not_in_null_aware",
+    oracle="""
+    SELECT c.c_custkey, c.c_nationkey
+    FROM customer c
+    WHERE c.c_nationkey NOT IN (SELECT s.s_nationkey FROM supplier s)
+    ORDER BY c.c_custkey
+    """,
+    tags=("join", "anti-join", "null-aware", "not-in-subquery"),
+)
+def join_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN subquery — three-valued-logic anti join (Catalyst plans a
+    null-aware anti join: one NULL in the subquery empties the result, unlike
+    NOT EXISTS). Expressed through the SQL surface to exercise that exact
+    planning path."""
+    load_tables(spark, sf_dir, names=["customer", "supplier"])
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_nationkey
+        FROM customer c
+        WHERE c.c_nationkey NOT IN (SELECT s.s_nationkey FROM supplier s)
+        ORDER BY c.c_custkey
+        """
+    )
+
+
+@register(
     "sample_stratified_orders",
     oracle=None,  # RNG differs across engines by design: rows-only check
     tags=("sampling", "approx"),

@@ -344,6 +344,171 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q4_order_priority_exists",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    tags=("join", "semi-join", "exists-subquery", "groupby-agg"),
+)
+def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order priority checking (TPC-H Q4 shape): EXISTS as a LEFT SEMI join
+    with an extra theta condition — lineitem contributes existence only."""
+    od, li = _t(spark, sf_dir, "orders", "lineitem")
+    filtered = od.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        filtered.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT
+      CAST(round(sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))
+                 ELSE CAST(0 AS DECIMAL(38,6)) END), 2) AS DOUBLE) AS promo_revenue,
+      CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE)
+        AS total_revenue,
+      round(CAST(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))
+                 ELSE CAST(0 AS DECIMAL(38,6)) END)
+            / sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)))
+            AS DOUBLE), 6) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+    tags=("join", "broadcast-join", "conditional-agg", "global-agg"),
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect (TPC-H Q14 shape): global conditional aggregate over
+    a fact⋈broadcast-dim join; DECIMAL accumulation keeps the ratio exact."""
+    li, pt = _t(spark, sf_dir, "lineitem", "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(38,6)")
+    )
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(F.sum(promo), 2).cast("double").alias("promo_revenue"),
+            F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+            F.round(
+                (F.lit(100.0) * F.sum(promo) / F.sum(rev)).cast("double"), 6
+            ).alias("promo_pct"),
+        )
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(o.o_totalprice, 2) AS totalprice,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    HAVING sum(l.l_quantity) > 150
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+    tags=("join", "groupby-agg", "having", "topk"),
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (TPC-H Q18 shape): HAVING over a grouped join
+    (post-aggregation filter — Catalyst runs it after the final aggregate,
+    so the shuffle still carries only partial sums)."""
+    cu, od, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), F.col("o_orderkey"))
+        .limit(50)
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle="""
+    SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_type = 'ECONOMY' AND l.l_discount < 0.03)
+    """,
+    tags=("join", "disjunctive-predicate", "global-agg"),
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue (TPC-H Q19 shape): OR-of-ANDs predicate across both
+    join sides — planned as a single join with a residual disjunction, not a
+    union of three joins."""
+    li, pt = _t(spark, sf_dir, "lineitem", "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | ((F.col("p_type") == "ECONOMY") & (F.col("l_discount") < 0.03))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    return (
+        li.join(F.broadcast(pt), F.col("p_partkey") == F.col("l_partkey"))
+        .where(cond)
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
     "topk_orders",
     oracle="""
     SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
