@@ -353,9 +353,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     an LSH bucket — see ann_lsh_bucketed): cosine in pure JVM higher-order
     functions over double-cast arrays, no UDF."""
     (em,) = _t(spark, sf_dir, "embeddings")
-    emd = em.withColumn("emb", F.col("embedding").cast("array<double>"))
-    a = emd.alias("a")
-    b = emd.alias("b")
 
     def dot(x: str, y: str) -> Column:
         return F.aggregate(
@@ -364,9 +361,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         )
 
-    cos = dot("a.emb", "b.emb") / (
-        F.sqrt(dot("a.emb", "a.emb")) * F.sqrt(dot("b.emb", "b.emb"))
+    # norm precomputed once per vector (not once per PAIR): 3x less HOF work
+    # in the pair join; identical arithmetic, so oracle parity is unchanged
+    emd = em.withColumn("emb", F.col("embedding").cast("array<double>")).withColumn(
+        "norm", F.sqrt(dot("emb", "emb"))
     )
+    a = emd.alias("a")
+    b = emd.alias("b")
+
+    cos = dot("a.emb", "b.emb") / (F.col("a.norm") * F.col("b.norm"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .where(cos >= COSINE_NEARDUP_THRESHOLD)

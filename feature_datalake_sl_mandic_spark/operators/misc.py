@@ -276,6 +276,46 @@ def text_tokenize_vectorized_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "maps_event_type_counts",
+    oracle="""
+    WITH per_type AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    m AS (
+      SELECT user_id,
+             map_from_entries(list_sort(list({'k': event_type, 'v': n}))) AS type_map
+      FROM per_type GROUP BY user_id
+    )
+    SELECT user_id,
+           coalesce(type_map['click'][1], 0)    AS clicks,
+           coalesce(type_map['purchase'][1], 0) AS purchases,
+           len(map_keys(type_map))              AS n_types
+    FROM m
+    ORDER BY user_id
+    """,
+    tags=("maps", "groupby-agg", "collect-list"),
+)
+def maps_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType construction + lookup: per-user event-type count map built
+    from sorted entries (sorted so map construction is order-deterministic),
+    scalar lookups out — the feature-map shape used in ML feature tables."""
+    (ev,) = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("type_map")
+    )
+    return m.select(
+        "user_id",
+        F.coalesce(F.element_at("type_map", "click"), F.lit(0)).alias("clicks"),
+        F.coalesce(F.element_at("type_map", "purchase"), F.lit(0)).alias("purchases"),
+        F.size(F.map_keys("type_map")).cast("bigint").alias("n_types"),
+    ).orderBy("user_id")
+
+
+@register(
     "join_not_in_null_aware",
     oracle="""
     SELECT c.c_custkey, c.c_nationkey

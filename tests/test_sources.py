@@ -1,0 +1,45 @@
+"""Source/sink format coverage: CSV and JSON round-trips preserve data
+(schema via explicit StructType — the production pattern; inference is for
+exploration only)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def test_csv_round_trip(spark, tmp_path):
+    src = spark.read.parquet(f"{SF_SMALL}/nation.parquet")
+    path = str(tmp_path / "nation_csv")
+    src.write.option("header", True).csv(path)
+    back = spark.read.schema(src.schema).option("header", True).csv(path)
+    assert sorted(back.collect()) == sorted(src.collect())
+
+
+def test_json_round_trip(spark, tmp_path):
+    src = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+    path = str(tmp_path / "customer_json")
+    src.write.json(path)
+    back = spark.read.schema(src.schema).json(path)
+    assert back.count() == src.count()
+    a = {r["c_custkey"]: r["c_acctbal"] for r in back.collect()}
+    b = {r["c_custkey"]: r["c_acctbal"] for r in src.collect()}
+    assert a == b
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    """Partition-column writes + partition pruning (the layout the history
+    table uses for its 30-day lookback)."""
+    from feature_datalake_sl_mandic_spark import plans
+
+    src = spark.read.parquet(f"{SF_SMALL}/orders.parquet").withColumn(
+        "year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    src.write.partitionBy("year").parquet(path)
+
+    df = spark.read.parquet(path).where(F.col("year") == 1996)
+    plan = plans.formatted_plan(df)
+    assert "PartitionFilters" in plan and "1996" in plan
+    assert df.count() == src.where(F.col("year") == 1996).count()
