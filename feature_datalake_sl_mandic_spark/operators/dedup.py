@@ -214,17 +214,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dc.createOrReplaceTempView("documents")
     sh = _spark_shingles(dc).cache()
 
+    # One aggregation produces the signature AND the shingle-set size: the
+    # size rides along instead of needing its own groupBy + two extra joins.
     sig = sh.groupBy("doc_id").agg(
-        *[F.min(_minhash_col(j)).alias(f"m{j}") for j in range(MINHASH_K)]
+        *[F.min(_minhash_col(j)).alias(f"m{j}") for j in range(MINHASH_K)],
+        F.count(F.lit(1)).alias("n"),
     )
-    bands = None
-    for b in range(LSH_BANDS):
-        piece = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat_ws("_", f"m{2*b}", f"m{2*b+1}").alias("sig"),
-        )
-        bands = piece if bands is None else bands.unionAll(piece)
+    # Banding via explode of a literal struct array: ONE pass over sig.
+    # (A unionAll of per-band selects would recompute the signature
+    # aggregation LSH_BANDS times — 4x the shuffle at 100 TB.)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws("_", f"m{2*b}", f"m{2*b+1}").alias("sig"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     ba, bb = bands.alias("a"), bands.alias("b")
     cand = (
         ba.join(
@@ -237,7 +249,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     x, y = sh.alias("x"), sh.alias("y")
     inter = (
         cand.alias("c")
@@ -252,11 +263,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col(f"siga.m{j}") == F.col(f"sigb.m{j}")).cast("int") for j in range(MINHASH_K)
     )
     n_inter = F.coalesce(F.col("n_inter"), F.lit(0))
-    jac = n_inter / (F.col("sa.n") + F.col("sb.n") - n_inter)
+    jac = n_inter / (F.col("siga.n") + F.col("sigb.n") - n_inter)
     return (
         cand.join(inter, ["doc_a", "doc_b"], "left")
-        .join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .join(siga, F.col("doc_a") == F.col("siga.doc_id"))
         .join(sigb, F.col("doc_b") == F.col("sigb.doc_id"))
         .where(jac >= JACCARD_THRESHOLD)
