@@ -245,3 +245,55 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_unpivot_nation_metrics",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk, count(*) AS n FROM customer GROUP BY 1),
+    sn AS (SELECT s_nationkey AS nk, count(*) AS n FROM supplier GROUP BY 1),
+    wide AS (
+      SELECT n.n_name AS nation,
+             CAST(coalesce(cn.n, 0) AS BIGINT) AS customers,
+             CAST(coalesce(sn.n, 0) AS BIGINT) AS suppliers
+      FROM nation n
+      LEFT JOIN cn ON cn.nk = n.n_nationkey
+      LEFT JOIN sn ON sn.nk = n.n_nationkey
+    )
+    SELECT nation, metric, value FROM (
+      SELECT nation, 'customers' AS metric, customers AS value FROM wide
+      UNION ALL
+      SELECT nation, 'suppliers' AS metric, suppliers AS value FROM wide
+    )
+    ORDER BY nation, metric
+    """,
+    tags=("unpivot", "stack", "groupby-agg", "set-ops"),
+)
+def agg_unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot via the ``stack`` generator: per-nation entity
+    counts computed once, then melted to (nation, metric, value) rows in a
+    single projection — the inverse of pivot, without re-scanning the wide
+    table once per metric as a UNION ALL plan would.
+
+    Each fact side pre-aggregates to one row per nation BEFORE the join:
+    joining raw customers x suppliers per nation first would fan out to their
+    cross product (the classic multi-fact trap at scale). The per-nation
+    counts then broadcast onto the 25-row nation dim."""
+    na, cu, su = _t(spark, sf_dir, "nation", "customer", "supplier")
+    cn = cu.groupBy(F.col("c_nationkey").alias("nk")).agg(F.count(F.lit(1)).alias("cn"))
+    sn = su.groupBy(F.col("s_nationkey").alias("nk")).agg(F.count(F.lit(1)).alias("sn"))
+    wide = (
+        na.join(cn, cn.nk == na.n_nationkey, "left")
+        .join(sn, sn.nk == na.n_nationkey, "left")
+        .select(
+            F.col("n_name").alias("nation"),
+            F.coalesce("cn", F.lit(0)).alias("customers"),
+            F.coalesce("sn", F.lit(0)).alias("suppliers"),
+        )
+    )
+    return wide.select(
+        "nation",
+        F.expr(
+            "stack(2, 'customers', customers, 'suppliers', suppliers)"
+        ).alias("metric", "value"),
+    ).orderBy("nation", "metric")

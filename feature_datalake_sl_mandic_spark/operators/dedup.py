@@ -390,3 +390,64 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+@register(
+    "dedup_levenshtein_blocked",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars // 32 AS len_bucket,
+             substr(text, 1, 60) AS head
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist,
+           round(1.0 - levenshtein(a.head, b.head)
+                 / greatest(len(a.head), len(b.head), 1), 6) AS similarity
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+         AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 20
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "near-dedup", "levenshtein", "blocked-join"),
+)
+def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup with blocking: candidate pairs come from an
+    equi-join on (lang, length-bucket) — never a cross join — and the O(m*n)
+    levenshtein only runs on 60-char prefixes of those candidates. Blocking
+    keys shuffle-partition the pair generation, so the quadratic term is per
+    bucket, not per corpus; the distance itself is the built-in JVM
+    ``levenshtein`` (no Python)."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    d = dc.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 32).cast("bigint").alias("len_bucket"),
+        F.substring("text", 1, 60).alias("head"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    lev = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(lev <= 20)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            lev.cast("bigint").alias("edit_dist"),
+            F.round(
+                1.0
+                - lev
+                / F.greatest(
+                    F.length("a.head"), F.length("b.head"), F.lit(1)
+                ),
+                6,
+            ).alias("similarity"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -206,3 +206,68 @@ def events_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_gapfill_resample",
+    oracle="""
+    WITH ev AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+                       value
+                FROM events),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM ev),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    daily AS (
+      SELECT event_type, d, count(*) AS n, round(avg(value), 6) AS avg_value
+      FROM ev GROUP BY 1, 2
+    )
+    SELECT t.event_type, s.d,
+           coalesce(dl.n, 0) AS n_events,
+           round(last_value(dl.avg_value IGNORE NULLS) OVER (
+               PARTITION BY t.event_type ORDER BY s.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS filled_avg
+    FROM types t CROSS JOIN spine s
+    LEFT JOIN daily dl ON dl.event_type = t.event_type AND dl.d = s.d
+    ORDER BY t.event_type, s.d
+    """,
+    tags=("events", "timeseries", "gap-fill", "resample", "window"),
+)
+def events_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar resampling with gap filling: a date spine (``sequence`` over
+    the observed min/max date, exploded) cross-joined with the event-type
+    dimension, left-joined to daily aggregates; missing days get count 0 and a
+    forward-filled average (``last`` with ignorenulls over an ordered frame).
+
+    Scale shape: the spine is tiny (days x types) and broadcasts; the only
+    big-data shuffle is the daily groupBy. The forward-fill window partitions
+    by type over the small grid, never over raw events."""
+    (ev,) = _t(spark, sf_dir, "events")
+    evd = ev.select("event_type", F.to_date("ts").alias("d"), "value")
+    bounds = evd.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    types = evd.select("event_type").distinct()
+    daily = evd.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        types.crossJoin(F.broadcast(spine))
+        .join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            "d",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.round(F.last("avg_value", ignorenulls=True).over(w), 6).alias(
+                "filled_avg"
+            ),
+        )
+        .orderBy("event_type", "d")
+    )

@@ -162,3 +162,35 @@ def scalar_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "etype_clean"
         ),
     ).orderBy("event_id")
+
+
+@register(
+    "arrays_posexplode_leading_tokens",
+    oracle="""
+    WITH parts AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    idx AS (SELECT unnest([1, 2, 3]) AS i)
+    SELECT p.doc_id,
+           CAST(x.i - 1 AS BIGINT) AS pos,
+           p.toks[x.i] AS token
+    FROM parts p JOIN idx x ON x.i <= len(p.toks)
+    ORDER BY p.doc_id, pos
+    """,
+    tags=("arrays", "explode", "lateral", "udtf"),
+)
+def arrays_posexplode_leading_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-generating function: ``posexplode`` (lateral-view style) flattens
+    each document's token array to (position, token) rows, keeping the first
+    three. The early positional filter lands right above the generator, so the
+    row explosion never exceeds 3x the input regardless of document length."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    return (
+        dc.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "token"),
+        )
+        .where(F.col("pos") < 3)
+        .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "token")
+        .orderBy("doc_id", "pos")
+    )

@@ -43,3 +43,11 @@ def test_partitioned_parquet_prunes(spark, tmp_path):
     plan = plans.formatted_plan(df)
     assert "PartitionFilters" in plan and "1996" in plan
     assert df.count() == src.where(F.col("year") == 1996).count()
+
+
+def test_orc_round_trip(spark, tmp_path):
+    src = spark.read.parquet(f"{SF_SMALL}/region.parquet")
+    path = str(tmp_path / "region_orc")
+    src.write.orc(path)
+    back = spark.read.schema(src.schema).orc(path)
+    assert sorted(back.collect()) == sorted(src.collect())
