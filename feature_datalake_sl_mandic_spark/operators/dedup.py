@@ -451,3 +451,106 @@ def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+CC_MAX_ITERS = 15
+
+
+@register(
+    "dedup_cluster_components",
+    oracle="""
+    WITH RECURSIVE h AS (
+      SELECT doc_id, md5(substr(text, 1, 80)) AS h1,
+             md5(substr(reverse(text), 1, 80)) AS h2
+      FROM documents
+    ),
+    e1 AS (SELECT a.doc_id AS u, b.doc_id AS v
+           FROM h a JOIN h b ON a.h1 = b.h1 AND a.doc_id < b.doc_id),
+    e2 AS (SELECT a.doc_id AS u, b.doc_id AS v
+           FROM h a JOIN h b ON a.h2 = b.h2 AND a.doc_id < b.doc_id),
+    edges AS (SELECT u, v FROM e1 UNION SELECT u, v FROM e2),
+    und AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+    reach(src, node) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN und e ON e.u = r.node
+    ),
+    lab AS (SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src)
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS BIGINT)
+             AS is_canonical
+    FROM lab
+    ORDER BY doc_id
+    """,
+    tags=("dedup", "connected-components", "iterative", "graph"),
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: connected components over a union of
+    pairwise-dup edge relations (here: shared 80-char prefix hash, shared
+    80-char suffix hash — A~B by prefix and B~C by suffix chain into one
+    cluster, which no single blocking key finds).
+
+    Implemented as iterative min-label propagation — the standard distributed
+    CC algorithm (GraphX/Pregel shape): each round is one equi-join + one
+    min-aggregate, labels converge in <= diameter rounds. The driver only
+    checks a 1-row convergence flag per round; labels stay distributed, and
+    ``localCheckpoint`` truncates the growing lineage each iteration (on a
+    cluster: ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()``).
+    The oracle replays the same fixpoint as a recursive CTE."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    h = dc.select(
+        "doc_id",
+        F.md5(F.substring("text", 1, 80)).alias("h1"),
+        F.md5(F.substring(F.reverse("text"), 1, 80)).alias("h2"),
+    )
+
+    def pairs(key: str) -> DataFrame:
+        a, b = h.alias("a"), h.alias("b")
+        return a.join(
+            b,
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+
+    edges = pairs("h1").unionByName(pairs("h2")).distinct()
+    und = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+
+    labels = dc.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+    ).localCheckpoint()
+    for _ in range(CC_MAX_ITERS):
+        prop = und.join(labels, und.u == F.col("node")).select(
+            F.col("v").alias("node"), "label"
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "is_canonical",
+            (F.col("doc_id") == F.col("cluster_id")).cast("bigint"),
+        )
+        .orderBy("doc_id")
+    )

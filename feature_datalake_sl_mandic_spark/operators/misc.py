@@ -359,3 +359,72 @@ def sample_stratified_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sampled"))
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "groupmap_user_value_trend",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(regr_slope(value, rn), 6) AS trend_slope,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0 / count(*), 6)
+             AS avg_value
+    FROM seq GROUP BY user_id HAVING count(*) >= 2
+    ORDER BY user_id
+    """,
+    tags=("pandas-udf", "group-map", "applyInPandas", "statistics"),
+)
+def groupmap_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group model fit via ``applyInPandas`` (Arrow group-map): OLS slope
+    of event value over the user's event sequence — the per-entity-regression
+    shape (trend features, drift detection) that built-in SQL aggregates
+    can't express once the model gets any richer than regr_slope.
+
+    Scale: one shuffle on user_id; each group materializes as ONE pandas
+    frame, so the constraint is max-group-size (bounded here by per-user event
+    counts), not partition size. Regressing on the sequence index keeps the
+    arithmetic scale-free so the oracle comparison is stable at 6 decimals."""
+    import numpy as np
+
+    (ev,) = _t(spark, sf_dir, "events")
+
+    def r6(x: float) -> float:
+        # half-away-from-zero to 6 places: Python's round() is banker's
+        # rounding, which disagrees with Spark/DuckDB ROUND on .5 boundaries
+        return float(np.floor(abs(x) * 1e6 + 0.5) / 1e6 * (1 if x >= 0 else -1))
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        y = pdf["value"].to_numpy(dtype="float64")
+        x = np.arange(1, len(y) + 1, dtype="float64")
+        xc, yc = x - x.mean(), y - y.mean()
+        slope = float((xc * yc).sum() / (xc * xc).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(y)],
+                "trend_slope": [r6(slope)],
+                # value is 2-decimal: x100 is an exact int64, so the sum is
+                # order-independent and the double division matches the oracle
+                "avg_value": [
+                    r6(float(np.round(y * 100).astype("int64").sum()) / 100.0 / len(y))
+                ],
+            }
+        )
+
+    return (
+        ev.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            fit,
+            schema="user_id bigint, n_events bigint, trend_slope double, avg_value double",
+        )
+        .where(F.col("n_events") >= 2)
+        .orderBy("user_id")
+    )
