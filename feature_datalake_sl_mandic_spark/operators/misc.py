@@ -428,3 +428,36 @@ def groupmap_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_events") >= 2)
         .orderBy("user_id")
     )
+
+
+_Q22_SQL = """
+    SELECT c.c_nationkey AS cntry,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c.c_nationkey IN (1, 3, 5, 7, 9)
+      AND c.c_acctbal > (
+        SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        FROM customer c2
+        WHERE c2.c_acctbal > 0.0 AND c2.c_nationkey IN (1, 3, 5, 7, 9)
+      )
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    ORDER BY cntry
+"""
+
+
+@register(
+    "q22_inactive_high_balance",
+    oracle=_Q22_SQL,
+    tags=("sql-surface", "not-exists", "anti-join", "subquery", "groupby-agg"),
+)
+def q22_inactive_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted to the fixture schema: nation-key set instead
+    of phone prefixes) run ENTIRELY through the SQL surface — the same query
+    text executes on Spark and on the DuckDB oracle, proving the ANSI-SQL
+    entry point, scalar subquery decorrelation, and NOT EXISTS -> anti-join
+    planning. The average is computed as exact-decimal sum / count so the
+    comparison threshold is bit-identical across engines."""
+    load_tables(spark, sf_dir, names=["customer", "orders"])
+    return spark.sql(_Q22_SQL)

@@ -73,3 +73,31 @@ def test_session_aggregates_matches_batch_operator(spark, events_dir, tmp_path):
     batch = events_session_window_builtin(spark, SF_SMALL).collect()
     want = {(r["user_id"], r["start_us"], r["end_us"]): r["n_events"] for r in batch}
     assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
+    ev = jobs.read_events_stream(spark, events_dir)
+    joined = jobs.click_purchase_attribution(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+    )
+    rows = jobs.run_available_now(joined, str(tmp_path / "ckpt_ssj"))
+    got = sorted((r["user_id"], r["purchase_id"], r["click_id"]) for r in rows)
+
+    b = spark.read.parquet(events_dir)
+    c = b.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = b.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), F.col("event_id").alias("purchase_id")
+    )
+    batch = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour")),
+    ).collect()
+    want = sorted((r["user_id"], r["purchase_id"], r["click_id"]) for r in batch)
+    assert got == want and len(got) > 0
