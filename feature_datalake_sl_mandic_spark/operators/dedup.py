@@ -361,14 +361,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via blocked pair join (block key = label; at scale,
     an LSH bucket — see ann_lsh_bucketed): cosine in pure JVM higher-order
     functions over double-cast arrays, no UDF."""
-    (em,) = _t(spark, sf_dir, "embeddings")
+    from feature_datalake_sl_mandic_spark.operators.similarity import _dot as dot
 
-    def dot(x: str, y: str) -> Column:
-        return F.aggregate(
-            F.zip_with(F.col(x), F.col(y), lambda p, q: p * q),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    (em,) = _t(spark, sf_dir, "embeddings")
 
     # norm precomputed once per vector (not once per PAIR): 3x less HOF work
     # in the pair join; identical arithmetic, so oracle parity is unchanged
@@ -541,6 +536,11 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {CC_MAX_ITERS} rounds "
+            "(graph diameter exceeds the iteration cap; raise CC_MAX_ITERS)"
+        )
 
     w = Window.partitionBy("cluster_id")
     return (

@@ -224,7 +224,7 @@ def events_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
       SELECT event_type, d, count(*) AS n, round(avg(value), 6) AS avg_value
       FROM ev GROUP BY 1, 2
     )
-    SELECT t.event_type, s.d,
+    SELECT t.event_type, strftime(s.d, '%Y-%m-%d') AS day,
            coalesce(dl.n, 0) AS n_events,
            round(last_value(dl.avg_value IGNORE NULLS) OVER (
                PARTITION BY t.event_type ORDER BY s.d
@@ -232,7 +232,7 @@ def events_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
              AS filled_avg
     FROM types t CROSS JOIN spine s
     LEFT JOIN daily dl ON dl.event_type = t.event_type AND dl.d = s.d
-    ORDER BY t.event_type, s.d
+    ORDER BY t.event_type, day
     """,
     tags=("events", "timeseries", "gap-fill", "resample", "window"),
 )
@@ -263,11 +263,13 @@ def events_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(daily, ["event_type", "d"], "left")
         .select(
             "event_type",
-            "d",
+            # ISO string, not DATE: date dtypes canonicalize differently
+            # across engines (object vs datetime64) in the driver's hash
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
             F.coalesce("n", F.lit(0)).alias("n_events"),
             F.round(F.last("avg_value", ignorenulls=True).over(w), 6).alias(
                 "filled_avg"
             ),
         )
-        .orderBy("event_type", "d")
+        .orderBy("event_type", "day")
     )

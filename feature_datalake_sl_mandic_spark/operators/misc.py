@@ -399,7 +399,11 @@ def groupmap_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         # rounding, which disagrees with Spark/DuckDB ROUND on .5 boundaries
         return float(np.floor(abs(x) * 1e6 + 0.5) / 1e6 * (1 if x >= 0 else -1))
 
+    out_cols = ["user_id", "n_events", "trend_slope", "avg_value"]
+
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:  # slope undefined: skip the 0/0 fit entirely
+            return pd.DataFrame(columns=out_cols)
         pdf = pdf.sort_values(["ts", "event_id"])
         y = pdf["value"].to_numpy(dtype="float64")
         x = np.arange(1, len(y) + 1, dtype="float64")
