@@ -129,6 +129,42 @@ def extract_features(media: DataFrame, frame_stride: int = 3) -> DataFrame:
     return media.mapInPandas(batches, schema=FEATURES_SCHEMA)
 
 
+def resize_media(media: DataFrame, max_dim: int = 16) -> DataFrame:
+    """Resize plumbing via ``mapInPandas``: payloads whose decoded dims exceed
+    ``max_dim`` are rewritten with scaled-down header dims (STUB: a real
+    implementation resamples pixels with PIL/vips behind this exact
+    signature). Output schema == input schema, so resize composes with any
+    downstream decode stage; the meta struct is updated in the same pass so
+    metadata pruning stays truthful after resize."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            def shrink(row):
+                d = decode_image_stub(row["payload"])
+                w, h = d["width"], d["height"]
+                scale = max(w, h) / max_dim
+                if scale <= 1.0:
+                    return row["payload"], row["meta"]
+                nw, nh = max(int(w / scale), 1), max(int(h / scale), 1)
+                body = row["payload"][struct.calcsize("<4sBIII"):]
+                payload = struct.pack("<4sBIII", _MAGIC, d["kind"], nw, nh, d["n_frames"]) + body
+                meta = dict(row["meta"])
+                meta["width"], meta["height"] = nw, nh
+                return payload, meta
+
+            out = pdf.apply(shrink, axis=1, result_type="expand")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": out[0],
+                    "meta": out[1],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 def filter_before_decode(media: DataFrame, kind: str = "image") -> DataFrame:
     """Metadata-first filtering: prune on the typed struct column so the
     Python decode path only ever sees surviving rows."""

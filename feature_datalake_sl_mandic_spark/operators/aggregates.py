@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from feature_datalake_sl_mandic_spark.catalog import load_tables
 from feature_datalake_sl_mandic_spark.operators.relational import _t
@@ -297,3 +298,49 @@ def agg_unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stack(2, 'customers', customers, 'suppliers', suppliers)"
         ).alias("metric", "value"),
     ).orderBy("nation", "metric")
+
+
+HIST_LO, HIST_HI, HIST_BUCKETS = 0.0, 600000.0, 12
+
+
+@register(
+    "agg_histogram_order_value",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(least(floor((o_totalprice - {HIST_LO})
+                        / (({HIST_HI} - {HIST_LO}) / {HIST_BUCKETS})),
+                   {HIST_BUCKETS - 1}) AS BIGINT) AS bucket
+      FROM orders
+    )
+    SELECT bucket,
+           round(bucket * (({HIST_HI} - {HIST_LO}) / {HIST_BUCKETS}), 2) AS lo_edge,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 100.0 / sum(count(*)) OVER (), 4) AS pct
+    FROM b GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("groupby-agg", "histogram", "bucketing"),
+)
+def agg_histogram_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bound equi-width histogram: bucket index from identical floor
+    arithmetic on both engines (portable width_bucket), share-of-total via a
+    window over the aggregate. One partial-aggregated shuffle of bucket ids —
+    the profiling primitive that stays O(buckets) at any corpus size."""
+    (od,) = _t(spark, sf_dir, "orders")
+    step = (HIST_HI - HIST_LO) / HIST_BUCKETS
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - HIST_LO) / step),
+        F.lit(HIST_BUCKETS - 1),
+    ).cast("bigint")
+    return (
+        od.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            F.round(F.col("bucket") * step, 2).alias("lo_edge"),
+            "n",
+            F.round(F.col("n") * 100.0 / F.sum("n").over(Window.partitionBy()), 4).alias("pct"),
+        )
+        .orderBy("bucket")
+    )

@@ -59,6 +59,24 @@ def _spark_shingles(dc: DataFrame) -> DataFrame:
     return dc.select("doc_id", F.explode(shingles).alias("s"))
 
 
+def shingles_with_df_cap(dc: DataFrame, max_df: int) -> DataFrame:
+    """Shingles with a document-frequency cap: shingles appearing in more
+    than ``max_df`` documents are dropped before candidate generation. This
+    is the 100 TB guard for the inverted-index join — a boilerplate shingle
+    shared by 1M docs would otherwise contribute 10^12 candidate pairs on
+    its own. Near-dup semantics survive because ultra-common shingles carry
+    no discriminating signal. One extra partial-aggregated shuffle (shingle
+    df counts) + a left-semi join that only moves shingle keys."""
+    sh = _spark_shingles(dc)
+    keep = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("s")
+    )
+    return sh.join(keep, "s", "left_semi")
+
+
 def _minhash_col(seed: int, col: str = "s") -> Column:
     """Deterministic 60-bit hash_j(shingle) = int(md5(j ':' s)[:15], 16).
     md5 is identical across Spark and DuckDB, making MinHash oracle-checkable."""

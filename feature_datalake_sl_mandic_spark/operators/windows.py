@@ -124,3 +124,43 @@ def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("o_totalprice").over(w_mov), 4).alias("moving_avg_3"),
         F.count(F.lit(1)).over(w_all).alias("cust_orders"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "window_first_last_nth_order",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           strftime(first_value(o_orderdate) OVER w, '%Y-%m-%d') AS first_day,
+           strftime(last_value(o_orderdate)  OVER w, '%Y-%m-%d') AS last_day,
+           strftime(nth_value(o_orderdate, 2) OVER w, '%Y-%m-%d') AS second_day,
+           count(*) OVER (PARTITION BY o_custkey) AS n_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey
+    """,
+    tags=("window", "first-last-nth", "frame"),
+)
+def window_first_last_nth_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-position window functions (first_value/last_value/nth_value)
+    over an unbounded frame: each customer's first, last, and second order
+    day in one windowed pass + DISTINCT — no self-joins, no argmin subquery.
+    Dates emitted as ISO strings (cross-engine dtype discipline)."""
+    (od,) = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    day = lambda c: F.date_format(c, "yyyy-MM-dd")  # noqa: E731
+    return (
+        od.select(
+            "o_custkey",
+            day(F.first("o_orderdate").over(w)).alias("first_day"),
+            day(F.last("o_orderdate").over(w)).alias("last_day"),
+            day(F.nth_value("o_orderdate", 2).over(w)).alias("second_day"),
+            F.count(F.lit(1)).over(Window.partitionBy("o_custkey")).alias("n_orders"),
+        )
+        .distinct()
+        .orderBy("o_custkey")
+    )

@@ -43,3 +43,24 @@ def test_stratified_sample_rates(spark):
             continue  # too small for a rate assertion
         rate = got.get(status, 0) / totals[status]
         assert abs(rate - frac) < 0.12, (status, rate)
+
+
+def test_shingle_df_cap(spark):
+    """DF-capped shingles: subset of uncapped, and every survivor's document
+    frequency is within the cap (the 100 TB pair-blowup guard)."""
+    from feature_datalake_sl_mandic_spark.catalog import load_table
+    from feature_datalake_sl_mandic_spark.operators import dedup
+    from tests.conftest import SF_SMALL
+
+    dc = load_table(spark, SF_SMALL, "documents")
+    full = dedup._spark_shingles(dc)
+    capped = dedup.shingles_with_df_cap(dc, max_df=3)
+
+    full_set = {(r["doc_id"], r["s"]) for r in full.collect()}
+    capped_rows = capped.collect()
+    assert {(r["doc_id"], r["s"]) for r in capped_rows} <= full_set
+    assert len(capped_rows) < len(full_set)  # the cap actually bites
+
+    from collections import Counter
+    df_counts = Counter(r["s"] for r in full.collect())
+    assert all(df_counts[r["s"]] <= 3 for r in capped_rows)

@@ -52,3 +52,17 @@ def test_filter_before_decode_prunes(media_df):
 def test_stub_raises_on_real_media(media_df):
     with pytest.raises(NotImplementedError):
         media.decode_image_stub(b"\x89PNG\r\n\x1a\n" + bytes(32))
+
+
+def test_resize_media_schema_and_dims(spark):
+    from feature_datalake_sl_mandic_spark.multimodal import media as mm
+
+    src = mm.make_synthetic_media(spark, n=32, partitions=2)
+    resized = mm.resize_media(src, max_dim=16)
+    assert resized.schema == src.schema  # composes with downstream decode
+    feats = mm.extract_features(resized).collect()
+    assert len(feats) == 32
+    assert all(max(r["decoded_width"], r["decoded_height"]) <= 16 for r in feats)
+    # meta struct updated in the same pass: pruning stays truthful
+    metas = resized.select("meta.width", "meta.height").collect()
+    assert all(max(r["width"], r["height"]) <= 16 for r in metas)
