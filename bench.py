@@ -55,13 +55,19 @@ def main() -> None:
     warm = "q3_shipping_priority" if "q3_shipping_priority" in specs else names[0]
     specs[warm].fn(spark, sf_dir).count()
 
+    # Best-of-2 per query: co-tenant machine load adds 50-100% run-to-run
+    # noise; the min of two runs measures the engine, not the neighbors.
+    N_RUNS = 2
     times: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        df = specs[name].fn(spark, sf_dir)
-        n = df.count()  # force full execution
-        times[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+    for run in range(N_RUNS):
+        for name in names:
+            t0 = time.perf_counter()
+            df = specs[name].fn(spark, sf_dir)
+            n = df.count()  # force full execution
+            t = round(time.perf_counter() - t0, 4)
+            times[name] = min(times.get(name, t), t)
+            if run == N_RUNS - 1:
+                print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(times.values()), 4)
     print(
@@ -71,6 +77,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "runs_per_query": N_RUNS,
+                "agg": "min",
                 "sf": sf,
             }
         )

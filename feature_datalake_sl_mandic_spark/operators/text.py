@@ -196,3 +196,99 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fingerprint"),
         F.length("text").cast("bigint").alias("n_chars_actual"),
     ).orderBy("doc_id")
+
+
+QUALITY_THRESHOLD = 0.55
+
+
+@register(
+    "corpus_clean_pipeline",
+    oracle=f"""
+    WITH canon AS (
+      SELECT doc_id, text, lang, source,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, lang, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_unique,
+             len(list_filter(string_split(text, ' '),
+                             w -> w IN ('the', 'a', 'of', 'and', 'in'))) AS n_stop,
+             {_marker_sql('en')} AS s_en,
+             {_marker_sql('es')} AS s_es,
+             {_marker_sql('fr')} AS s_fr,
+             {_marker_sql('de')} AS s_de,
+             {_marker_sql('zh')} AS s_zh
+      FROM canon WHERE rn = 1
+    ),
+    scored AS (
+      SELECT doc_id, lang, source, n_tokens,
+             round( least(n_tokens / 50.0, 1.0) * 0.4
+                  + (n_unique * 1.0 / n_tokens) * 0.4
+                  + least(n_stop * 4.0 / n_tokens, 1.0) * 0.2, 4) AS quality,
+             CASE greatest(s_en, s_es, s_fr, s_de, s_zh)
+               WHEN s_en THEN 'en' WHEN s_es THEN 'es' WHEN s_fr THEN 'fr'
+               WHEN s_de THEN 'de' ELSE 'zh' END AS lang_pred
+      FROM feats
+    )
+    SELECT doc_id, lang, source, n_tokens, quality
+    FROM scored
+    WHERE quality >= {QUALITY_THRESHOLD} AND lang_pred = lang
+    ORDER BY doc_id
+    """,
+    tags=("text", "pipeline", "dedup", "quality-score", "language-id"),
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus cleaning pass, composed from the
+    individual operators: exact dedup (keep lowest doc_id per content hash)
+    -> quality threshold -> language agreement (heuristic prediction must
+    match the label, dropping mislabeled docs). One window pass + one
+    projection — the filters fuse into a single scan stage after the dedup
+    shuffle, which is the plan a 100 TB cleaning job wants: content moves
+    through exactly one hash-partitioned exchange."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    )
+    canon = dc.withColumn("rn", rn).where(F.col("rn") == 1)
+
+    toks = F.split("text", " ")
+    stop = ["the", "a", "of", "and", "in"]
+
+    def score(lang: str):
+        markers = list(LANG_MARKERS[lang])
+        return F.size(F.filter(toks, lambda w: w.isin(markers))).alias(f"s_{lang}")
+
+    feats = canon.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.size(F.filter(toks, lambda w: w.isin(stop))).alias("n_stop"),
+        score("en"), score("es"), score("fr"), score("de"), score("zh"),
+    )
+    quality = F.round(
+        F.least(F.col("n_tokens") / 50.0, F.lit(1.0)) * 0.4
+        + (F.col("n_unique") / F.col("n_tokens")) * 0.4
+        + F.least(F.col("n_stop") * 4.0 / F.col("n_tokens"), F.lit(1.0)) * 0.2,
+        4,
+    )
+    best = F.greatest("s_en", "s_es", "s_fr", "s_de", "s_zh")
+    pred = (
+        F.when(F.col("s_en") == best, "en")
+        .when(F.col("s_es") == best, "es")
+        .when(F.col("s_fr") == best, "fr")
+        .when(F.col("s_de") == best, "de")
+        .otherwise("zh")
+    )
+    return (
+        feats.withColumn("quality", quality)
+        .withColumn("lang_pred", pred)
+        .where((F.col("quality") >= QUALITY_THRESHOLD) & (F.col("lang_pred") == F.col("lang")))
+        .select("doc_id", "lang", "source", "n_tokens", "quality")
+        .orderBy("doc_id")
+    )

@@ -164,3 +164,37 @@ def run_available_now(
     )
     q.awaitTermination(300)
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}").collect()
+
+
+def upsert_foreach_batch(
+    stream_df: DataFrame, target_dir: str, checkpoint: str, key: str = "event_id"
+) -> None:
+    """Streaming upsert sink via ``foreachBatch``: each micro-batch merges
+    into the parquet target on ``key`` (new rows win). foreachBatch is the
+    sanctioned escape hatch for sinks with no native streaming writer; with
+    the checkpoint, Spark retries a failed batch with the same batch_id and
+    the merge is idempotent, giving effectively-once output.
+
+    Parquet has no MERGE, so the merge is read -> anti-join -> union ->
+    materialize (``localCheckpoint`` breaks the read-modify-write cycle on
+    the same path) -> overwrite. On Delta/Iceberg, replace the body with
+    ``MERGE INTO`` and drop the materialization."""
+    from pyspark.errors import AnalysisException
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates([key])
+        try:
+            existing = spark.read.parquet(target_dir)
+            merged = existing.join(batch, key, "left_anti").unionByName(batch)
+        except AnalysisException:  # first batch: target doesn't exist yet
+            merged = batch
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)

@@ -101,3 +101,18 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
     ).collect()
     want = sorted((r["user_id"], r["purchase_id"], r["click_id"]) for r in batch)
     assert got == want and len(got) > 0
+
+
+def test_foreach_batch_upsert(spark, events_dir, tmp_path):
+    dup_dir = str(tmp_path / "dup_src")
+    df = spark.read.parquet(events_dir)
+    df.write.mode("overwrite").parquet(dup_dir)
+    df.write.mode("append").parquet(dup_dir)  # duplicates across files
+
+    stream = jobs.read_events_stream(spark, dup_dir, max_files_per_trigger=1)
+    target = str(tmp_path / "upsert_target")
+    jobs.upsert_foreach_batch(stream, target, str(tmp_path / "ckpt_ufb"))
+
+    out = spark.read.parquet(target)
+    assert out.count() == df.count()  # dupes merged away across micro-batches
+    assert out.select("event_id").distinct().count() == df.count()
