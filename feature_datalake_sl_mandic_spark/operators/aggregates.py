@@ -209,7 +209,7 @@ def agg_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     od, cu, na = _t(spark, sf_dir, "orders", "customer", "nation")
     st = F.col("o_orderstatus")
     return (
-        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        od.join(cu, od.o_custkey == cu.c_custkey)
         .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(

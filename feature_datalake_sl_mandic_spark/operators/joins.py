@@ -44,7 +44,7 @@ def join_broadcast_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     before aggregation."""
     od, cu, na = _t(spark, sf_dir, "orders", "customer", "nation")
     return (
-        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        od.join(cu, od.o_custkey == cu.c_custkey)
         .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.col("o_orderpriority").alias("priority"))
         .agg(

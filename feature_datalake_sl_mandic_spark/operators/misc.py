@@ -124,7 +124,7 @@ def agg_argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame
     """max_by/min_by (arg-max) — top-1-per-group without a window sort."""
     od, cu = _t(spark, sf_dir, "orders", "customer")
     return (
-        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        od.join(cu, od.o_custkey == cu.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.max_by("o_orderkey", "o_totalprice").alias("top_orderkey"),
@@ -155,7 +155,7 @@ def pivot_status_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan single-pass and schema-stable — no distinct-scan of the pivot col)."""
     od, cu, na = _t(spark, sf_dir, "orders", "customer", "nation")
     out = (
-        od.join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        od.join(cu, od.o_custkey == cu.c_custkey)
         .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .pivot("o_orderstatus", ["O", "F", "P"])

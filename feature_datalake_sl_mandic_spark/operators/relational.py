@@ -127,7 +127,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(cu.where(F.col("c_mktsegment") == "BUILDING")),
+            cu.where(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -191,9 +191,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(su),
+            su,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -260,9 +260,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(su, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .where(F.col("supp_nation") != F.col("cust_nation"))
@@ -316,7 +316,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"), "c_acctbal")
         .agg(
@@ -413,7 +413,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
         )
-        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pt, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(F.sum(promo), 2).cast("double").alias("promo_revenue"),
             F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
@@ -448,7 +448,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu, od, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
     return (
         li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
         .where(F.col("total_qty") > 150)
@@ -499,7 +499,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
     return (
-        li.join(F.broadcast(pt), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(pt, F.col("p_partkey") == F.col("l_partkey"))
         .where(cond)
         .agg(
             F.round(F.sum(rev), 2).cast("double").alias("revenue"),
