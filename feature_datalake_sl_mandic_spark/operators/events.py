@@ -273,3 +273,60 @@ def events_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "events_time_rollup",
+    oracle="""
+    WITH e AS (
+      SELECT year(CAST(ts AS TIMESTAMP))  AS y,
+             month(CAST(ts AS TIMESTAMP)) AS m,
+             day(CAST(ts AS TIMESTAMP))   AS d,
+             value
+      FROM events
+    )
+    SELECT CAST(coalesce(y, -1) AS BIGINT) AS y,
+           CAST(coalesce(m, -1) AS BIGINT) AS m,
+           CAST(coalesce(d, -1) AS BIGINT) AS d,
+           CAST(grouping(y) AS BIGINT) AS gy,
+           CAST(grouping(m) AS BIGINT) AS gm,
+           CAST(grouping(d) AS BIGINT) AS gd,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM e
+    GROUP BY ROLLUP (y, m, d)
+    ORDER BY gy, gm, gd, y, m, d
+    """,
+    tags=("events", "timeseries", "rollup", "hypertable", "groupby-agg"),
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy rollup (day -> month -> year -> total in ONE pass) —
+    the hypertable continuous-aggregate shape: every granularity of the
+    dashboard materializes from a single partial-aggregated shuffle instead
+    of one query per grain. Value sums go through DECIMAL(18,2) so the
+    4-level re-aggregation is order-independent and bit-exact across
+    engines."""
+    (ev,) = _t(spark, sf_dir, "events")
+    e = ev.select(
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        "value",
+    )
+    return (
+        e.rollup("y", "m", "d")
+        .agg(
+            F.grouping("y").cast("bigint").alias("gy"),
+            F.grouping("m").cast("bigint").alias("gm"),
+            F.grouping("d").cast("bigint").alias("gd"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.coalesce("y", F.lit(-1)).cast("bigint").alias("y"),
+            F.coalesce("m", F.lit(-1)).cast("bigint").alias("m"),
+            F.coalesce("d", F.lit(-1)).cast("bigint").alias("d"),
+            "gy", "gm", "gd", "n", "total_value",
+        )
+        .orderBy("gy", "gm", "gd", "y", "m", "d")
+    )

@@ -164,3 +164,57 @@ def window_first_last_nth_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "window_range_frame_moving_avg",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev,
+             count(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(rev AS DOUBLE) AS day_revenue,
+           round(CAST(sum(rev) OVER w AS DOUBLE)
+                 / sum(n) OVER w, 6) AS avg_per_event_7d,
+           CAST(sum(n) OVER w AS BIGINT) AS events_7d
+    FROM daily
+    WINDOW w AS (ORDER BY d RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                                      AND CURRENT ROW)
+    ORDER BY day
+    """,
+    tags=("window", "range-frame", "timeseries", "moving-average"),
+)
+def window_range_frame_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: 7-day trailing aggregates over daily revenue
+    — the frame is defined by a VALUE interval, not a row count, so gaps in
+    the calendar shrink the window instead of silently reaching further back
+    (the bug row-frames have on sparse time series). Sums stay DECIMAL inside
+    the frame so re-aggregation order cannot drift between engines; one
+    shuffle for the daily rollup, one global ordered pass for the frame (at
+    scale: partition the frame by entity key)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # rangeBetween needs an orderable numeric: days since epoch
+    w = (
+        Window.orderBy(F.datediff("d", F.lit("1970-01-01")))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return (
+        daily.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("rev").cast("double").alias("day_revenue"),
+            F.round(
+                F.sum("rev").over(w).cast("double") / F.sum("n").over(w), 6
+            ).alias("avg_per_event_7d"),
+            F.sum("n").over(w).cast("bigint").alias("events_7d"),
+        )
+        .orderBy("day")
+    )
