@@ -330,3 +330,43 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gy", "gm", "gd", "y", "m", "d")
     )
+
+
+@register(
+    "events_salted_user_totals",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY n_events DESC, user_id
+    LIMIT 20
+    """,
+    tags=("events", "skew", "salted-agg", "groupby-agg", "topk"),
+)
+def events_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe per-user totals via explicit two-phase salted aggregation:
+    phase 1 aggregates on (user_id, salt) so a hot user spreads over 16
+    reducers, phase 2 merges the partials. The result is identical to a
+    plain groupBy (the oracle IS the plain groupBy) — salting changes the
+    shuffle layout, never the answer. Complements AQE skew handling for the
+    agg case AQE doesn't cover (AQE splits skewed JOIN partitions, not
+    aggregation keys)."""
+    from feature_datalake_sl_mandic_spark.functions.skew import salted_aggregate
+
+    (ev,) = _t(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev,
+        group_cols=["user_id"],
+        aggs=lambda: [
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("pv"),
+        ],
+        merge=lambda g: g.agg(
+            F.sum("pn").alias("n_events"),
+            F.sum("pv").cast("double").alias("total_value"),
+        ),
+        unique_cols=["event_id"],
+    )
+    return out.orderBy(F.col("n_events").desc(), "user_id").limit(20)

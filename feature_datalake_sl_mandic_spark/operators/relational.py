@@ -551,3 +551,44 @@ def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = cust_n.intersect(supp_n).withColumn("src", F.lit("both"))
     cust_only = cust_n.exceptAll(supp_n).withColumn("src", F.lit("cust_only"))
     return both.unionAll(cust_only).select("nationkey", "src").orderBy("src", "nationkey")
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(round(CAST(sum(CAST(l_extendedprice * l_discount
+                                    AS DECIMAL(38,6))) AS DECIMAL(38,6)), 2)
+                AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("scan", "filter", "global-agg", "pushdown"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter + global aggregate, zero joins — the pushdown
+    showcase. All four predicates reach the parquet scan as PushedFilters and
+    the ReadSchema is 4 columns of 11, so at 100 TB the job reads only the
+    row groups whose min/max stats survive the date range. Revenue goes
+    through DECIMAL(38,6) per the engine-parity discipline (2-decimal price x
+    discount products are exact there, so the global sum is
+    order-independent)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(38,6)"))
+            .cast("decimal(38,6)"),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

@@ -52,3 +52,16 @@ def test_star_agg_single_fact_pass(spark):
     # orders must be scanned exactly once (conditional agg, not 4 sub-queries)
     assert plan.count("orders.parquet") <= 1 or plan.count("Scan parquet") <= 3
     assert plans.count_broadcast_joins(df) >= 2
+
+
+def test_q6_full_pushdown_and_pruning(spark):
+    from feature_datalake_sl_mandic_spark.operators.relational import q6_forecast_revenue
+
+    df = q6_forecast_revenue(spark, SF_SMALL)
+    plan = plans.formatted_plan(df)
+    # all four predicates reach the scan
+    for frag in ("l_shipdate,1996-01-01", "l_discount,0.05", "l_quantity,24"):
+        assert frag in plan, frag
+    # 4 of lineitem's 11 columns read
+    [schema] = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert "l_orderkey" not in schema and "l_comment" not in schema
