@@ -51,3 +51,34 @@ def test_orc_round_trip(spark, tmp_path):
     src.write.orc(path)
     back = spark.read.schema(src.schema).orc(path)
     assert sorted(back.collect()) == sorted(src.collect())
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Bucketed saveAsTable on the join key: the sort-merge join over two
+    co-bucketed tables needs NO Exchange — the 100 TB co-located-join path
+    (bucket pruning + shuffle-free joins for repeated fact-fact joins)."""
+    import uuid
+
+    from feature_datalake_sl_mandic_spark import plans
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        suffix = uuid.uuid4().hex[:8]
+        od = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+        li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+        for name, df, key in ((f"od_b_{suffix}", od, "o_orderkey"), (f"li_b_{suffix}", li, "l_orderkey")):
+            df.write.bucketBy(8, key).sortBy(key).mode("overwrite").saveAsTable(name)
+
+        j = spark.table(f"od_b_{suffix}").join(
+            spark.table(f"li_b_{suffix}"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = plans.formatted_plan(j)
+        assert "SortMergeJoin" in plan
+        # no shuffle on either side: bucketing pre-partitioned both tables
+        assert "Exchange hashpartitioning" not in plan
+        assert j.count() == li.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for t in (f"od_b_{suffix}", f"li_b_{suffix}"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

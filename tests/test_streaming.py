@@ -116,3 +116,21 @@ def test_foreach_batch_upsert(spark, events_dir, tmp_path):
     out = spark.read.parquet(target)
     assert out.count() == df.count()  # dupes merged away across micro-batches
     assert out.select("event_id").distinct().count() == df.count()
+
+
+def test_checkpoint_restart_is_idempotent(spark, events_dir, tmp_path):
+    """Re-running an availableNow stream against the SAME checkpoint
+    processes nothing new: offsets are durable, so restart never reprocesses
+    (the exactly-once story for the batch-backfill path)."""
+    target = str(tmp_path / "restart_target")
+    ckpt = str(tmp_path / "ckpt_restart")
+
+    stream = jobs.read_events_stream(spark, events_dir)
+    jobs.upsert_foreach_batch(stream, target, ckpt)
+    n1 = spark.read.parquet(target).count()
+
+    # second run, same checkpoint, same source: no new files -> no change
+    stream2 = jobs.read_events_stream(spark, events_dir)
+    jobs.upsert_foreach_batch(stream2, target, ckpt)
+    n2 = spark.read.parquet(target).count()
+    assert n1 == n2 == spark.read.parquet(events_dir).count()
