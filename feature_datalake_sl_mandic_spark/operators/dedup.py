@@ -10,9 +10,9 @@ shuffles on the blocking key.
 Scale design (100 TB):
 - exact dedup: one shuffle on the content hash, not the content.
 - n-gram Jaccard: candidate pairs come from an equi-join on shared shingles
-  (inverted-index semantics); at larger corpora add a document-frequency cap
-  on shingles (drop df > K) to bound the worst-case pair blowup — the join
-  shape is unchanged.
+  (inverted-index semantics); the worst-case pair blowup is bounded by a
+  document-frequency cap on shingles (``shingles_with_df_cap``, applied in
+  the MinHash path) — the join shape is unchanged.
 - MinHash+LSH: candidates from equality on banded signatures — the classic
   sub-quadratic path; signature computation is a single groupBy(min×k).
 - SimHash: per-doc 32-bit signature via one explode + sum aggregation.
@@ -31,6 +31,7 @@ from feature_datalake_sl_mandic_spark.registry import register
 
 MINHASH_K = 8
 LSH_BANDS = 4  # 2 rows per band
+MINHASH_MAX_DF = 64  # drop shingles shared by more docs: pair-blowup guard
 JACCARD_THRESHOLD = 0.2
 COSINE_NEARDUP_THRESHOLD = 0.35
 
@@ -177,7 +178,11 @@ def _duck_minhash_lsh_sql() -> str:
         f"(sa.m{j} = sb.m{j})::INT" for j in range(MINHASH_K)
     )
     return f"""
-    WITH sh AS ({_DUCK_SHINGLES}),
+    WITH sh0 AS ({_DUCK_SHINGLES}),
+    sh AS (
+      SELECT doc_id, s FROM sh0
+      WHERE s IN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= {MINHASH_MAX_DF})
+    ),
     sig_t AS (
       SELECT doc_id,
            {mins}
@@ -230,7 +235,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB exactly rather than being spot-checked."""
     (dc,) = _t(spark, sf_dir, "documents")
     dc.createOrReplaceTempView("documents")
-    sh = _spark_shingles(dc).cache()
+    # DF-capped shingles: boilerplate shingles shared by > MINHASH_MAX_DF
+    # docs carry no near-dup signal but dominate the band-join pair count.
+    sh = shingles_with_df_cap(dc, MINHASH_MAX_DF).cache()
 
     # One aggregation produces the signature AND the shingle-set size: the
     # size rides along instead of needing its own groupBy + two extra joins.

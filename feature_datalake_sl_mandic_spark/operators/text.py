@@ -71,6 +71,58 @@ def _marker_sql(lang: str) -> str:
     return f"len(list_filter(string_split(text, ' '), w -> w IN ({words})))"
 
 
+# Shared quality / language-pred fragments: text_quality_score,
+# text_language_id, and corpus_clean_pipeline must stay in lockstep —
+# every formula exists exactly once per engine.
+STOPWORDS = ("the", "a", "of", "and", "in")
+_STOP_SQL = (
+    "len(list_filter(string_split(text, ' '), w -> w IN ("
+    + ", ".join(f"'{w}'" for w in STOPWORDS)
+    + ")))"
+)
+_QUALITY_SQL = (
+    "round( least(n_tokens / 50.0, 1.0) * 0.4"
+    " + (n_unique * 1.0 / n_tokens) * 0.4"
+    " + least(n_stop * 4.0 / n_tokens, 1.0) * 0.2, 4)"
+)
+_LANG_PRED_SQL = (
+    "CASE greatest(s_en, s_es, s_fr, s_de, s_zh) "
+    "WHEN s_en THEN 'en' WHEN s_es THEN 'es' WHEN s_fr THEN 'fr' "
+    "WHEN s_de THEN 'de' ELSE 'zh' END"
+)
+
+
+def _stop_count_col(toks) -> "F.Column":
+    stop = list(STOPWORDS)
+    return F.size(F.filter(toks, lambda w: w.isin(stop)))
+
+
+def _quality_col() -> "F.Column":
+    """Quality from the n_tokens / n_unique / n_stop feature columns."""
+    return F.round(
+        F.least(F.col("n_tokens") / 50.0, F.lit(1.0)) * 0.4
+        + (F.col("n_unique") / F.col("n_tokens")) * 0.4
+        + F.least(F.col("n_stop") * 4.0 / F.col("n_tokens"), F.lit(1.0)) * 0.2,
+        4,
+    )
+
+
+def _lang_score_col(toks, lang: str) -> "F.Column":
+    markers = list(LANG_MARKERS[lang])
+    return F.size(F.filter(toks, lambda w: w.isin(markers))).alias(f"s_{lang}")
+
+
+def _lang_pred_col() -> "F.Column":
+    best = F.greatest("s_en", "s_es", "s_fr", "s_de", "s_zh")
+    return (
+        F.when(F.col("s_en") == best, "en")
+        .when(F.col("s_es") == best, "es")
+        .when(F.col("s_fr") == best, "fr")
+        .when(F.col("s_de") == best, "de")
+        .otherwise("zh")
+    )
+
+
 @register(
     "text_language_id",
     oracle=f"""
@@ -84,9 +136,7 @@ def _marker_sql(lang: str) -> str:
       FROM documents
     )
     SELECT doc_id, lang AS lang_label, s_en, s_es, s_fr, s_de, s_zh,
-           CASE greatest(s_en, s_es, s_fr, s_de, s_zh)
-             WHEN s_en THEN 'en' WHEN s_es THEN 'es' WHEN s_fr THEN 'fr'
-             WHEN s_de THEN 'de' ELSE 'zh' END AS lang_pred
+           {_LANG_PRED_SQL} AS lang_pred
     FROM scored
     ORDER BY doc_id
     """,
@@ -97,44 +147,28 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker hits, first-match tie-break mirroring the oracle's CASE)."""
     (dc,) = _t(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-
-    def score(lang: str):
-        markers = list(LANG_MARKERS[lang])
-        return F.size(F.filter(toks, lambda w: w.isin(markers))).cast("bigint").alias(f"s_{lang}")
-
     scored = dc.select(
         "doc_id", F.col("lang").alias("lang_label"),
-        score("en"), score("es"), score("fr"), score("de"), score("zh"),
+        *[ _lang_score_col(toks, lg).cast("bigint").alias(f"s_{lg}")
+           for lg in ("en", "es", "fr", "de", "zh") ],
     )
-    best = F.greatest("s_en", "s_es", "s_fr", "s_de", "s_zh")
-    pred = (
-        F.when(F.col("s_en") == best, "en")
-        .when(F.col("s_es") == best, "es")
-        .when(F.col("s_fr") == best, "fr")
-        .when(F.col("s_de") == best, "de")
-        .otherwise("zh")
-    )
-    return scored.withColumn("lang_pred", pred).orderBy("doc_id")
+    return scored.withColumn("lang_pred", _lang_pred_col()).orderBy("doc_id")
 
 
 @register(
     "text_quality_score",
-    oracle="""
+    oracle=f"""
     WITH feats AS (
       SELECT doc_id, source,
              len(string_split(text, ' ')) AS n_tokens,
              len(list_distinct(string_split(text, ' '))) AS n_unique,
-             len(list_filter(string_split(text, ' '),
-                             w -> w IN ('the', 'a', 'of', 'and', 'in'))) AS n_stop,
-             length(text) AS n_chars
+             {_STOP_SQL} AS n_stop
       FROM documents
     )
     SELECT doc_id, source, n_tokens,
            round(n_unique * 1.0 / n_tokens, 4) AS unique_ratio,
            round(n_stop * 1.0 / n_tokens, 4) AS stopword_ratio,
-           round( least(n_tokens / 50.0, 1.0) * 0.4
-                + (n_unique * 1.0 / n_tokens) * 0.4
-                + least(n_stop * 4.0 / n_tokens, 1.0) * 0.2, 4) AS quality
+           {_QUALITY_SQL} AS quality
     FROM feats
     ORDER BY doc_id
     """,
@@ -145,13 +179,12 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     density) — the filter signal an LLM-data pipeline thresholds on."""
     (dc,) = _t(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    stop = ["the", "a", "of", "and", "in"]
     feats = dc.select(
         "doc_id",
         "source",
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique"),
-        F.size(F.filter(toks, lambda w: w.isin(stop))).alias("n_stop"),
+        _stop_count_col(toks).alias("n_stop"),
     )
     return feats.select(
         "doc_id",
@@ -159,12 +192,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round(F.col("n_unique") / F.col("n_tokens"), 4).alias("unique_ratio"),
         F.round(F.col("n_stop") / F.col("n_tokens"), 4).alias("stopword_ratio"),
-        F.round(
-            F.least(F.col("n_tokens") / 50.0, F.lit(1.0)) * 0.4
-            + (F.col("n_unique") / F.col("n_tokens")) * 0.4
-            + F.least(F.col("n_stop") * 4.0 / F.col("n_tokens"), F.lit(1.0)) * 0.2,
-            4,
-        ).alias("quality"),
+        _quality_col().alias("quality"),
     ).orderBy("doc_id")
 
 
@@ -213,8 +241,7 @@ QUALITY_THRESHOLD = 0.55
       SELECT doc_id, lang, source,
              len(string_split(text, ' ')) AS n_tokens,
              len(list_distinct(string_split(text, ' '))) AS n_unique,
-             len(list_filter(string_split(text, ' '),
-                             w -> w IN ('the', 'a', 'of', 'and', 'in'))) AS n_stop,
+             {_STOP_SQL} AS n_stop,
              {_marker_sql('en')} AS s_en,
              {_marker_sql('es')} AS s_es,
              {_marker_sql('fr')} AS s_fr,
@@ -224,12 +251,8 @@ QUALITY_THRESHOLD = 0.55
     ),
     scored AS (
       SELECT doc_id, lang, source, n_tokens,
-             round( least(n_tokens / 50.0, 1.0) * 0.4
-                  + (n_unique * 1.0 / n_tokens) * 0.4
-                  + least(n_stop * 4.0 / n_tokens, 1.0) * 0.2, 4) AS quality,
-             CASE greatest(s_en, s_es, s_fr, s_de, s_zh)
-               WHEN s_en THEN 'en' WHEN s_es THEN 'es' WHEN s_fr THEN 'fr'
-               WHEN s_de THEN 'de' ELSE 'zh' END AS lang_pred
+             {_QUALITY_SQL} AS quality,
+             {_LANG_PRED_SQL} AS lang_pred
       FROM feats
     )
     SELECT doc_id, lang, source, n_tokens, quality
@@ -256,38 +279,18 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = dc.withColumn("rn", rn).where(F.col("rn") == 1)
 
     toks = F.split("text", " ")
-    stop = ["the", "a", "of", "and", "in"]
-
-    def score(lang: str):
-        markers = list(LANG_MARKERS[lang])
-        return F.size(F.filter(toks, lambda w: w.isin(markers))).alias(f"s_{lang}")
-
     feats = canon.select(
         "doc_id",
         "lang",
         "source",
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique"),
-        F.size(F.filter(toks, lambda w: w.isin(stop))).alias("n_stop"),
-        score("en"), score("es"), score("fr"), score("de"), score("zh"),
-    )
-    quality = F.round(
-        F.least(F.col("n_tokens") / 50.0, F.lit(1.0)) * 0.4
-        + (F.col("n_unique") / F.col("n_tokens")) * 0.4
-        + F.least(F.col("n_stop") * 4.0 / F.col("n_tokens"), F.lit(1.0)) * 0.2,
-        4,
-    )
-    best = F.greatest("s_en", "s_es", "s_fr", "s_de", "s_zh")
-    pred = (
-        F.when(F.col("s_en") == best, "en")
-        .when(F.col("s_es") == best, "es")
-        .when(F.col("s_fr") == best, "fr")
-        .when(F.col("s_de") == best, "de")
-        .otherwise("zh")
+        _stop_count_col(toks).alias("n_stop"),
+        *[_lang_score_col(toks, lg) for lg in ("en", "es", "fr", "de", "zh")],
     )
     return (
-        feats.withColumn("quality", quality)
-        .withColumn("lang_pred", pred)
+        feats.withColumn("quality", _quality_col())
+        .withColumn("lang_pred", _lang_pred_col())
         .where((F.col("quality") >= QUALITY_THRESHOLD) & (F.col("lang_pred") == F.col("lang")))
         .select("doc_id", "lang", "source", "n_tokens", "quality")
         .orderBy("doc_id")

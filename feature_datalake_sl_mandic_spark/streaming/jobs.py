@@ -176,20 +176,32 @@ def upsert_foreach_batch(
     the merge is idempotent, giving effectively-once output.
 
     Parquet has no MERGE, so the merge is read -> anti-join -> union ->
-    materialize (``localCheckpoint`` breaks the read-modify-write cycle on
-    the same path) -> overwrite. On Delta/Iceberg, replace the body with
-    ``MERGE INTO`` and drop the materialization."""
-    from pyspark.errors import AnalysisException
+    write to a staging dir -> swap into place. The swap shrinks (but, on a
+    plain filesystem, cannot fully close) the window where a crash leaves a
+    partial target — parquet here is the demo sink; production uses Delta /
+    Iceberg ``MERGE INTO``, whose ACID commit makes the checkpoint retry
+    exactly-once. Target existence is checked explicitly so a real failure
+    in the merge (e.g. schema drift in unionByName) PROPAGATES instead of
+    being mistaken for "first batch" and silently overwriting the target
+    with one micro-batch."""
+    import os
+    import shutil
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.dropDuplicates([key])
-        try:
+        if os.path.isdir(target_dir):  # merge errors must propagate
             existing = spark.read.parquet(target_dir)
             merged = existing.join(batch, key, "left_anti").unionByName(batch)
-        except AnalysisException:  # first batch: target doesn't exist yet
+        else:
             merged = batch
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_dir)
+        staging = f"{target_dir}.staging-{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        old_dir = f"{target_dir}.old-{batch_id}"
+        if os.path.isdir(target_dir):
+            os.rename(target_dir, old_dir)
+        os.rename(staging, target_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
 
     q = (
         stream_df.writeStream.foreachBatch(write_batch)

@@ -56,11 +56,12 @@ def test_shingle_df_cap(spark):
     full = dedup._spark_shingles(dc)
     capped = dedup.shingles_with_df_cap(dc, max_df=3)
 
-    full_set = {(r["doc_id"], r["s"]) for r in full.collect()}
+    full_rows = full.collect()
+    full_set = {(r["doc_id"], r["s"]) for r in full_rows}
     capped_rows = capped.collect()
     assert {(r["doc_id"], r["s"]) for r in capped_rows} <= full_set
     assert len(capped_rows) < len(full_set)  # the cap actually bites
 
     from collections import Counter
-    df_counts = Counter(r["s"] for r in full.collect())
+    df_counts = Counter(r["s"] for r in full_rows)
     assert all(df_counts[r["s"]] <= 3 for r in capped_rows)

@@ -61,6 +61,7 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
 
     from feature_datalake_sl_mandic_spark import plans
 
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
     try:
         suffix = uuid.uuid4().hex[:8]
@@ -79,6 +80,8 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         assert "Exchange hashpartitioning" not in plan
         assert j.count() == li.count()
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        # restore the SESSION's 64MB threshold — unset would fall back to
+        # Spark's 10MB default and leak into later broadcast-plan tests
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for t in (f"od_b_{suffix}", f"li_b_{suffix}"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
