@@ -592,3 +592,169 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("join", "left-outer-join", "groupby-agg", "distribution"),
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (priority filter standing in for the comment LIKE):
+    the distribution-of-a-distribution — LEFT OUTER join keeps zero-order
+    customers (count(o_orderkey) counts only matches, so they land in the
+    c_count=0 bucket), then a second tiny aggregation over O(distinct counts)
+    groups. Two shuffles: one on custkey, one on the bounded count key."""
+    cu, od = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        cu.join(
+            od.where(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH part_avg AS (
+      SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_threshold
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,6)))
+                           AS DECIMAL(38,6)) / 7.0, 2) AS DOUBLE)
+             AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#1'
+    JOIN part_avg pa ON pa.l_partkey = l.l_partkey
+    WHERE l.l_quantity < pa.qty_threshold
+    """,
+    tags=("join", "correlated-subquery", "groupby-agg", "global-agg"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue lost to small-quantity orders. The correlated
+    per-part average decorrelates into one aggregate + an equi-join back to
+    lineitem (Catalyst's plan for the subquery form, written explicitly):
+    both sides shuffle on partkey once; the brand filter prunes part before
+    the join. DECIMAL accumulation keeps the /7 division engine-exact."""
+    li, pt = _t(spark, sf_dir, "lineitem", "part")
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    return (
+        li.join(
+            pt.where(F.col("p_brand") == "Brand#1"),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(
+            part_avg.select(
+                F.col("l_partkey").alias("pa_partkey"), "qty_threshold"
+            ),
+            F.col("pa_partkey") == F.col("l_partkey"),
+        )
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+                .cast("decimal(38,6)")
+                / 7.0,
+                2,
+            )
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q21_sole_late_supplier",
+    oracle="""
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    ),
+    all_supp AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    )
+    SELECT s.s_name,
+           CAST(count(*) AS BIGINT) AS numwait
+    FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM late) l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM all_supp a
+        WHERE a.l_orderkey = l1.l_orderkey AND a.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM late l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+    tags=("join", "semi-join", "anti-join", "exists-subquery", "groupby-agg"),
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (lateness = shipped >90 days after order date, since
+    the fixture has no receipt/commit dates): suppliers who were the ONLY
+    late supplier on a multi-supplier order. EXISTS becomes a left-semi join
+    and NOT EXISTS a left-anti join on (orderkey, other-supplier) — both
+    shuffle only key pairs, never payloads, which is why the exists-chain
+    form scales where a per-row subquery would not."""
+    li, od, su = _t(spark, sf_dir, "lineitem", "orders", "supplier")
+    late = (
+        li.join(od, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_supp = li.select("l_orderkey", "l_suppkey").distinct()
+
+    other = all_supp.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    late_other = late.select(
+        F.col("l_orderkey").alias("lo_key"), F.col("l_suppkey").alias("lo_supp")
+    )
+    l1 = (
+        late.join(
+            other,
+            (F.col("o_key") == F.col("l_orderkey"))
+            & (F.col("o_supp") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_other,
+            (F.col("lo_key") == F.col("l_orderkey"))
+            & (F.col("lo_supp") != F.col("l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        l1.join(su, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
