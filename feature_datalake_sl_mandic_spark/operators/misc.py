@@ -465,3 +465,36 @@ def q22_inactive_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison threshold is bit-identical across engines."""
     load_tables(spark, sf_dir, names=["customer", "orders"])
     return spark.sql(_Q22_SQL)
+
+
+@register(
+    "sample_deterministic_hash",
+    oracle="""
+    WITH sampled AS (
+      SELECT o_orderkey, o_totalprice,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+               % 10 AS bucket
+      FROM orders
+    )
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+    FROM sampled WHERE bucket = 0
+    ORDER BY o_orderkey
+    """,
+    tags=("sampling", "deterministic", "hash-sample"),
+)
+def sample_deterministic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeatable ~10% sample by hashing the key (md5 -> bucket 0 of 10):
+    unlike rng-based sampling this is stable across runs, engines, and
+    repartitions — the property training-data holdout splits need (a doc's
+    split assignment must never depend on cluster layout). Embarrassingly
+    parallel: the hash is evaluated inside the scan stage, no shuffle."""
+    (od,) = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 10
+    )
+    return (
+        od.where(bucket == 0)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+        .orderBy("o_orderkey")
+    )
