@@ -758,3 +758,70 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    WITH rev AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))
+               AS volume,
+             n.n_name AS nation
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey AND r.r_name = 'ASIA'
+    )
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           round(CAST(sum(CASE WHEN nation = 'CHINA' THEN volume
+                               ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM rev
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    tags=("join", "multi-join", "conditional-agg", "market-share", "groupby-agg"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional revenue per year. The
+    share is a conditional sum over the SAME grouped pass (numerator and
+    denominator in one aggregate — no second scan, no self-join); volumes
+    accumulate as DECIMAL so the division is engine-exact. Region filter
+    prunes through the broadcast nation⋈region dims before the fact shuffle."""
+    li, od, cu, na, re = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
+    )
+    rev = (
+        li.join(od, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cu, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(na), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(
+            F.broadcast(re.where(F.col("r_name") == "ASIA")),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(38,6)")
+            .alias("volume"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+    return (
+        rev.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("nation") == "CHINA", F.col("volume")).otherwise(
+                        F.lit(0).cast("decimal(38,6)")
+                    )
+                ).cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .select(F.col("o_year").cast("bigint").alias("o_year"), "mkt_share")
+        .orderBy("o_year")
+    )
