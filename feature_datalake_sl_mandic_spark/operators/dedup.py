@@ -26,6 +26,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from feature_datalake_sl_mandic_spark.functions.hashing import (
+    md5_int60_col,
+    md5_int60_sql,
+)
 from feature_datalake_sl_mandic_spark.operators.relational import _t
 from feature_datalake_sl_mandic_spark.registry import register
 
@@ -79,15 +83,15 @@ def shingles_with_df_cap(dc: DataFrame, max_df: int) -> DataFrame:
 
 
 def _minhash_col(seed: int, col: str = "s") -> Column:
-    """Deterministic 60-bit hash_j(shingle) = int(md5(j ':' s)[:15], 16).
-    md5 is identical across Spark and DuckDB, making MinHash oracle-checkable."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col(col))), 1, 15), 16, 10
-    ).cast("bigint")
+    """Deterministic 60-bit hash_j(shingle) = int(md5(j ':' s)[:15], 16),
+    built on the shared engine-portable helper (functions/hashing.py) so the
+    Spark and oracle forms cannot drift."""
+    return md5_int60_col(F.concat(F.lit(f"{seed}:"), F.col(col)))
 
 
 def _duck_minhash(seed: int) -> str:
-    return f"min(('0x' || substr(md5('{seed}:' || s), 1, 15))::BIGINT)"
+    seeded = f"'{seed}:' || s"
+    return f"min({md5_int60_sql(seeded)})"
 
 
 # ---------------------------------------------------------------- operators

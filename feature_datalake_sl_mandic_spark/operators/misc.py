@@ -13,6 +13,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from feature_datalake_sl_mandic_spark.catalog import load_tables
+from feature_datalake_sl_mandic_spark.functions.hashing import (
+    md5_bucket_col,
+    md5_bucket_sql,
+)
 from feature_datalake_sl_mandic_spark.operators.relational import _t
 from feature_datalake_sl_mandic_spark.registry import register
 
@@ -469,11 +473,10 @@ def q22_inactive_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sample_deterministic_hash",
-    oracle="""
+    oracle=f"""
     WITH sampled AS (
       SELECT o_orderkey, o_totalprice,
-             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
-               % 10 AS bucket
+             {md5_bucket_sql("CAST(o_orderkey AS VARCHAR)", 10)} AS bucket
       FROM orders
     )
     SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
@@ -489,10 +492,7 @@ def sample_deterministic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     split assignment must never depend on cluster layout). Embarrassingly
     parallel: the hash is evaluated inside the scan stage, no shuffle."""
     (od,) = _t(spark, sf_dir, "orders")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
-        .cast("bigint") % 10
-    )
+    bucket = md5_bucket_col(F.col("o_orderkey").cast("string"), 10)
     return (
         od.where(bucket == 0)
         .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))

@@ -659,11 +659,17 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides shuffle on partkey once; the brand filter prunes part before
     the join. DECIMAL accumulation keeps the /7 division engine-exact."""
     li, pt = _t(spark, sf_dir, "lineitem", "part")
-    part_avg = li.groupBy("l_partkey").agg(
+    brand_parts = pt.where(F.col("p_brand") == "Brand#1").select("p_partkey")
+    # semi-join first: the per-part average only matters for Brand#1 parts
+    # (~1/25 of them), so don't aggregate the other 96% of lineitem
+    li_brand = li.join(
+        brand_parts, F.col("p_partkey") == F.col("l_partkey"), "left_semi"
+    )
+    part_avg = li_brand.groupBy("l_partkey").agg(
         (F.avg("l_quantity") * 0.2).alias("qty_threshold")
     )
     return (
-        li.join(
+        li_brand.join(
             pt.where(F.col("p_brand") == "Brand#1"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
@@ -697,7 +703,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
     ),
     all_supp AS (
-      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+      SELECT l_orderkey, l_suppkey FROM lineitem
     )
     SELECT s.s_name,
            CAST(count(*) AS BIGINT) AS numwait
@@ -726,11 +732,13 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, od, su = _t(spark, sf_dir, "lineitem", "orders", "supplier")
     late = (
         li.join(od, F.col("o_orderkey") == F.col("l_orderkey"))
-        .where(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )
-    all_supp = li.select("l_orderkey", "l_suppkey").distinct()
+    # no distinct: a left-semi probe side needs no dedup, and dropping it
+    # saves a full shuffle of lineitem's key pairs
+    all_supp = li.select("l_orderkey", "l_suppkey")
 
     other = all_supp.select(
         F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
@@ -775,7 +783,7 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN region r   ON r.r_regionkey = n.n_regionkey AND r.r_name = 'ASIA'
     )
     SELECT CAST(o_year AS BIGINT) AS o_year,
-           round(CAST(sum(CASE WHEN nation = 'CHINA' THEN volume
+           round(CAST(sum(CASE WHEN nation = 'NATION_2' THEN volume
                                ELSE 0 END) AS DOUBLE)
                  / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
     FROM rev
@@ -793,14 +801,19 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, od, cu, na, re = _t(
         spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
     )
-    rev = (
-        li.join(od, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(cu, F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(na), F.col("n_nationkey") == F.col("c_nationkey"))
+    # dims first: customer⋈nation⋈region-ASIA broadcasts prune ~80% of
+    # customers BEFORE the expensive fact shuffles (li⋈od then ⋈cust)
+    cust_asia = (
+        cu.join(F.broadcast(na), F.col("n_nationkey") == F.col("c_nationkey"))
         .join(
             F.broadcast(re.where(F.col("r_name") == "ASIA")),
             F.col("r_regionkey") == F.col("n_regionkey"),
         )
+        .select("c_custkey", "n_name")
+    )
+    rev = (
+        li.join(od, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust_asia, F.col("c_custkey") == F.col("o_custkey"))
         .select(
             F.year("o_orderdate").alias("o_year"),
             (F.col("l_extendedprice") * (1 - F.col("l_discount")))
@@ -814,7 +827,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.sum(
-                    F.when(F.col("nation") == "CHINA", F.col("volume")).otherwise(
+                    F.when(F.col("nation") == "NATION_2", F.col("volume")).otherwise(
                         F.lit(0).cast("decimal(38,6)")
                     )
                 ).cast("double")
