@@ -81,21 +81,30 @@ def join_semi_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> 
 
 
 @register(
-    "join_anti_customers_without_orders",
+    "join_anti_customers_no_urgent",
     oracle="""
     SELECT c.c_custkey, c.c_mktsegment
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     ORDER BY c.c_custkey
     """,
     tags=("join", "anti-join"),
 )
-def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def join_anti_customers_no_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT ANTI join — the DataFrame-native form of the reference's
-    driver-side "never loaded" check (verifica_carga_slmandicprd.py:91-100)."""
+    driver-side "never loaded" check (verifica_carga_slmandicprd.py:91-100).
+    The anti side filters orders to URGENT first: in the fixture every
+    customer has SOME order, so an unfiltered anti join would return zero
+    rows and the parity check would be vacuous."""
     cu, od = _t(spark, sf_dir, "customer", "orders")
     return (
-        cu.join(od, cu.c_custkey == od.o_custkey, "left_anti")
+        cu.join(
+            od.where(F.col("o_orderpriority") == "1-URGENT"),
+            cu.c_custkey == od.o_custkey,
+            "left_anti",
+        )
         .select("c_custkey", "c_mktsegment")
         .orderBy("c_custkey")
     )

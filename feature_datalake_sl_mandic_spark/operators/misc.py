@@ -324,7 +324,8 @@ def maps_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey, c.c_nationkey
     FROM customer c
-    WHERE c.c_nationkey NOT IN (SELECT s.s_nationkey FROM supplier s)
+    WHERE c.c_nationkey NOT IN (SELECT s.s_nationkey FROM supplier s
+                                WHERE s.s_nationkey < 15)
     ORDER BY c.c_custkey
     """,
     tags=("join", "anti-join", "null-aware", "not-in-subquery"),
@@ -333,13 +334,16 @@ def join_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT IN subquery — three-valued-logic anti join (Catalyst plans a
     null-aware anti join: one NULL in the subquery empties the result, unlike
     NOT EXISTS). Expressed through the SQL surface to exercise that exact
-    planning path."""
+    planning path. The subquery is range-restricted: suppliers span every
+    nation in the fixture, so the unrestricted NOT IN would be vacuously
+    empty and prove nothing."""
     load_tables(spark, sf_dir, names=["customer", "supplier"])
     return spark.sql(
         """
         SELECT c.c_custkey, c.c_nationkey
         FROM customer c
-        WHERE c.c_nationkey NOT IN (SELECT s.s_nationkey FROM supplier s)
+        WHERE c.c_nationkey NOT IN (SELECT s.s_nationkey FROM supplier s
+                                WHERE s.s_nationkey < 15)
         ORDER BY c.c_custkey
         """
     )
@@ -449,7 +453,9 @@ _Q22_SQL = """
         FROM customer c2
         WHERE c2.c_acctbal > 0.0 AND c2.c_nationkey IN (1, 3, 5, 7, 9)
       )
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     GROUP BY c.c_nationkey
     ORDER BY cntry
 """
@@ -465,7 +471,8 @@ def q22_inactive_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     of phone prefixes) run ENTIRELY through the SQL surface — the same query
     text executes on Spark and on the DuckDB oracle, proving the ANSI-SQL
     entry point, scalar subquery decorrelation, and NOT EXISTS -> anti-join
-    planning. The average is computed as exact-decimal sum / count so the
+    planning ("inactive" = no urgent orders; every fixture customer has some
+    order, so the unrestricted form would be vacuously empty). The average is computed as exact-decimal sum / count so the
     comparison threshold is bit-identical across engines."""
     load_tables(spark, sf_dir, names=["customer", "orders"])
     return spark.sql(_Q22_SQL)
