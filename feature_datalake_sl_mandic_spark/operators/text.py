@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from feature_datalake_sl_mandic_spark.operators.relational import _t
 from feature_datalake_sl_mandic_spark.registry import register
@@ -294,4 +295,62 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("quality") >= QUALITY_THRESHOLD) & (F.col("lang_pred") == F.col("lang")))
         .select("doc_id", "lang", "source", "n_tokens", "quality")
         .orderBy("doc_id")
+    )
+
+
+SHARD_TOKEN_BUDGET = 2048
+
+
+@register(
+    "corpus_pack_shards",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens) / {SHARD_TOKEN_BUDGET}) AS BIGINT) AS shard_id
+      FROM t
+    )
+    SELECT lang, shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM packed
+    GROUP BY lang, shard_id
+    ORDER BY lang, shard_id
+    """,
+    tags=("text", "packing", "sharding", "window", "groupby-agg"),
+)
+def corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted shard packing — the training-data export step: docs
+    pack greedily into ~{budget}-token shards per language via a windowed
+    running token sum (shard = tokens-before // budget), which is the
+    deterministic distributed form of sequential bin packing. One shuffle on
+    the language partition key; shard ids are stable under repartitioning
+    because they derive from doc_id order, not physical placement. Emits the
+    per-shard manifest (doc count, token total) a downstream writer consumes
+    to produce one output file per shard."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = dc.select("doc_id", "lang", F.size(toks).cast("bigint").alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = t.withColumn(
+        "shard_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / SHARD_TOKEN_BUDGET),
+    )
+    return (
+        packed.groupBy("lang", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("lang", "shard_id")
     )
