@@ -327,7 +327,7 @@ SHARD_TOKEN_BUDGET = 2048
 )
 def corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budgeted shard packing — the training-data export step: docs
-    pack greedily into ~{budget}-token shards per language via a windowed
+    pack greedily into SHARD_TOKEN_BUDGET-token shards per language via a windowed
     running token sum (shard = tokens-before // budget), which is the
     deterministic distributed form of sequential bin packing. One shuffle on
     the language partition key; shard ids are stable under repartitioning
