@@ -354,3 +354,62 @@ def corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "shard_id")
     )
+
+
+TFIDF_TOP_N = 3
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, rnk
+    FROM ranked WHERE rnk <= {TFIDF_TOP_N}
+    ORDER BY doc_id, rnk
+    """,
+    tags=("text", "tfidf", "topk-per-group", "groupby-agg"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: term frequency per doc and document
+    frequency per term are two partial-aggregated shuffles over exploded
+    tokens; the corpus size joins in as a broadcast scalar and the idf
+    weighting stays in codegen (ln is bit-identical across engines, so even
+    the scores hash-match). Top terms per doc via the standard one-shuffle
+    window row_number — no per-doc sort of the whole vocabulary."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    toks = dc.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = dc.count()  # driver scalar: one number, not a collect of rows
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= TFIDF_TOP_N)
+        .orderBy("doc_id", "rnk")
+    )
