@@ -838,3 +838,34 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_year").cast("bigint").alias("o_year"), "mkt_share")
         .orderBy("o_year")
     )
+
+
+@register(
+    "q16_supplier_count_by_part",
+    oracle="""
+    SELECT p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 5, 9, 13, 17)
+    GROUP BY p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_type, p.p_size
+    """,
+    tags=("join", "distinct-agg", "groupby-agg", "anti-predicate"),
+)
+def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier diversity per part class, lineitem standing
+    in for partsupp which the fixture lacks): COUNT(DISTINCT supplier) after
+    a fact join. The distinct-aggregate expands once on (type, size, suppkey)
+    then counts — two shuffles total; the negative brand predicate and the
+    IN-list both push to the part scan."""
+    pt, li = _t(spark, sf_dir, "part", "lineitem")
+    return (
+        pt.where(
+            (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 9, 13, 17)
+        )
+        .join(li, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_type", "p_size")
+    )

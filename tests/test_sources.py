@@ -85,3 +85,26 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for t in (f"od_b_{suffix}", f"li_b_{suffix}"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_schema_evolution_merge_schema(spark, tmp_path):
+    """Lake schema evolution: files written before a column was added must
+    coexist with newer files — mergeSchema unions the schemas and fills the
+    missing column with nulls (the additive-evolution contract an ingest
+    pipeline relies on when sources grow columns)."""
+    path = str(tmp_path / "evolving")
+    v1 = spark.read.parquet(f"{SF_SMALL}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    v1.write.parquet(path)
+    v2 = spark.read.parquet(f"{SF_SMALL}/nation.parquet").select(
+        "n_nationkey", "n_name", F.lit("v2").alias("ingest_tag")
+    )
+    v2.write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    assert set(merged.columns) == {"n_nationkey", "n_name", "ingest_tag"}
+    assert merged.count() == v1.count() * 2
+    # old files surface the new column as null; new files carry the value
+    assert merged.where(F.col("ingest_tag").isNull()).count() == v1.count()
+    assert merged.where(F.col("ingest_tag") == "v2").count() == v1.count()
