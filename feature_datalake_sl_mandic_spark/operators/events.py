@@ -370,3 +370,76 @@ def events_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         unique_cols=["event_id"],
     )
     return out.orderBy(F.col("n_events").desc(), "user_id").limit(20)
+
+
+@register(
+    "events_funnel_three_step",
+    oracle="""
+    WITH su AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS s_ts
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    cl AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS c_ts
+      FROM events e JOIN su ON su.user_id = e.user_id
+      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > su.s_ts
+      GROUP BY 1
+    ),
+    pu AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS p_ts
+      FROM events e JOIN cl ON cl.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > cl.c_ts
+      GROUP BY 1
+    )
+    SELECT su.user_id,
+           epoch_us(su.s_ts) AS signup_us,
+           epoch_us(cl.c_ts) AS click_us,
+           epoch_us(pu.p_ts) AS purchase_us,
+           CAST(epoch_us(pu.p_ts) - epoch_us(su.s_ts) AS BIGINT)
+             AS funnel_us
+    FROM su JOIN cl USING (user_id) JOIN pu USING (user_id)
+    ORDER BY su.user_id
+    """,
+    tags=("events", "funnel", "multi-step", "sessionization", "join"),
+)
+def events_funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order three-step funnel: first signup, first click AFTER that
+    signup, first purchase AFTER that click — each stage is a filtered min
+    aggregate joined back on user_id, so ordering is enforced by data
+    (timestamp comparisons), not by assuming event-log order. Three
+    partial-aggregated shuffles on the same user key; at scale the three
+    stages co-partition, so AQE collapses the stage joins into local joins
+    after the first exchange."""
+    (ev,) = _t(spark, sf_dir, "events")
+    e = ev.select("user_id", "ts", "event_type")
+    su = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    cl = (
+        e.where(F.col("event_type") == "click")
+        .join(su, "user_id")
+        .where(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    pu = (
+        e.where(F.col("event_type") == "purchase")
+        .join(cl, "user_id")
+        .where(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        su.join(cl, "user_id")
+        .join(pu, "user_id")
+        .select(
+            "user_id",
+            F.unix_micros("s_ts").alias("signup_us"),
+            F.unix_micros("c_ts").alias("click_us"),
+            F.unix_micros("p_ts").alias("purchase_us"),
+            (F.unix_micros("p_ts") - F.unix_micros("s_ts")).alias("funnel_us"),
+        )
+        .orderBy("user_id")
+    )
