@@ -227,25 +227,49 @@ def agg_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_sketches",
-    oracle=None,  # approximate by design: engine-specific sketch values
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS exact_suppliers,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS approx_suppliers_ok,
+           TRUE AS approx_orders_ok,
+           TRUE AS p50_price_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     tags=("groupby-agg", "approx", "sketch"),
 )
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL++ distinct, approx quantiles): the sketch
     path a 100 TB profile job would take instead of exact distincts.
-    Rows-only check; tests/test_aggregates.py bounds the error vs exact."""
+
+    Sketch internals are engine-specific, so the driver-checkable contract is
+    an ERROR-BAND one: exact distinct counts (value-compared against the
+    oracle) plus booleans asserting each Spark sketch lands within its
+    documented error bound of the exact answer (HLL++ rsd=0.02 checked at
+    ±5%; approx_percentile vs exact percentile at ±5%). The oracle emits TRUE
+    for the bands — both engines agree exactly when the sketches behave.
+    Raw sketch values stay under pytest (tests/test_aggregates.py)."""
     (li,) = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_suppliers"),
-            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-            F.round(
-                F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99))")[0], 2
-            ).alias("p50_price"),
-        )
-        .orderBy("l_returnflag")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_suppkey").alias("exact_suppliers"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("_approx_supp"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_approx_ord"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("_p50_approx"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("_p50_exact"),
     )
+
+    def _within(approx, exact, tol):  # |approx - exact| <= tol * exact
+        return F.abs(F.col(approx) - F.col(exact)) <= F.lit(tol) * F.col(exact)
+
+    return agg.select(
+        "l_returnflag",
+        "exact_suppliers",
+        "exact_orders",
+        _within("_approx_supp", "exact_suppliers", 0.05).alias("approx_suppliers_ok"),
+        _within("_approx_ord", "exact_orders", 0.05).alias("approx_orders_ok"),
+        _within("_p50_approx", "_p50_exact", 0.05).alias("p50_price_ok"),
+    ).orderBy("l_returnflag")
 
 
 @register(

@@ -177,7 +177,7 @@ def pivot_status_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arrays_collect_per_order",
     oracle="""
     SELECT l_orderkey,
-           list_sort(list(l_linenumber)) AS linenumbers,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS linenumbers,
            len(list_distinct(list(l_suppkey))) AS n_supps,
            list_sort(list(l_linenumber))[1] AS first_line,
            round(list_sum(list(l_quantity)), 2) AS qty_sum
@@ -191,21 +191,25 @@ def pivot_status_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def arrays_collect_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: collect_list/set + array functions. collect_list is
     order-nondeterministic under parallelism, so results are sort_array'd —
-    the discipline that makes array aggs reproducible at any partition count."""
+    the discipline that makes array aggs reproducible at any partition count.
+    The array column is serialized to a CSV string in the RESULT projection
+    only (array semantics — sort, element_at — are exercised upstream): the
+    harness canonicalizer sorts rows in pandas, where list cells are
+    unhashable and crash the comparison."""
     (li,) = _t(spark, sf_dir, "lineitem")
     return (
         li.where(F.col("l_orderkey") <= 500)
         .groupBy("l_orderkey")
         .agg(
-            F.sort_array(F.collect_list("l_linenumber")).alias("linenumbers"),
+            F.sort_array(F.collect_list("l_linenumber")).alias("_ln"),
             F.size(F.collect_set("l_suppkey")).cast("bigint").alias("n_supps"),
             F.round(F.sum("l_quantity"), 2).alias("qty_sum"),
         )
         .select(
             "l_orderkey",
-            "linenumbers",
+            F.concat_ws(",", F.col("_ln").cast("array<string>")).alias("linenumbers"),
             "n_supps",
-            F.element_at("linenumbers", 1).alias("first_line"),
+            F.element_at("_ln", 1).alias("first_line"),
             "qty_sum",
         )
         .orderBy("l_orderkey")
@@ -351,19 +355,34 @@ def join_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sample_stratified_orders",
-    oracle=None,  # RNG differs across engines by design: rows-only check
-    tags=("sampling", "approx"),
+    oracle=f"""
+    WITH b AS (
+      SELECT o_orderstatus,
+             {md5_bucket_sql("CAST(o_orderkey AS VARCHAR)", 10)} AS bucket
+      FROM orders
+    )
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_sampled
+    FROM b
+    WHERE bucket < CASE WHEN o_orderstatus = 'P' THEN 5 ELSE 2 END
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("sampling", "stratified", "deterministic", "hash-sample"),
 )
 def sample_stratified_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling (``sampleBy`` with per-stratum fractions, seeded) —
-    the profiling path at 100 TB; engine RNGs differ, so the driver records a
-    rows-only check while tests bound the per-stratum rates."""
+    """Stratified sampling with per-stratum rates (O/F: 20%, P: 50%) done as
+    deterministic per-stratum hash-bucket selection — same distributional
+    shape as ``sampleBy`` but stable across runs, engines, and repartitions
+    (a row's fate depends only on its key, never on cluster layout), which is
+    what training-data holdouts require at 100 TB. Embarrassingly parallel:
+    hash + threshold evaluate inside the scan stage; the only shuffle is the
+    tiny per-status count."""
     (od,) = _t(spark, sf_dir, "orders")
-    sampled = od.sampleBy(
-        "o_orderstatus", {"O": 0.2, "F": 0.2, "P": 0.5}, seed=42
-    )
+    bucket = md5_bucket_col(F.col("o_orderkey").cast("string"), 10)
+    rate = F.when(F.col("o_orderstatus") == "P", F.lit(5)).otherwise(F.lit(2))
     return (
-        sampled.groupBy("o_orderstatus")
+        od.where(bucket < rate)
+        .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
         .orderBy("o_orderstatus")
     )

@@ -65,13 +65,74 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+# The driver's correctness gate checks the FIRST 50 entries in iteration
+# order. Round 1 checked entries 1-50 (registration order), leaving the whole
+# events/dedup/similarity/text/change-detection/multimodal surface unverified.
+# This list pins the round-2 window: the 32 previously-unchecked queries, the
+# 3 previously-red ones (now fixed), then new-this-round queries. Names not
+# listed follow in registration order (all were driver-green in round 1).
+# Rotate per round until every query has a driver-green row.
+_PRIORITY: list[str] = [
+    # previously unchecked: scalars tail
+    "scalar_date_orders",
+    "scalar_math_lineitem",
+    "scalar_json_events",
+    "arrays_posexplode_leading_tokens",
+    # previously unchecked: events
+    "events_tumbling_hourly",
+    "events_sessionize",
+    "events_session_window_builtin",
+    "events_funnel_signup_purchase",
+    "events_gapfill_resample",
+    "events_time_rollup",
+    "events_salted_user_totals",
+    "events_funnel_three_step",
+    # previously unchecked: dedup
+    "dedup_exact_documents",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_levenshtein_blocked",
+    "dedup_cluster_components",
+    # previously unchecked: similarity / ANN
+    "knn_cosine_topk",
+    "ann_lsh_bucketed",
+    "ann_ivf_cells",
+    "knn_cosine_matmul",
+    # previously unchecked: text corpus ops
+    "text_token_stats",
+    "text_language_id",
+    "text_quality_score",
+    "text_fingerprint",
+    "corpus_clean_pipeline",
+    "corpus_pack_shards",
+    "text_tfidf_top_terms",
+    # previously unchecked: ingest / multimodal
+    "change_detection",
+    "multimodal_feature_extract",
+    # previously red, fixed this round
+    "arrays_collect_per_order",
+    "sample_stratified_orders",
+    "agg_approx_sketches",
+    # new this round (keep inside the 50-entry window)
+]
+
+
 def load_all() -> dict[str, QuerySpec]:
     for mod in _QUERY_MODULES:
         try:
             importlib.import_module(mod)
         except ModuleNotFoundError:
             pass  # module not built yet (incremental rounds)
-    return dict(_REGISTRY)
+    ordered: dict[str, QuerySpec] = {}
+    for name in _PRIORITY:
+        if name in _REGISTRY:
+            ordered[name] = _REGISTRY[name]
+    for name, spec in _REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = spec
+    return ordered
 
 
 def queries() -> dict[str, QueryFn]:
