@@ -37,6 +37,9 @@ class IngestResult:
     table: str
     row_count: int
     seconds: float
+    status: str = "ok"  # "ok" | "failed"
+    attempts: int = 1
+    error: str | None = None
 
 
 def ingest_table(
@@ -57,6 +60,44 @@ def ingest_table(
     return IngestResult(table, row_count, time.time() - t0)
 
 
+def ingest_table_with_retry(
+    spark: SparkSession,
+    source_df: DataFrame,
+    lake_dir: str,
+    database: str,
+    table: str,
+    retries: int = 2,
+    backoff_sec: float = 0.0,
+) -> IngestResult:
+    """``ingest_table`` with bounded retries and failure isolation — parity
+    with the reference controller's per-task Airflow retry
+    (``Sites/dag_controller/controller_slmandicprd.py:23-44``). A table that
+    exhausts its retries returns a ``failed`` result instead of raising, so
+    one poisoned table cannot sink the batch; it also writes NO history row,
+    which leaves it stale in ``latest_runs`` and therefore re-detected as
+    changed on the next pipeline run (self-healing retry-across-runs)."""
+    t0 = time.time()
+    last_err: Exception | None = None
+    for attempt in range(1, retries + 2):
+        try:
+            res = ingest_table(spark, source_df, lake_dir, database, table)
+            return IngestResult(
+                table, res.row_count, time.time() - t0, "ok", attempt, None
+            )
+        except Exception as e:  # noqa: BLE001 — isolate any per-table failure
+            last_err = e
+            if attempt <= retries and backoff_sec:
+                time.sleep(backoff_sec * attempt)  # linear backoff
+    return IngestResult(
+        table,
+        0,
+        time.time() - t0,
+        "failed",
+        retries + 1,
+        f"{type(last_err).__name__}: {last_err}",
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     catalog: DataFrame,
@@ -65,8 +106,10 @@ def run_pipeline(
     database: str,
     max_workers: int = 4,
     lookback_days: int = 30,
+    retries: int = 2,
 ) -> list[IngestResult]:
-    """detect -> manifest -> parallel per-table ingest -> audit rows.
+    """detect -> manifest -> parallel per-table ingest (retried, isolated)
+    -> audit rows + per-run status manifest.
 
     ``catalog``: (table_name, update_time) freshness. ``sources``: table_name
     -> source DataFrame (parquet lake or JDBC — same interface)."""
@@ -95,7 +138,41 @@ def run_pipeline(
 
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         futures = [
-            pool.submit(ingest_table, spark, sources[t], lake_dir, database, t)
+            pool.submit(
+                ingest_table_with_retry,
+                spark,
+                sources[t],
+                lake_dir,
+                database,
+                t,
+                retries,
+            )
             for t in pending
         ]
-        return [f.result() for f in futures]
+        results = [f.result() for f in futures]
+
+    # Per-run status record beside the pending manifest: operators see which
+    # tables failed (and why) without scanning the audit table.
+    status_path = os.path.join(lake_dir, "meta", "last_run_status.json")
+    os.makedirs(os.path.dirname(status_path), exist_ok=True)
+    import json
+
+    tmp = status_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                r.table: {
+                    "status": r.status,
+                    "attempts": r.attempts,
+                    "row_count": r.row_count,
+                    "seconds": round(r.seconds, 3),
+                    "error": r.error,
+                }
+                for r in results
+            },
+            f,
+            indent=2,
+            sort_keys=True,
+        )
+    os.replace(tmp, status_path)
+    return results

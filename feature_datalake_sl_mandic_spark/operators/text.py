@@ -299,6 +299,7 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SHARD_TOKEN_BUDGET = 2048
+PACK_BUCKET_WIDTH = 100  # doc_ids per range bucket; tune so a bucket ≈ one task
 
 
 @register(
@@ -327,24 +328,53 @@ SHARD_TOKEN_BUDGET = 2048
 )
 def corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budgeted shard packing — the training-data export step: docs
-    pack greedily into SHARD_TOKEN_BUDGET-token shards per language via a windowed
-    running token sum (shard = tokens-before // budget), which is the
-    deterministic distributed form of sequential bin packing. One shuffle on
-    the language partition key; shard ids are stable under repartitioning
-    because they derive from doc_id order, not physical placement. Emits the
-    per-shard manifest (doc count, token total) a downstream writer consumes
-    to produce one output file per shard."""
+    pack greedily into SHARD_TOKEN_BUDGET-token shards per language (shard =
+    tokens-before // budget), the deterministic distributed form of
+    sequential bin packing. Shard ids derive from doc_id order, not physical
+    placement, so they are stable under repartitioning.
+
+    Scale shape: TWO-LEVEL prefix sum. A window partitioned by lang alone
+    would serialize each language's whole corpus through one task (language
+    cardinality is single-digit). Instead: (1) running sums within
+    (lang, doc_id-range bucket) — shuffle-parallel across buckets; (2) tiny
+    per-bucket token totals prefix-summed per lang (O(n_docs / width) rows ≈
+    task count, bounded by cluster sizing not data size — hence
+    broadcast-safe); (3) broadcast the bucket offsets back and add. Same
+    output as the single-window form for any bucket width, because range
+    buckets respect doc_id order."""
     (dc,) = _t(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    t = dc.select("doc_id", "lang", F.size(toks).cast("bigint").alias("n_tokens"))
-    w = (
-        Window.partitionBy("lang")
+    t = dc.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.floor(F.col("doc_id") / PACK_BUCKET_WIDTH).alias("bucket"),
+    )
+    w_in = (
+        Window.partitionBy("lang", "bucket")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    packed = t.withColumn(
+    within = t.withColumn("run_in_bucket", F.sum("n_tokens").over(w_in))
+    # Per-bucket totals are tiny; the per-lang prefix window over them touches
+    # O(buckets) rows, never O(docs).
+    w_prev = (
+        Window.partitionBy("lang")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        t.groupBy("lang", "bucket")
+        .agg(F.sum("n_tokens").alias("bucket_tokens"))
+        .withColumn("offset", F.coalesce(F.sum("bucket_tokens").over(w_prev), F.lit(0)))
+        .select("lang", "bucket", "offset")
+    )
+    packed = within.join(F.broadcast(offsets), ["lang", "bucket"]).withColumn(
         "shard_id",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / SHARD_TOKEN_BUDGET),
+        F.floor(
+            (F.col("offset") + F.col("run_in_bucket") - F.col("n_tokens"))
+            / SHARD_TOKEN_BUDGET
+        ),
     )
     return (
         packed.groupBy("lang", "shard_id")

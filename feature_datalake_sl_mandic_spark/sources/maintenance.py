@@ -33,19 +33,45 @@ def compact_table(
     target_file_bytes: int = TARGET_FILE_BYTES,
 ) -> int:
     """Rewrite a parquet directory into ceil(size/target) files; returns the
-    new file count. Uses a staging dir + atomic rename so readers never see a
-    half-compacted table."""
-    total = sum(os.path.getsize(f) for f in table_files(path))
-    n_files = max(1, -(-total // target_file_bytes))
+    new file count.
+
+    Swap semantics (stated honestly): POSIX rename can't atomically exchange
+    two directories, so the swap is two renames — ``path`` -> ``path.old``,
+    then ``path.compacting`` -> ``path``. Readers never see a HALF-compacted
+    table (the staging dir is invisible until complete), but there IS a
+    sub-millisecond window where ``path`` does not exist; a reader listing at
+    that instant fails and should retry. Crash safety: every state is
+    recoverable — the compacted data survives in ``.compacting`` / ``.old``,
+    this function self-heals a previous crash on entry, and ``.old`` is only
+    deleted AFTER the new listing validates. (A table format with a
+    transaction log — Delta/Iceberg — removes the window entirely; that is
+    the upgrade path, not available in this container.)"""
     staged = path.rstrip("/") + ".compacting"
-    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(staged)
     old = path.rstrip("/") + ".old"
-    os.rename(path, old)
-    os.rename(staged, path)
     import shutil
 
+    # Self-heal a crash between the two renames of a previous run: the data
+    # is in .old and path is missing — restore it before compacting.
+    if not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)
+    shutil.rmtree(staged, ignore_errors=True)  # stale staging from a crash
+
+    total = sum(os.path.getsize(f) for f in table_files(path))
+    n_files = max(1, -(-total // target_file_bytes))
+    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(staged)
+    if not table_files(staged):
+        raise RuntimeError(f"compaction produced no files in {staged}; aborting swap")
+    if os.path.isdir(old):
+        shutil.rmtree(old)  # leftover from an interrupted post-swap cleanup
+    os.rename(path, old)
+    os.rename(staged, path)
+    # Validate the swapped-in listing before dropping the only other copy.
+    new_files = table_files(path)
+    if not new_files:
+        os.rename(old, path)  # roll back; keep the original intact
+        raise RuntimeError(f"post-swap validation failed for {path}; rolled back")
     shutil.rmtree(old)
-    return len(table_files(path))
+    return len(new_files)
 
 
 def cluster_table(

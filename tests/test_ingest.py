@@ -212,6 +212,54 @@ class TestPipeline:
         results2 = run_pipeline(spark, catalog, sources, lake_dir, "testdb")
         assert results2 == []
 
+    def test_poisoned_table_is_isolated_and_retried(self, spark, tmp_path):
+        """One failing table must not sink the batch: the good table ingests,
+        the poisoned one records a 'failed' result after bounded retries,
+        writes NO history row (so the next run re-detects it), and the
+        per-run status manifest records both outcomes."""
+        from pyspark.sql import functions as F
+
+        from feature_datalake_sl_mandic_spark.ingest import history as hist
+        from feature_datalake_sl_mandic_spark.ingest.pipeline import run_pipeline
+
+        lake_dir = str(tmp_path / "lake")
+        now = dt.datetime.now()
+        poison = spark.range(3).select(
+            F.when(F.col("id") >= 0, F.raise_error(F.lit("poison"))).alias("v")
+        )
+        sources = {
+            "nation": spark.read.parquet("/root/testdata/sf0.001/nation.parquet"),
+            "bad": poison,
+        }
+        catalog = spark.createDataFrame(
+            [("nation", now), ("bad", now)], CATALOG_SCHEMA
+        )
+
+        results = run_pipeline(
+            spark, catalog, sources, lake_dir, "testdb", retries=1
+        )
+        by_table = {r.table: r for r in results}
+        assert by_table["nation"].status == "ok"
+        assert by_table["nation"].row_count == 25
+        assert by_table["bad"].status == "failed"
+        assert by_table["bad"].attempts == 2  # initial try + 1 retry
+        assert "poison" in (by_table["bad"].error or "")
+
+        # history: only the successful table — the failed one stays stale
+        latest = hist.latest_runs(spark, lake_dir).collect()
+        assert {r["table_name"] for r in latest} == {"nation"}
+
+        status = json.loads((tmp_path / "lake" / "meta" / "last_run_status.json").read_text())
+        assert status["bad"]["status"] == "failed"
+        assert status["nation"]["status"] == "ok"
+
+        # run 2: the failed table is re-detected (never_loaded), nation is fresh
+        results2 = run_pipeline(
+            spark, catalog, sources, lake_dir, "testdb", retries=0
+        )
+        assert {r.table for r in results2} == {"bad"}
+        assert results2[0].status == "failed"
+
     def test_observed_count_no_second_scan(self, spark, tmp_path):
         from feature_datalake_sl_mandic_spark.ingest.history import observed_count
         from feature_datalake_sl_mandic_spark.sources import parquet as lake

@@ -21,6 +21,23 @@ def test_compact_preserves_data_and_reduces_files(spark, tmp_path):
     assert set(after_df.columns) == set(src.columns)
 
 
+def test_compact_self_heals_crashed_swap(spark, tmp_path):
+    """Crash between the two swap renames leaves data only in ``.old``;
+    the next compact_table run must restore and proceed, losing nothing."""
+    import os
+
+    src = spark.read.parquet(f"{SF_SMALL}/region.parquet")
+    path = str(tmp_path / "region")
+    src.repartition(4).write.parquet(path)
+    before = src.count()
+
+    os.rename(path, path + ".old")  # simulate crash mid-swap: path missing
+    n = mt.compact_table(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert n >= 1
+    assert not os.path.isdir(path + ".old")
+    assert spark.read.parquet(path).count() == before
+
+
 def test_cluster_table_nonoverlapping_ranges(spark, tmp_path):
     dst = str(tmp_path / "orders_clustered")
     mt.cluster_table(
