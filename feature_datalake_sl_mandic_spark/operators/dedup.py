@@ -252,8 +252,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Banding via explode of a literal struct array: ONE pass over sig.
     # (A unionAll of per-band selects would recompute the signature
     # aggregation LSH_BANDS times — 4x the shuffle at 100 TB.)
+    # The full signature + set size ride through the band join: ~80 extra
+    # bytes per band row buys the elimination of BOTH per-side sig joins
+    # afterwards (2 joins = 4 exchanges of the pair relation + sig) — the
+    # classic carry-vs-rejoin trade, and at k=8 carrying wins.
     bands = sig.select(
         "doc_id",
+        *[F.col(f"m{j}") for j in range(MINHASH_K)],
+        "n",
         F.explode(
             F.array(
                 *[
@@ -265,8 +271,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bs"),
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    ).select(
+        "doc_id",
+        *[F.col(f"m{j}") for j in range(MINHASH_K)],
+        "n",
+        F.col("bs.band").alias("band"),
+        F.col("bs.sig").alias("sig"),
+    )
     ba, bb = bands.alias("a"), bands.alias("b")
+    # A pair colliding in multiple bands appears once per band; rows are
+    # identical in every carried column, so dropDuplicates on the pair key is
+    # deterministic in content (one shuffle — same price the old .distinct()
+    # paid, but now it also dedups the carried signatures).
     cand = (
         ba.join(
             bb,
@@ -274,29 +290,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *[F.col(f"a.m{j}").alias(f"am{j}") for j in range(MINHASH_K)],
+            F.col("a.n").alias("n_a"),
+            *[F.col(f"b.m{j}").alias(f"bm{j}") for j in range(MINHASH_K)],
+            F.col("b.n").alias("n_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
     x, y = sh.alias("x"), sh.alias("y")
     inter = (
-        cand.alias("c")
+        cand.select("doc_a", "doc_b")
+        .alias("c")
         .join(x, F.col("x.doc_id") == F.col("c.doc_a"))
         .join(y, (F.col("y.doc_id") == F.col("c.doc_b")) & (F.col("y.s") == F.col("x.s")))
         .groupBy("c.doc_a", "c.doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
 
-    siga, sigb = sig.alias("siga"), sig.alias("sigb")
     sig_matches = sum(
-        (F.col(f"siga.m{j}") == F.col(f"sigb.m{j}")).cast("int") for j in range(MINHASH_K)
+        (F.col(f"am{j}") == F.col(f"bm{j}")).cast("int") for j in range(MINHASH_K)
     )
     n_inter = F.coalesce(F.col("n_inter"), F.lit(0))
-    jac = n_inter / (F.col("siga.n") + F.col("sigb.n") - n_inter)
+    jac = n_inter / (F.col("n_a") + F.col("n_b") - n_inter)
     return (
         cand.join(inter, ["doc_a", "doc_b"], "left")
-        .join(siga, F.col("doc_a") == F.col("siga.doc_id"))
-        .join(sigb, F.col("doc_b") == F.col("sigb.doc_id"))
         .where(jac >= JACCARD_THRESHOLD)
         .select(
             "doc_a",
