@@ -2,11 +2,12 @@
 
 Extension surface (BASELINE.json: "multimodal columns"). The Spark-side
 plumbing is real and tested — schema, partition-aware batch iteration,
-Arrow-batched ``mapInPandas`` UDF signatures, output shapes. The actual
-codec work is STUBBED (this container ships no image/audio libraries):
-``decode_image_stub`` parses only the tiny deterministic header of the
-synthetic payloads, and real decoders drop in behind the same interface by
-replacing the one marked function.
+Arrow-batched ``mapInPandas`` UDF signatures, output shapes. Codec status,
+honestly: PPM (P6) decode / resize / pixel-level feature extraction is REAL
+(pure numpy — ``decode_ppm``/``resize_ppm``/``extract_image_features``);
+JPEG/PNG/audio/video stay STUBBED because this container ships no media
+libraries — ``decode_image_stub`` parses only the deterministic synthetic
+header, and real decoders drop in behind the same interfaces.
 
 Design for 100 TB of media:
 - binary payloads stay opaque to the JVM (no codegen over blobs); all
@@ -88,6 +89,121 @@ def decode_image_stub(payload: bytes) -> dict:
     return {"width": int(w), "height": int(h), "n_frames": int(fr), "kind": int(kind)}
 
 
+# --------------------------------------------------------------- real codec
+# PPM (P6) is decodable with stdlib + numpy alone, so it is the ONE real,
+# non-stubbed codec path in this container: header parse, full pixel decode,
+# nearest-neighbor resize. JPEG/PNG/audio/video remain behind the stub above
+# (their codecs aren't installed here) — same interfaces, so they drop in.
+
+
+def encode_ppm(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic binary P6 image: pixel (x, y, c) = (3x + 7y + 11c + seed) % 256."""
+    import numpy as np
+
+    y, x, c = np.mgrid[0:height, 0:width, 0:3]
+    pixels = ((3 * x + 7 * y + 11 * c + seed) % 256).astype(np.uint8)
+    return f"P6\n{width} {height}\n255\n".encode() + pixels.tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """Real decode of a binary P6 PPM -> (width, height, HxWx3 uint8 array).
+
+    Handles the format's whitespace/comment grammar; raises ValueError on
+    anything that isn't P6 with maxval 255."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raw pixel data
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    n = width * height * 3
+    pixels = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos).reshape(
+        height, width, 3
+    )
+    return width, height, pixels
+
+
+def resize_ppm(payload: bytes, max_dim: int) -> bytes:
+    """Real nearest-neighbor downscale of a P6 payload (aspect preserved);
+    returns the input unchanged when it already fits."""
+    import numpy as np
+
+    w, h, px = decode_ppm(payload)
+    scale = max(w, h) / max_dim
+    if scale <= 1.0:
+        return payload
+    nw, nh = max(int(w / scale), 1), max(int(h / scale), 1)
+    yi = (np.arange(nh) * (h / nh)).astype(int)
+    xi = (np.arange(nw) * (w / nw)).astype(int)
+    out = px[yi][:, xi]
+    return f"P6\n{nw} {nh}\n255\n".encode() + out.tobytes()
+
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luminance", T.DoubleType()),
+        T.StructField("n_pixels", T.LongType()),
+    ]
+)
+
+
+def make_ppm_media(spark: SparkSession, n: int = 32, partitions: int = 4) -> DataFrame:
+    """MEDIA_SCHEMA table whose payloads are REAL binary PPM images."""
+    rows = []
+    for i in range(n):
+        w, h = 8 + (i % 5) * 4, 8 + (i % 3) * 4
+        rows.append(
+            (
+                i,
+                "image",
+                encode_ppm(w, h, seed=i),
+                {"format": "ppm", "width": w, "height": h, "n_frames": 1},
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(partitions)
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """Real pixel-level feature extraction (Rec.601 mean luminance) over
+    Arrow-streamed batches — the non-stubbed decode path."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "width": [], "height": [], "mean_luminance": [], "n_pixels": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = decode_ppm(bytes(payload))
+                lum = (
+                    0.299 * px[:, :, 0].astype("float64")
+                    + 0.587 * px[:, :, 1]
+                    + 0.114 * px[:, :, 2]
+                ).mean()
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_luminance"].append(round(float(lum), 6))
+                out["n_pixels"].append(w * h)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=IMAGE_FEATURES_SCHEMA)
+
+
 FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -140,6 +256,13 @@ def resize_media(media: DataFrame, max_dim: int = 16) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             def shrink(row):
+                p = bytes(row["payload"])
+                if p.startswith(b"P6"):  # real codec path: resample pixels
+                    resized = resize_ppm(p, max_dim)
+                    w, h, _ = decode_ppm(resized)
+                    meta = dict(row["meta"])
+                    meta["width"], meta["height"] = w, h
+                    return resized, meta
                 d = decode_image_stub(row["payload"])
                 w, h = d["width"], d["height"]
                 scale = max(w, h) / max_dim
@@ -174,6 +297,64 @@ def filter_before_decode(media: DataFrame, kind: str = "image") -> DataFrame:
 
 
 from feature_datalake_sl_mandic_spark.registry import register  # noqa: E402
+
+
+# Closed-form oracle for the real PPM path: DuckDB re-derives every pixel
+# from the generator formula (3x + 7y + 11c + seed) % 256 and aggregates the
+# SAME integer luminance sum — an independent reconstruction, not a golden
+# file. All columns are exact integers, so the value hash is bit-stable.
+_PPM_ORACLE = """
+    WITH imgs AS (
+      SELECT i AS media_id,
+             CAST(8 + (i % 5) * 4 AS BIGINT) AS width,
+             CAST(8 + (i % 3) * 4 AS BIGINT) AS height
+      FROM range(16) t(i)
+    ),
+    xs AS (SELECT media_id, width, height, unnest(range(width)) AS x FROM imgs),
+    cells AS (SELECT media_id, width, height, x, unnest(range(height)) AS y FROM xs)
+    SELECT media_id, width, height,
+           width * height AS n_pixels,
+           CAST(sum(
+               299 * ((3*x + 7*y + media_id) % 256)
+             + 587 * ((3*x + 7*y + 11 + media_id) % 256)
+             + 114 * ((3*x + 7*y + 22 + media_id) % 256)) AS BIGINT) AS lum_sum_milli
+    FROM cells GROUP BY media_id, width, height ORDER BY media_id
+"""
+
+
+@register(
+    "multimodal_ppm_decode",
+    oracle=_PPM_ORACLE,
+    tags=("multimodal", "binary", "mapInPandas", "real-codec"),
+)
+def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL (non-stubbed) codec path: binary P6 PPM payloads decoded to
+    pixels in Arrow-streamed batches, per-image integer luminance sums
+    (299R + 587G + 114B, Rec.601 ×1000 — exact int64, no float summation
+    order to disagree on). The oracle reconstructs the same pixels from the
+    generator's closed form in pure SQL, so this is two independent
+    implementations of the ground truth, hash-compared. (sf_dir unused —
+    payloads are deterministic synthetic media, not fixture-lake tables.)"""
+    df = make_ppm_media(spark, n=16, partitions=3)
+    out_schema = (
+        "media_id long, width long, height long, n_pixels long, lum_sum_milli long"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("media_id", "width", "height", "n_pixels", "lum_sum_milli")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = decode_ppm(bytes(payload))
+                p = px.astype("int64")
+                lum = int((299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]).sum())
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["lum_sum_milli"].append(lum)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=out_schema).orderBy("media_id")
 
 
 @register(

@@ -116,6 +116,7 @@ _PRIORITY: list[str] = [
     "sample_stratified_orders",
     "agg_approx_sketches",
     # new this round (keep inside the 50-entry window)
+    "multimodal_ppm_decode",
 ]
 
 

@@ -1,5 +1,6 @@
-"""Multimodal plumbing tests: schema, Arrow batch shapes, partitioning,
-metadata-first pruning; the codec itself is stubbed by design."""
+"""Multimodal tests: plumbing (schema, Arrow batch shapes, partitioning,
+metadata-first pruning) plus the ONE real codec path — PPM decode, resize,
+and pixel-level features; other codecs are stubbed by design."""
 
 from __future__ import annotations
 
@@ -52,6 +53,61 @@ def test_filter_before_decode_prunes(media_df):
 def test_stub_raises_on_real_media(media_df):
     with pytest.raises(NotImplementedError):
         media.decode_image_stub(b"\x89PNG\r\n\x1a\n" + bytes(32))
+
+
+class TestRealPpmCodec:
+    """Non-stubbed decode: real binary P6 images through the full path."""
+
+    def test_round_trip(self):
+        import numpy as np
+
+        payload = media.encode_ppm(12, 8, seed=3)
+        w, h, px = media.decode_ppm(payload)
+        assert (w, h) == (12, 8)
+        assert px.shape == (8, 12, 3)
+        # spot-check the deterministic pixel formula
+        assert px[2, 5, 1] == (3 * 5 + 7 * 2 + 11 * 1 + 3) % 256
+        assert px.dtype == np.uint8
+
+    def test_comment_and_whitespace_grammar(self):
+        raw = b"P6\n# a comment\n 4\t3 # trailing\n255\n" + bytes(4 * 3 * 3)
+        w, h, px = media.decode_ppm(raw)
+        assert (w, h) == (4, 3) and px.sum() == 0
+
+    def test_non_p6_rejected(self):
+        with pytest.raises(ValueError):
+            media.decode_ppm(b"P5\n2 2\n255\n" + bytes(4))
+
+    def test_resize_downscales_pixels(self):
+        payload = media.encode_ppm(16, 8, seed=0)
+        out = media.resize_ppm(payload, max_dim=4)
+        w, h, px = media.decode_ppm(out)
+        assert (w, h) == (4, 2)
+        # nearest-neighbor: output pixel (0, 1) samples input (0, 4)
+        _, _, src = media.decode_ppm(payload)
+        assert (px[0, 1] == src[0, 4]).all()
+        # already-fitting payloads pass through untouched
+        assert media.resize_ppm(out, max_dim=4) == out
+
+    def test_extract_image_features_matches_numpy(self, spark):
+        df = media.make_ppm_media(spark, n=16, partitions=3)
+        feats = {r["media_id"]: r for r in media.extract_image_features(df).collect()}
+        assert len(feats) == 16
+        for i in range(16):
+            w, h, px = media.decode_ppm(media.encode_ppm(8 + (i % 5) * 4, 8 + (i % 3) * 4, seed=i))
+            lum = (0.299 * px[:, :, 0].astype("float64") + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]).mean()
+            assert feats[i]["width"] == w and feats[i]["height"] == h
+            assert feats[i]["n_pixels"] == w * h
+            assert abs(feats[i]["mean_luminance"] - lum) < 1e-5
+
+    def test_resize_media_dispatches_real_codec(self, spark):
+        df = media.make_ppm_media(spark, n=8, partitions=2)
+        resized = media.resize_media(df, max_dim=8)
+        assert resized.schema == df.schema
+        for r in resized.collect():
+            w, h, _ = media.decode_ppm(bytes(r["payload"]))
+            assert max(w, h) <= 8
+            assert (r["meta"]["width"], r["meta"]["height"]) == (w, h)
 
 
 def test_resize_media_schema_and_dims(spark):
