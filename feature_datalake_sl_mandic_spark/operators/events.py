@@ -443,3 +443,147 @@ def events_funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ----------------------------------------------------- streaming batch twins
+# Each Structured Streaming job in streaming/ has a registered batch twin so
+# the oracle gate sees the same logic the stream runs (streaming itself is
+# not DuckDB-checkable; tests prove availableNow streaming == these plans).
+
+
+@register(
+    "events_dedup_replayed",
+    oracle=f"""
+    WITH replayed AS (
+      SELECT event_id, event_type, value FROM events
+      UNION ALL
+      SELECT event_id, event_type, value FROM events
+      WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 10 = 0
+    ),
+    inp AS (
+      SELECT event_type, count(*) AS n_replayed_input FROM replayed GROUP BY 1
+    ),
+    ded AS (
+      SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+      FROM (SELECT DISTINCT event_id, event_type, value FROM replayed)
+      GROUP BY 1
+    )
+    SELECT event_type, n_replayed_input, n_events, total_value
+    FROM inp JOIN ded USING (event_type)
+    ORDER BY event_type
+    """,
+    tags=("events", "dedup", "streaming-twin", "set-ops"),
+)
+def events_dedup_replayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming.jobs.dedup_within_watermark``: an
+    at-least-once source is simulated by replaying a deterministic 10%
+    md5-bucket of events, then exact dedup on event_id restores
+    effectively-once. Non-vacuous by construction (input > output); the
+    streaming variant bounds the same dedup state by the watermark."""
+    from feature_datalake_sl_mandic_spark.functions.hashing import md5_bucket_col
+
+    (ev,) = _t(spark, sf_dir, "events")
+    base = ev.select("event_id", "event_type", "value")
+    replayed = base.unionAll(
+        base.where(md5_bucket_col(F.col("event_id").cast("string"), 10) == 0)
+    )
+    inp = replayed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_replayed_input")
+    )
+    ded = (
+        replayed.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    return inp.join(ded, "event_type").orderBy("event_type")
+
+
+@register(
+    "events_click_attribution",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           epoch_us(CAST(c.ts AS TIMESTAMP)) AS click_us,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) AS purchase_us,
+           round(p.value, 2) AS value
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+     AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+    ORDER BY purchase_id, click_id
+    """,
+    tags=("events", "range-join", "streaming-twin", "attribution"),
+)
+def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming.jobs.click_purchase_attribution``: every
+    purchase joins ALL clicks by the same user in the preceding hour (the
+    windowed attribution set, vs join_asof's nearest-one semantics). Same
+    output columns as the stream-stream interval join; the time bound that
+    lets streaming expire join state is the same predicate that keeps the
+    batch range join selective."""
+    (ev,) = _t(spark, sf_dir, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    )
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "user_id",
+            "purchase_id",
+            "click_id",
+            F.unix_micros("click_ts").alias("click_us"),
+            F.unix_micros("purchase_ts").alias("purchase_us"),
+            F.round("value", 2).alias("value"),
+        )
+        .orderBy("purchase_id", "click_id")
+    )
+
+
+@register(
+    "events_user_profiles_batch",
+    oracle="""
+    SELECT user_id,
+           count(*) AS lifetime_events,
+           round(sum(value), 2) AS lifetime_value,
+           epoch_us(max(CAST(ts AS TIMESTAMP))) AS last_seen_us
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("events", "groupby-agg", "streaming-twin", "stateful"),
+)
+def events_user_profiles_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming.stateful.user_profiles``
+    (applyInPandasWithState): the final per-user profile state after the
+    whole stream is exactly this one-shuffle aggregation —
+    tests/test_stateful_streaming.py asserts that equivalence."""
+    (ev,) = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("lifetime_events"),
+            F.round(F.sum("value"), 2).alias("lifetime_value"),
+            F.unix_micros(F.max("ts")).alias("last_seen_us"),
+        )
+        .orderBy("user_id")
+    )

@@ -117,6 +117,9 @@ _PRIORITY: list[str] = [
     "agg_approx_sketches",
     # new this round (keep inside the 50-entry window)
     "multimodal_ppm_decode",
+    "events_dedup_replayed",
+    "events_click_attribution",
+    "events_user_profiles_batch",
 ]
 
 

@@ -12,25 +12,34 @@ from tests.conftest import SF_SMALL
 
 
 def test_hll_within_rsd_bound(spark):
-    approx = {r["l_returnflag"]: r for r in agg_approx_sketches(spark, SF_SMALL).collect()}
+    """Raw sketch error bounds (the check the oracle can't express), plus the
+    registered query's error-band contract holding on real data."""
     li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
-    exact = {
+    raw = {
         r["l_returnflag"]: r
         for r in li.groupBy("l_returnflag")
         .agg(
+            F.approx_count_distinct("l_suppkey", rsd=0.02).alias("a_s"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("a_o"),
+            F.expr("approx_percentile(l_extendedprice, 0.5)").alias("a_p50"),
             F.countDistinct("l_suppkey").alias("s"),
             F.countDistinct("l_orderkey").alias("o"),
             F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
         )
         .collect()
     }
-    for k, e in exact.items():
-        a = approx[k]
+    for r in raw.values():
         # rsd=0.02 → allow 5 sigma
-        assert abs(a["approx_suppliers"] - e["s"]) <= max(2, 0.1 * e["s"])
-        assert abs(a["approx_orders"] - e["o"]) <= max(2, 0.1 * e["o"])
+        assert abs(r["a_s"] - r["s"]) <= max(2, 0.1 * r["s"])
+        assert abs(r["a_o"] - r["o"]) <= max(2, 0.1 * r["o"])
         # approx_percentile default accuracy: within 2% of the exact median
-        assert abs(a["p50_price"] - e["p50"]) / e["p50"] < 0.02
+        assert abs(r["a_p50"] - r["p50"]) / r["p50"] < 0.02
+
+    # Registered error-band contract: exact counts match, all bands true
+    for a in agg_approx_sketches(spark, SF_SMALL).collect():
+        e = raw[a["l_returnflag"]]
+        assert a["exact_suppliers"] == e["s"] and a["exact_orders"] == e["o"]
+        assert a["approx_suppliers_ok"] and a["approx_orders_ok"] and a["p50_price_ok"]
 
 
 def test_stratified_sample_rates(spark):
