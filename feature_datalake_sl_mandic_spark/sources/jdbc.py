@@ -10,9 +10,11 @@ subquery-tables (``verifica_carga_slmandicprd.py:56-62`` MySQL;
 This module keeps the same capability surface but parallelizes the scan
 (partitionColumn/bounds/numPartitions) and preserves the reference's
 zero-date handling (``zeroDateTimeBehavior=CONVERT_TO_NULL``,
-``spark_ingest_slmandicprd.py:28``). No live DB exists in the test
-environment, so functions build and return readers/configs that tests assert
-on; execution requires a configured URL.
+``spark_ingest_slmandicprd.py:28``). No MySQL/MSSQL server exists in the
+test environment, but the JDBC path IS executed live against embedded Derby
+(bundled with Spark): tests/test_sources.py runs write -> partitioned
+parallel read -> catalog pushdown -> full ingest pipeline against a real
+database, and the server-backed configs differ only in URL + driver string.
 """
 
 from __future__ import annotations
@@ -23,6 +25,32 @@ from pyspark.sql import DataFrame, SparkSession
 
 MYSQL_DRIVER = "com.mysql.cj.jdbc.Driver"
 MSSQL_DRIVER = "com.microsoft.sqlserver.jdbc.SQLServerDriver"
+# Embedded Derby ships on Spark's own classpath, so the JDBC path is
+# EXECUTABLE in this environment (not just constructible): tests run the
+# write -> parallel partitioned read -> catalog pushdown loop against a real
+# database file. MySQL/MSSQL swap in by URL + driver with no code change.
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def derby_config(db_path: str, create: bool = True) -> "JdbcConfig":
+    """Config for an embedded Derby database at ``db_path`` — the
+    live-executable stand-in for the reference's MySQL/MSSQL endpoints."""
+    suffix = ";create=true" if create else ""
+    return JdbcConfig(
+        url=f"jdbc:derby:{db_path}{suffix}", user="", password="", driver=DERBY_DRIVER
+    )
+
+
+def derby_catalog_query(schema: str = "APP") -> str:
+    """Pushdown catalog scan against Derby's system tables — the same
+    subquery-as-table shape as the MySQL/MSSQL variants (S2/S3), executable
+    here. Derby exposes no modification time, so freshness joins use the
+    ingest history side alone."""
+    return (
+        "(SELECT t.TABLENAME AS table_name FROM SYS.SYSTABLES t "
+        "JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID "
+        f"WHERE s.SCHEMANAME = '{schema}' AND t.TABLETYPE = 'T') t"
+    )
 
 
 @dataclass

@@ -108,3 +108,98 @@ def test_schema_evolution_merge_schema(spark, tmp_path):
     # old files surface the new column as null; new files carry the value
     assert merged.where(F.col("ingest_tag").isNull()).count() == v1.count()
     assert merged.where(F.col("ingest_tag") == "v2").count() == v1.count()
+
+
+class TestLiveJdbcDerby:
+    """The JDBC source path EXECUTED against a real database: embedded Derby
+    ships on Spark's classpath, so write -> parallel partitioned read ->
+    catalog pushdown -> full ingest pipeline all run live (S1/S2/S5 parity,
+    executable). MySQL/MSSQL differ only in URL + driver string."""
+
+    def _cfg(self, tmp_path):
+        from feature_datalake_sl_mandic_spark.sources.jdbc import derby_config
+
+        return derby_config(str(tmp_path / "derbydb"))
+
+    def test_write_partitioned_read_round_trip(self, spark, tmp_path):
+        from feature_datalake_sl_mandic_spark.sources import jdbc
+
+        cfg = self._cfg(tmp_path)
+        src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+        (
+            src.write.format("jdbc")
+            .options(**cfg.options())
+            .option("dbtable", "nation")
+            .mode("overwrite")
+            .save()
+        )
+        back = jdbc.read_table(
+            spark, cfg, "nation",
+            partition_column="n_nationkey", lower_bound=0, upper_bound=25,
+        )
+        # parallel scan: numPartitions stripes of the key range, not 1 task
+        assert back.rdd.getNumPartitions() == cfg.num_partitions
+        assert back.count() == src.count()
+        got = {(r["n_nationkey"], r["n_name"]) for r in back.collect()}
+        want = {(r["n_nationkey"], r["n_name"]) for r in src.collect()}
+        assert got == want
+
+    def test_catalog_pushdown_subquery(self, spark, tmp_path):
+        from feature_datalake_sl_mandic_spark.sources import jdbc
+
+        cfg = self._cfg(tmp_path)
+        for t in ("region", "nation"):
+            (
+                spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+                .write.format("jdbc")
+                .options(**cfg.options())
+                .option("dbtable", t)
+                .mode("overwrite")
+                .save()
+            )
+        cat = jdbc.read_catalog(spark, cfg, jdbc.derby_catalog_query())
+        names = {r["TABLE_NAME"].lower() for r in cat.collect()}
+        assert {"region", "nation"} <= names
+
+    def test_pipeline_from_live_db(self, spark, tmp_path):
+        """End-to-end reference lifecycle with a LIVE JDBC source: the OLTP
+        side is a Derby database, catalog freshness comes from its system
+        tables, and the lake lands as parquet with history rows."""
+        import datetime as dt
+
+        from pyspark.sql import types as T
+
+        from feature_datalake_sl_mandic_spark.ingest import history as hist
+        from feature_datalake_sl_mandic_spark.ingest.pipeline import run_pipeline
+        from feature_datalake_sl_mandic_spark.sources import jdbc
+
+        cfg = self._cfg(tmp_path)
+        src = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+        (
+            src.write.format("jdbc")
+            .options(**cfg.options())
+            .option("dbtable", "supplier")
+            .mode("overwrite")
+            .save()
+        )
+        live = jdbc.read_catalog(spark, cfg, jdbc.derby_catalog_query())
+        # Derby's catalog has no modify_date: stamp 'now' as update_time (a
+        # poll-based freshness default — every listed table counts as fresh)
+        now = dt.datetime.now()
+        catalog = spark.createDataFrame(
+            [(r["TABLE_NAME"].lower(), now) for r in live.collect()],
+            T.StructType(
+                [
+                    T.StructField("table_name", T.StringType()),
+                    T.StructField("update_time", T.TimestampType()),
+                ]
+            ),
+        )
+        sources = {"supplier": jdbc.read_table(spark, cfg, "supplier")}
+        lake_dir = str(tmp_path / "lake")
+        results = run_pipeline(spark, catalog, sources, lake_dir, "livedb")
+        assert [r.table for r in results] == ["supplier"]
+        assert results[0].status == "ok"
+        assert results[0].row_count == src.count()
+        latest = hist.latest_runs(spark, lake_dir).collect()
+        assert {r["table_name"] for r in latest} == {"supplier"}
