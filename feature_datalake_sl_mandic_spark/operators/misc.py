@@ -524,3 +524,70 @@ def sample_deterministic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "txlog_merge_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS okey, round(o_totalprice, 2) AS price,
+             o_orderstatus AS status
+      FROM orders
+    ),
+    updates AS (
+      SELECT o_orderkey AS okey, round(o_totalprice + 100, 2) AS price,
+             'U' AS status
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000, 1.0, 'N'
+      FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    merged AS (
+      SELECT * FROM base WHERE okey NOT IN (SELECT okey FROM updates)
+      UNION ALL SELECT * FROM updates
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n, round(sum(price), 2) AS total
+    FROM merged GROUP BY status ORDER BY status
+    """,
+    tags=("ingest", "merge-upsert", "acid", "transaction-log", "incremental"),
+)
+def txlog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE executed through the transaction-log table format
+    (sources/txlog.py): create a committed table from orders, MERGE an
+    update/insert batch as a serializable commit, read back the NEW COMMITTED
+    SNAPSHOT. Verifies real table-format IO — manifest commit, immutable data
+    files, snapshot read — not just the join shape (merge_upsert_orders
+    covers that); the oracle recomputes the merged state relationally."""
+    import tempfile
+
+    from feature_datalake_sl_mandic_spark.sources.txlog import TxTable
+
+    (od,) = _t(spark, sf_dir, "orders")
+    base = od.select(
+        F.col("o_orderkey").alias("okey"),
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    updates = (
+        od.where(F.col("o_orderkey") % 7 == 0)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.round(F.col("o_totalprice") + 100, 2).alias("price"),
+            F.lit("U").alias("status"),
+        )
+        .unionAll(
+            od.where(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + 1_000_000_000).alias("okey"),
+                F.lit(1.0).alias("price"),
+                F.lit("N").alias("status"),
+            )
+        )
+    )
+    t = TxTable.create(spark, tempfile.mkdtemp(prefix="txlog_q_"), base)
+    t.merge(spark, updates, key="okey")
+    return (
+        t.read(spark)  # the committed post-merge snapshot, not the plan
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("price"), 2).alias("total"))
+        .orderBy("status")
+    )

@@ -120,6 +120,7 @@ _PRIORITY: list[str] = [
     "events_dedup_replayed",
     "events_click_attribution",
     "events_user_profiles_batch",
+    "txlog_merge_upsert",
 ]
 
 

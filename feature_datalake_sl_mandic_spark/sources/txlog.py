@@ -1,0 +1,254 @@
+"""Transaction-log table format over parquet: ACID-ish tables without Delta.
+
+BASELINE.json's north star names Parquet/Delta/Iceberg; ``delta-spark`` is
+not installed in this environment, so this module supplies the essential
+transaction-log semantics those formats provide, using only parquet + a JSON
+log — the same published design (Iceberg spec / Delta log protocol): a table
+is a DIRECTORY OF IMMUTABLE DATA FILES plus an ordered log of version
+manifests, and the log — not the filesystem listing — defines table state.
+
+Layout::
+
+    <table>/data/<uuid>/part-*.parquet   immutable, never rewritten in place
+    <table>/_txlog/v0000000001.json      manifest: file list + schema + op
+
+Guarantees (and their mechanisms):
+
+- **Atomic commit**: a version is claimed by ``os.link(tmp, vN.json)`` —
+  hard-link creation is atomic and fails if the name exists, so exactly one
+  writer wins a version number; losers retry against the new latest
+  (optimistic concurrency). Readers only ever see fully-written manifests.
+- **Snapshot isolation**: a reader resolves a manifest once and reads only
+  the files it lists; since data files are immutable and never deleted by
+  logical operations, the snapshot stays consistent for the reader's
+  lifetime regardless of concurrent commits.
+- **No visibility gap**: unlike directory-swap compaction
+  (``maintenance.compact_table``), the table path never disappears —
+  compaction/overwrite commit a new manifest and old files linger until
+  ``vacuum``.
+- **Serializable rewrites**: operations that rewrite existing data (merge,
+  compact, rollback-target checks) pass ``expected_version``; if another
+  commit landed in between, the commit raises ``TxConflict`` instead of
+  silently clobbering — append-only commits instead merge file lists and
+  retry.
+- **Time travel / rollback**: any historical version is readable; rollback
+  is a NEW commit whose file list equals the old version's (history is
+  append-only, like Delta's RESTORE).
+
+At 100 TB the same design holds: manifests carry file paths (O(files), kept
+small by compaction), data moves only through executor-parallel writes, and
+the only driver-side work is the JSON manifest — Iceberg's avro manifests
+and Delta's checkpoints are optimizations of exactly this structure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class TxConflict(RuntimeError):
+    """A concurrent commit invalidated this operation's snapshot."""
+
+
+@dataclass
+class TxSnapshot:
+    version: int
+    files: list[str]
+    schema_json: str
+    op: str
+
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.schema_json))
+
+
+def _vname(version: int) -> str:
+    return f"v{version:010d}.json"
+
+
+class TxTable:
+    """Handle to a transaction-log table rooted at ``path``."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.log_dir = os.path.join(path, "_txlog")
+        self.data_dir = os.path.join(path, "data")
+
+    # ------------------------------------------------------------- log I/O
+
+    def versions(self) -> list[int]:
+        try:
+            names = os.listdir(self.log_dir)
+        except FileNotFoundError:
+            return []
+        return sorted(
+            int(n[1:-5]) for n in names if n.startswith("v") and n.endswith(".json")
+        )
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def snapshot(self, version: int | None = None) -> TxSnapshot:
+        v = self.latest_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed version in {self.log_dir}")
+        with open(os.path.join(self.log_dir, _vname(v))) as f:
+            m = json.load(f)
+        return TxSnapshot(v, m["files"], m["schema"], m["op"])
+
+    def _commit(
+        self,
+        new_files: list[str],
+        op: str,
+        schema_json: str,
+        base_files: list[str] | None = None,
+        expected_version: int | None = None,
+        max_retries: int = 20,
+    ) -> int:
+        """Atomically claim the next version. ``base_files=None`` means the
+        manifest REPLACES the file list (overwrite/merge/compact/rollback);
+        otherwise the commit is an append on top of whatever is latest at
+        claim time. ``expected_version`` makes replacing ops serializable."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        for _ in range(max_retries):
+            latest = self.latest_version()
+            if expected_version is not None and latest != expected_version:
+                raise TxConflict(
+                    f"expected v{expected_version}, found v{latest}: "
+                    "a concurrent commit landed; re-run against the new snapshot"
+                )
+            next_v = 0 if latest is None else latest + 1
+            if base_files is not None:
+                # pin to the claimed base version: snapshot() could read a
+                # manifest newer than `latest` and desync files from next_v
+                files = (
+                    self.snapshot(latest).files if latest is not None else []
+                ) + new_files
+            else:
+                files = new_files
+            tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
+            with open(tmp, "w") as f:
+                json.dump({"files": files, "schema": schema_json, "op": op}, f)
+            target = os.path.join(self.log_dir, _vname(next_v))
+            try:
+                os.link(tmp, target)  # atomic claim: fails iff version exists
+                os.unlink(tmp)
+                return next_v
+            except FileExistsError:
+                os.unlink(tmp)  # lost the race: recompute against new latest
+                continue
+        raise TxConflict(f"could not claim a version after {max_retries} attempts")
+
+    # ---------------------------------------------------------- data files
+
+    def _write_files(self, df: DataFrame) -> list[str]:
+        """Write a batch of immutable data files; return their paths.
+        Executor-parallel parquet write into a unique batch dir — nothing is
+        visible to readers until the manifest referencing it commits."""
+        batch = os.path.join(self.data_dir, uuid.uuid4().hex)
+        df.write.parquet(batch)
+        return sorted(
+            os.path.join(batch, f) for f in os.listdir(batch) if f.endswith(".parquet")
+        )
+
+    @staticmethod
+    def _check_schema(df: DataFrame, snap: TxSnapshot) -> None:
+        want = [(f.name, f.dataType.simpleString()) for f in snap.schema().fields]
+        got = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+        if want != got:
+            raise ValueError(f"schema mismatch: table {want} vs append {got}")
+
+    # ---------------------------------------------------------- operations
+
+    @classmethod
+    def create(cls, spark: SparkSession, path: str, df: DataFrame) -> "TxTable":
+        t = cls(path)
+        if t.latest_version() is not None:
+            raise FileExistsError(f"table already exists at {path}")
+        files = t._write_files(df)
+        t._commit(files, "create", df.schema.json())
+        return t
+
+    def append(self, df: DataFrame) -> int:
+        snap = self.snapshot()
+        self._check_schema(df, snap)
+        files = self._write_files(df)
+        # base_files sentinel: append merges with latest at claim time, so
+        # concurrent appends BOTH land (no lost updates, no conflict error)
+        return self._commit(files, "append", snap.schema_json, base_files=files)
+
+    def overwrite(self, df: DataFrame) -> int:
+        files = self._write_files(df)
+        return self._commit(files, "overwrite", df.schema.json())
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        snap = self.snapshot(version)
+        if not snap.files:
+            return spark.createDataFrame([], snap.schema())
+        return spark.read.schema(snap.schema()).parquet(*snap.files)
+
+    def merge(self, spark: SparkSession, updates: DataFrame, key: str) -> int:
+        """MERGE (SCD-1 upsert): updates win on ``key``, unmatched insert.
+        Serializable: conflicts raise TxConflict rather than losing either
+        writer's rows. (Full rewrite; Delta/Iceberg prune to matched files —
+        same semantics, an IO optimization this format can add per-file
+        min/max stats for.)"""
+        snap = self.snapshot()
+        current = self.read(spark)
+        merged = current.join(updates, key, "left_anti").unionByName(updates)
+        files = self._write_files(merged)
+        return self._commit(
+            files, "merge", snap.schema_json, expected_version=snap.version
+        )
+
+    def compact(self, spark: SparkSession, n_files: int) -> int:
+        """Log-aware compaction: rewrite the current snapshot into
+        ``n_files`` files and commit. Readers of ANY version keep working —
+        the table path never vanishes (contrast maintenance.compact_table's
+        rename window) and old files stay until vacuum."""
+        snap = self.snapshot()
+        files = self._write_files(self.read(spark).repartition(n_files))
+        return self._commit(
+            files, "compact", snap.schema_json, expected_version=snap.version
+        )
+
+    def rollback(self, to_version: int) -> int:
+        old = self.snapshot(to_version)
+        cur = self.snapshot()
+        return self._commit(
+            old.files, f"rollback:{to_version}", old.schema_json,
+            expected_version=cur.version,
+        )
+
+    def vacuum(self, keep_last: int = 2) -> list[str]:
+        """Delete data files unreferenced by the ``keep_last`` newest
+        manifests (and drop older manifests). Time travel beyond the horizon
+        is traded for space — same contract as Delta VACUUM."""
+        vs = self.versions()
+        keep_vs = vs[-keep_last:]
+        live: set[str] = set()
+        for v in keep_vs:
+            live.update(self.snapshot(v).files)
+        removed = []
+        for batch in os.listdir(self.data_dir) if os.path.isdir(self.data_dir) else []:
+            bdir = os.path.join(self.data_dir, batch)
+            for f in list(os.listdir(bdir)):
+                p = os.path.join(bdir, f)
+                if f.endswith(".parquet") and p not in live:
+                    os.unlink(p)
+                    removed.append(p)
+            if not os.listdir(bdir):
+                shutil.rmtree(bdir)
+        for v in vs[:-keep_last]:
+            os.unlink(os.path.join(self.log_dir, _vname(v)))
+        return removed
+
+    def history(self) -> list[TxSnapshot]:
+        return [self.snapshot(v) for v in self.versions()]
