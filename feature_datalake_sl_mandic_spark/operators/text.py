@@ -443,3 +443,271 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TFIDF_TOP_N)
         .orderBy("doc_id", "rnk")
     )
+
+
+# -------------------------------------------------- corpus pipeline, round 2
+# PII redaction, sliding-window chunking (declarative + Python UDTF twins),
+# and train/eval contamination checking — the remaining standard stages of a
+# training-data pipeline.
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\+1-555-[0-9]{4}"
+_PII_SSN = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+# Deterministic PII synthesis (the fixture corpus is PII-free word soup, so
+# each doc gets a derived email/phone/SSN appended before redaction — both
+# engines build the identical string).
+_DUCK_WITH_PII = (
+    "text || ' contact user' || doc_id || '@mail.example.com or +1-555-' || "
+    "lpad(CAST(doc_id AS VARCHAR), 4, '0') || ' ssn 123-45-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+@register(
+    "corpus_pii_redact",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_DUCK_WITH_PII} AS t FROM documents),
+    red AS (
+      SELECT doc_id, t,
+             regexp_replace(regexp_replace(regexp_replace(t,
+                 '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g'),
+                 '{_PII_SSN}', '<SSN>', 'g') AS redacted
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(t, '{_PII_SSN}')) AS BIGINT) AS n_ssns,
+           md5(redacted) AS redacted_md5,
+           NOT regexp_matches(redacted,
+               '{_PII_EMAIL}|{_PII_PHONE}|{_PII_SSN}') AS no_residual
+    FROM red
+    ORDER BY doc_id
+    """,
+    tags=("text", "pii", "redaction", "regex", "corpus-clean"),
+)
+def corpus_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the compliance stage of a corpus pipeline: email /
+    phone / SSN patterns replaced with typed placeholders, with per-doc match
+    counts and a residual-PII audit flag. Pure JVM regexp (no UDF); the
+    patterns are Java-regex/RE2 common ground so both engines agree; output
+    is verified by md5 of the redacted text. Redaction order (email, phone,
+    SSN) is fixed so overlapping matches resolve identically everywhere.
+    Embarrassingly parallel at 100 TB: evaluates inside the scan stage."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    with_pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    w = dc.select("doc_id", with_pii.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_SSN,
+        "<SSN>",
+    )
+
+    def n_matches(pat: str):
+        return F.size(F.regexp_extract_all(F.col("t"), F.lit(pat), F.lit(0))).cast(
+            "bigint"
+        )
+
+    return (
+        w.select(
+            "doc_id",
+            n_matches(_PII_EMAIL).alias("n_emails"),
+            n_matches(_PII_PHONE).alias("n_phones"),
+            n_matches(_PII_SSN).alias("n_ssns"),
+            F.md5(redacted).alias("redacted_md5"),
+            (~redacted.rlike(f"{_PII_EMAIL}|{_PII_PHONE}|{_PII_SSN}")).alias(
+                "no_residual"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DUCK_CHUNKS = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    c AS (
+      SELECT doc_id, ws,
+             unnest(range(0, ((len(ws) - 1) // {CHUNK_STRIDE}) + 1)) AS k
+      FROM t
+    )
+    SELECT doc_id,
+           k AS chunk_id,
+           CAST(len(ws[(k*{CHUNK_STRIDE}+1):(k*{CHUNK_STRIDE}+{CHUNK_SIZE})]) AS BIGINT)
+             AS chunk_tokens,
+           md5(array_to_string(ws[(k*{CHUNK_STRIDE}+1):(k*{CHUNK_STRIDE}+{CHUNK_SIZE})], ' '))
+             AS chunk_md5
+    FROM c
+    ORDER BY doc_id, chunk_id
+"""
+
+
+@register(
+    "corpus_chunk_sliding",
+    oracle=_DUCK_CHUNKS,
+    tags=("text", "chunking", "sliding-window", "explode"),
+)
+def corpus_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking ({CHUNK_SIZE}-token chunks, stride
+    {CHUNK_STRIDE}) — how long documents become training sequences with
+    overlap. DECLARATIVE scale path: sequence + explode + slice are all
+    JVM-side, chunk identity is md5 of the joined tokens, and chunk ids
+    derive from token offsets so they are stable under repartitioning.
+    One narrow shuffle (the final sort); chunking itself is map-only."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n = F.size(ws)
+    ks = F.sequence(F.lit(0), F.floor((n - 1) / CHUNK_STRIDE).cast("int"))
+    exploded = dc.select(
+        "doc_id", ws.alias("ws"), F.explode(ks).alias("k")
+    )
+    chunk = F.slice("ws", F.col("k") * CHUNK_STRIDE + 1, CHUNK_SIZE)
+    return (
+        exploded.select(
+            "doc_id",
+            F.col("k").cast("bigint").alias("chunk_id"),
+            F.size(chunk).cast("bigint").alias("chunk_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@register(
+    "corpus_chunk_udtf",
+    oracle=_DUCK_CHUNKS,
+    tags=("text", "chunking", "udtf", "python-udtf", "lateral-join"),
+)
+def corpus_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME chunking as corpus_chunk_sliding through a Python UDTF
+    (Spark 4 ``@udtf``) in a LATERAL correlated join — the table-function
+    escape hatch for one-row-to-many transforms too irregular for
+    sequence+explode. Hash-identical output to the declarative twin (shared
+    oracle) proves the two paths agree; the declarative plan remains the
+    100 TB hot path (UDTFs cross the Python boundary per row-group)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_id bigint, chunk_tokens bigint, chunk_md5 string")
+    class ChunkDoc:
+        def eval(self, doc_id: int, text: str):
+            import hashlib
+
+            toks = text.split(" ")
+            for k, start in enumerate(range(0, len(toks), CHUNK_STRIDE)):
+                chunk = toks[start : start + CHUNK_SIZE]
+                digest = hashlib.md5((" ".join(chunk)).encode()).hexdigest()
+                yield doc_id, k, len(chunk), digest
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    from feature_datalake_sl_mandic_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir, names=["documents"])
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_id, c.chunk_tokens, c.chunk_md5
+        FROM documents d, LATERAL chunk_doc(d.doc_id, d.text) c
+        ORDER BY doc_id, chunk_id
+        """
+    )
+
+
+DECON_NGRAM = 8
+DECON_EVAL_MOD = 25
+
+_DUCK_NGRAMS = f"""
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(range(1, greatest(len(ws) - {DECON_NGRAM - 2}, 1)),
+                              i -> {" || ' ' || ".join(f"ws[i+{j}]" for j in range(DECON_NGRAM))})))
+             AS s
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+"""
+
+
+@register(
+    "corpus_decontaminate",
+    oracle=f"""
+    WITH sh AS ({_DUCK_NGRAMS}),
+    eval_sh AS (SELECT DISTINCT doc_id AS eval_doc_id, s FROM sh
+                WHERE doc_id % {DECON_EVAL_MOD} = 0),
+    train_sh AS (SELECT doc_id, s FROM sh WHERE doc_id % {DECON_EVAL_MOD} != 0),
+    hits AS (
+      SELECT eval_doc_id,
+             count(DISTINCT train_sh.doc_id) AS n_contaminated_train_docs,
+             count(*) AS n_shared_ngrams
+      FROM eval_sh JOIN train_sh USING (s)
+      GROUP BY eval_doc_id
+    )
+    SELECT e.doc_id AS eval_doc_id,
+           CAST(coalesce(h.n_contaminated_train_docs, 0) AS BIGINT)
+             AS n_contaminated_train_docs,
+           CAST(coalesce(h.n_shared_ngrams, 0) AS BIGINT) AS n_shared_ngrams
+    FROM (SELECT doc_id FROM documents WHERE doc_id % {DECON_EVAL_MOD} = 0) e
+    LEFT JOIN hits h ON h.eval_doc_id = e.doc_id
+    ORDER BY eval_doc_id
+    """,
+    tags=("text", "decontamination", "ngram", "join", "corpus-clean"),
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check — the pre-training hygiene step: flag
+    training documents sharing any {DECON_NGRAM}-gram with the held-out eval
+    set (here: doc_id % {DECON_EVAL_MOD} == 0, standing in for a benchmark
+    suite). Inverted-index equi-join on the n-gram string: candidate pairs
+    come from shared n-grams only — never an all-pairs comparison — so the
+    join scales with n-gram collisions, and a DF cap (as in dedup) bounds
+    adversarial blowup. Emits one row per eval doc including clean ones, so
+    the output proves the whole eval set was screened."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - (DECON_NGRAM - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, i + j) for j in range(DECON_NGRAM)]
+        ),
+    )
+    sh = dc.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size(ws) >= DECON_NGRAM, F.array_distinct(grams)).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("s"),
+    )
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+    eval_sh = sh.where(is_eval).select(F.col("doc_id").alias("eval_doc_id"), "s")
+    train_sh = sh.where(~is_eval)
+    hits = (
+        eval_sh.join(train_sh, "s")
+        .groupBy("eval_doc_id")
+        .agg(
+            F.countDistinct("doc_id").alias("n_contaminated_train_docs"),
+            F.count(F.lit(1)).alias("n_shared_ngrams"),
+        )
+    )
+    eval_docs = dc.where(is_eval).select(F.col("doc_id").alias("eval_doc_id"))
+    return (
+        eval_docs.join(hits, "eval_doc_id", "left")
+        .select(
+            "eval_doc_id",
+            F.coalesce("n_contaminated_train_docs", F.lit(0)).alias(
+                "n_contaminated_train_docs"
+            ),
+            F.coalesce("n_shared_ngrams", F.lit(0)).alias("n_shared_ngrams"),
+        )
+        .orderBy("eval_doc_id")
+    )

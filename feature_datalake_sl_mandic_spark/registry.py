@@ -121,6 +121,10 @@ _PRIORITY: list[str] = [
     "events_click_attribution",
     "events_user_profiles_batch",
     "txlog_merge_upsert",
+    "corpus_pii_redact",
+    "corpus_chunk_sliding",
+    "corpus_chunk_udtf",
+    "corpus_decontaminate",
 ]
 
 
