@@ -63,9 +63,25 @@ class TxSnapshot:
     files: list[str]
     schema_json: str
     op: str
+    # per-file column ranges for data skipping: {path: {col: [min, max]}}
+    stats: dict[str, dict[str, list]] | None = None
 
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.schema_json))
+
+    def prune(self, col: str, lower, upper) -> list[str]:
+        """Files whose [min, max] for ``col`` may intersect [lower, upper] —
+        Iceberg-style manifest-level data skipping: the planner never even
+        lists files the predicate can't touch. Files without stats for the
+        column are conservatively kept."""
+        if not self.stats:
+            return self.files
+        kept = []
+        for f in self.files:
+            rng = (self.stats.get(f) or {}).get(col)
+            if rng is None or not (upper < rng[0] or lower > rng[1]):
+                kept.append(f)
+        return kept
 
 
 def _vname(version: int) -> str:
@@ -101,7 +117,7 @@ class TxTable:
             raise FileNotFoundError(f"no committed version in {self.log_dir}")
         with open(os.path.join(self.log_dir, _vname(v))) as f:
             m = json.load(f)
-        return TxSnapshot(v, m["files"], m["schema"], m["op"])
+        return TxSnapshot(v, m["files"], m["schema"], m["op"], m.get("stats"))
 
     def _commit(
         self,
@@ -110,6 +126,7 @@ class TxTable:
         schema_json: str,
         base_files: list[str] | None = None,
         expected_version: int | None = None,
+        keep_files: list[str] | None = None,
         max_retries: int = 20,
     ) -> int:
         """Atomically claim the next version. ``base_files=None`` means the
@@ -117,6 +134,7 @@ class TxTable:
         otherwise the commit is an append on top of whatever is latest at
         claim time. ``expected_version`` makes replacing ops serializable."""
         os.makedirs(self.log_dir, exist_ok=True)
+        new_stats = self._collect_stats(new_files)
         for _ in range(max_retries):
             latest = self.latest_version()
             if expected_version is not None and latest != expected_version:
@@ -128,14 +146,32 @@ class TxTable:
             if base_files is not None:
                 # pin to the claimed base version: snapshot() could read a
                 # manifest newer than `latest` and desync files from next_v
-                files = (
-                    self.snapshot(latest).files if latest is not None else []
-                ) + new_files
+                base = (
+                    self.snapshot(latest) if latest is not None else None
+                )
+                files = (base.files if base else []) + new_files
+                stats = {**((base.stats if base else None) or {}), **new_stats}
+            elif keep_files is not None:
+                # partial rewrite (delete): untouched files carry their
+                # existing stats forward, rewritten survivors get fresh ones
+                prev = self.snapshot(latest).stats or {} if latest is not None else {}
+                files = keep_files + new_files
+                stats = {f: prev[f] for f in keep_files if f in prev}
+                stats.update(new_stats)
             else:
                 files = new_files
+                stats = new_stats
+            # rollback re-commits old files: their stats live in the old
+            # manifest — carry them forward so skipping survives restores
+            if not stats and op.startswith("rollback:"):
+                old = self.snapshot(int(op.split(":", 1)[1]))
+                stats = old.stats or {}
             tmp = os.path.join(self.log_dir, f".tmp-{uuid.uuid4().hex}.json")
             with open(tmp, "w") as f:
-                json.dump({"files": files, "schema": schema_json, "op": op}, f)
+                json.dump(
+                    {"files": files, "schema": schema_json, "op": op, "stats": stats},
+                    f,
+                )
             target = os.path.join(self.log_dir, _vname(next_v))
             try:
                 os.link(tmp, target)  # atomic claim: fails iff version exists
@@ -147,6 +183,36 @@ class TxTable:
         raise TxConflict(f"could not claim a version after {max_retries} attempts")
 
     # ---------------------------------------------------------- data files
+
+    @staticmethod
+    def _collect_stats(files: list[str]) -> dict[str, dict[str, list]]:
+        """Per-file column [min, max] from parquet footers (no data read) —
+        the manifest-embedded statistics data skipping prunes on. Only
+        JSON-stable scalar types are kept; other columns are simply not
+        skippable. O(files) driver work at commit time, the same trade
+        Iceberg makes writing manifest entries."""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict[str, list]] = {}
+        for path in files:
+            md = pq.ParquetFile(path).metadata
+            cols: dict[str, list] = {}
+            for ci, name in enumerate(md.schema.names):
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        mins = []
+                        break
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                if mins and all(
+                    isinstance(v, (int, float, str, bool))
+                    for v in (min(mins), max(maxs))
+                ):
+                    cols[name] = [min(mins), max(maxs)]
+            out[path] = cols
+        return out
 
     def _write_files(self, df: DataFrame) -> list[str]:
         """Write a batch of immutable data files; return their paths.
@@ -188,11 +254,52 @@ class TxTable:
         files = self._write_files(df)
         return self._commit(files, "overwrite", df.schema.json())
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        where: tuple | None = None,
+    ) -> DataFrame:
+        """Read a snapshot. ``where=(col, lower, upper)`` applies the range
+        predicate AND uses manifest stats to skip files whose [min, max]
+        can't intersect — file-level pruning BEFORE Spark ever lists them
+        (row-group pruning inside surviving files still happens via the
+        pushed filter)."""
         snap = self.snapshot(version)
-        if not snap.files:
+        files = snap.files if where is None else snap.prune(*where)
+        if not files:
             return spark.createDataFrame([], snap.schema())
-        return spark.read.schema(snap.schema()).parquet(*snap.files)
+        df = spark.read.schema(snap.schema()).parquet(*files)
+        if where is not None:
+            col, lower, upper = where
+            df = df.where((df[col] >= lower) & (df[col] <= upper))
+        return df
+
+    def delete_where(self, spark: SparkSession, col: str, lower, upper) -> int:
+        """Delete rows with ``col`` in [lower, upper] (the GDPR-erasure /
+        retention shape): untouched files are KEPT AS-IS (manifest stats
+        prove non-intersection), only intersecting files are rewritten
+        without the matching rows — Delta's file-pruned DELETE. Serializable
+        via expected_version."""
+        snap = self.snapshot()
+        touched = set(snap.prune(col, lower, upper))
+        kept = [f for f in snap.files if f not in touched]
+        new_files: list[str] = []
+        if touched:
+            survivors = (
+                spark.read.schema(snap.schema())
+                .parquet(*sorted(touched))
+                .where(f"NOT ({col} >= {lower!r} AND {col} <= {upper!r})")
+            )
+            if survivors.limit(1).count() > 0:
+                new_files = self._write_files(survivors)
+        return self._commit(
+            new_files,
+            "delete",
+            snap.schema_json,
+            expected_version=snap.version,
+            keep_files=kept,
+        )
 
     def merge(self, spark: SparkSession, updates: DataFrame, key: str) -> int:
         """MERGE (SCD-1 upsert): updates win on ``key``, unmatched insert.

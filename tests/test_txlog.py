@@ -115,3 +115,53 @@ def test_rollback_is_a_new_commit(spark, nation, tmp_path):
     assert v == 2  # history append-only: rollback doesn't erase v1
     assert t.read(spark).count() == 25
     assert t.snapshot().op == "rollback:0"
+
+
+def test_data_skipping_prunes_files(spark, nation, tmp_path):
+    """Manifest min/max stats prune non-intersecting files before listing:
+    three appends with disjoint key ranges -> a range read touches 1 file
+    batch, and results match the unpruned filter exactly."""
+    t = TxTable.create(spark, str(tmp_path / "t"), nation)  # keys 0..24
+    t.append(nation.withColumn("n_nationkey", F.col("n_nationkey") + 100))
+    t.append(nation.withColumn("n_nationkey", F.col("n_nationkey") + 200))
+
+    snap = t.snapshot()
+    assert snap.stats and all(
+        "n_nationkey" in (snap.stats.get(f) or {}) for f in snap.files
+    )
+    pruned = snap.prune("n_nationkey", 100, 110)
+    assert 0 < len(pruned) < len(snap.files)
+
+    out = t.read(spark, where=("n_nationkey", 100, 110))
+    full = t.read(spark).where(F.col("n_nationkey").between(100, 110))
+    assert sorted(r["n_nationkey"] for r in out.collect()) == sorted(
+        r["n_nationkey"] for r in full.collect()
+    )
+
+
+def test_delete_where_rewrites_only_touched_files(spark, nation, tmp_path):
+    t = TxTable.create(spark, str(tmp_path / "t"), nation)  # keys 0..24
+    t.append(nation.withColumn("n_nationkey", F.col("n_nationkey") + 100))
+    before = t.snapshot()
+    untouched_before = set(before.prune("n_nationkey", 100, 124)) ^ set(before.files)
+
+    t.delete_where(spark, "n_nationkey", 100, 199)  # erase the second batch
+    after = t.snapshot()
+    assert after.op == "delete"
+    out = t.read(spark)
+    assert out.count() == 25
+    assert out.where(F.col("n_nationkey") >= 100).count() == 0
+    # files the predicate couldn't touch were carried over, not rewritten
+    assert untouched_before <= set(after.files)
+    # their stats survived for future skipping
+    assert all("n_nationkey" in (after.stats.get(f) or {}) for f in after.files)
+
+
+def test_delete_where_partial_file_rewrite(spark, nation, tmp_path):
+    """Deleting a sub-range of one file keeps that file's survivors."""
+    t = TxTable.create(spark, str(tmp_path / "t"), nation)
+    t.delete_where(spark, "n_nationkey", 5, 9)
+    out = t.read(spark)
+    assert out.count() == 20
+    assert out.where(F.col("n_nationkey").between(5, 9)).count() == 0
+    assert out.where(F.col("n_nationkey") < 5).count() == 5
