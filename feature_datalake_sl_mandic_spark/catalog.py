@@ -77,11 +77,22 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
         return spark.createDataFrame(pa.table(cols).to_pandas())
 
 
+# DataFrame handle cache: spark.read.parquet re-reads footers for schema
+# inference on EVERY call, which costs 10-50 ms per table per query build —
+# q5 touches 6 tables, so plan construction alone was ~0.9 s. The logical
+# plan (an unresolved relation + schema) is immutable and reusable across
+# queries, so cache it per (session, dir, table). Bounded: |tables| × |dirs|.
+_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        return _read_events(spark, path)
-    return spark.read.parquet(path)
+    key = (id(spark), sf_dir, name)
+    df = _DF_CACHE.get(key)
+    if df is None:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        df = _read_events(spark, path) if name == "events" else spark.read.parquet(path)
+        _DF_CACHE[key] = df
+    return df
 
 
 def load_tables(
