@@ -125,6 +125,7 @@ _PRIORITY: list[str] = [
     "corpus_chunk_sliding",
     "corpus_chunk_udtf",
     "corpus_decontaminate",
+    "ann_scalar_quantized",
 ]
 
 
