@@ -194,3 +194,75 @@ def arrays_posexplode_leading_tokens(spark: SparkSession, sf_dir: str) -> DataFr
         .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "token")
         .orderBy("doc_id", "pos")
     )
+
+
+@register(
+    "nested_json_shred",
+    oracle="""
+    SELECT l_orderkey AS id,
+           o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_quantity), 2) AS qty_sum
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_orderkey <= 200
+    GROUP BY 1, 2
+    ORDER BY id
+    """,
+    tags=("json-functions", "nested", "from_json", "to_json", "arrays"),
+)
+def nested_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested semi-structured round trip: per-order JSON documents with a
+    nested struct + array-of-structs are BUILT (collect_list -> to_json),
+    then SHREDDED back (from_json with an explicit schema — the
+    streaming-safe form, no schema inference) and re-aggregated with
+    higher-order functions over the parsed array. The oracle computes the
+    same result relationally, so parity proves the JSON round trip is
+    lossless — the ingest shape for API/event payloads landing as JSON
+    strings. All JVM-side: json codecs and the array fold stay in codegen."""
+    li, od = _t(spark, sf_dir, "lineitem", "orders")
+    nested = (
+        li.where(F.col("l_orderkey") <= 200)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("ln"),
+                        F.col("l_quantity").alias("qty"),
+                    )
+                )
+            ).alias("lines")
+        )
+        .join(od.select("o_orderkey", "o_orderstatus"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.to_json(
+                F.struct(
+                    F.struct(
+                        F.col("o_orderkey").alias("id"),
+                        F.col("o_orderstatus").alias("status"),
+                    ).alias("order"),
+                    F.col("lines"),
+                )
+            ).alias("doc")
+        )
+    )
+    schema = (
+        "STRUCT<`order`: STRUCT<id: BIGINT, status: STRING>, "
+        "lines: ARRAY<STRUCT<ln: INT, qty: DOUBLE>>>"
+    )
+    parsed = nested.select(F.from_json("doc", schema).alias("p"))
+    return (
+        parsed.select(
+            F.col("p.order.id").alias("id"),
+            F.col("p.order.status").alias("status"),
+            F.size("p.lines").cast("bigint").alias("n_lines"),
+            F.round(
+                F.aggregate(
+                    "p.lines", F.lit(0.0), lambda acc, x: acc + x["qty"]
+                ),
+                2,
+            ).alias("qty_sum"),
+        )
+        .orderBy("id")
+    )

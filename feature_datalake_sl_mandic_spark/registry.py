@@ -126,6 +126,7 @@ _PRIORITY: list[str] = [
     "corpus_chunk_udtf",
     "corpus_decontaminate",
     "ann_scalar_quantized",
+    "nested_json_shred",
 ]
 
 
