@@ -103,9 +103,9 @@ def main() -> None:
     warm = "q3_shipping_priority" if "q3_shipping_priority" in specs else names[0]
     specs[warm].fn(spark, sf_dir).count()
 
-    # Best-of-2 per query: co-tenant machine load adds 50-100% run-to-run
-    # noise; the min of two runs measures the engine, not the neighbors.
-    N_RUNS = 2
+    # Best-of-3 per query: co-tenant machine load adds 50-100% run-to-run
+    # noise; the min of three runs measures the engine, not the neighbors.
+    N_RUNS = 3
     times: dict[str, float] = {}
     for run in range(N_RUNS):
         for name in names:
