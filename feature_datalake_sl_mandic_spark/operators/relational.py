@@ -869,3 +869,354 @@ def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_type", "p_size")
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT round(s.s_acctbal, 2) AS acctbal, s.s_name, n.n_name AS nation,
+           p.p_partkey, p.p_type, round(c.unit_cost, 4) AS unit_cost
+    FROM part p
+    JOIN cost c     ON c.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size = 5 AND r.r_name = 'ASIA'
+      AND c.unit_cost = (
+        SELECT min(c2.unit_cost)
+        FROM cost c2
+        JOIN supplier s2 ON s2.s_suppkey = c2.l_suppkey
+        JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
+        WHERE c2.l_partkey = p.p_partkey AND r2.r_name = 'ASIA'
+      )
+    ORDER BY acctbal DESC, nation, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+    tags=("join", "correlated-subquery", "min-cost", "topk"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-cost supplier per part in a region (TPC-H Q2 shape; lineitem's
+    min unit price stands in for partsupp.ps_supplycost, which the fixture
+    lacks — reference has no analog, this is SQL-surface parity).
+
+    The correlated `= (SELECT min(...))` is expressed as a window MIN over
+    the region-filtered cost relation — one shuffle on partkey, no
+    re-execution per row, and Catalyst sees a single scan of lineitem.
+    `min(price/qty)` (not avg) keeps the equality engine-portable: same IEEE
+    division, order-independent min, no rounding at the compare.
+    At 100 TB the cost aggregation is the only big shuffle; part/supplier/
+    nation/region are schema-bounded dims and broadcast.
+    """
+    from pyspark.sql import Window
+
+    pt, li, sup, nat, reg = _t(
+        spark, sf_dir, "part", "lineitem", "supplier", "nation", "region"
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    asia_sup = (
+        sup.join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(reg), F.col("r_regionkey") == F.col("n_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+    )
+    regional = cost.join(
+        F.broadcast(asia_sup.select("s_suppkey", "s_name", "s_acctbal", "n_name")),
+        F.col("s_suppkey") == F.col("l_suppkey"),
+    )
+    best = regional.withColumn(
+        "min_cost", F.min("unit_cost").over(Window.partitionBy("l_partkey"))
+    ).where(F.col("unit_cost") == F.col("min_cost"))
+    return (
+        best.join(
+            F.broadcast(pt.where(F.col("p_size") == 5)),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .select(
+            F.round("s_acctbal", 2).alias("acctbal"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_type",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy(F.col("acctbal").desc(), "nation", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q9_product_profit_by_nation_year",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               - 0.6 * p.p_retailprice * l.l_quantity
+                               AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    tags=("join", "multi-join", "groupby-agg", "derived-measure"),
+)
+def q9_product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product profit by nation and order year (TPC-H Q9 shape; supply cost
+    proxied as 0.6 * p_retailprice because the fixture has no partsupp).
+
+    Five-way join where only orders⋈lineitem shuffles — part/supplier/nation
+    broadcast. The LIKE filter prunes part before the join (pushed to the
+    scan), shrinking the build side. DECIMAL accumulation keeps the sum
+    order-independent so the oracle hash matches.
+    """
+    li, o, pt, sup, nat = _t(
+        spark, sf_dir, "lineitem", "orders", "part", "supplier", "nation"
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(38,6)")
+    return (
+        li.join(F.broadcast(pt.where(F.col("p_name").like("%gear%"))),
+                F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "q11_important_part_value",
+    oracle="""
+    WITH val AS (
+      SELECT l.l_partkey,
+             sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_7'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, CAST(round(value, 2) AS DOUBLE) AS value
+    FROM val
+    WHERE value > (SELECT sum(value) * 0.001 FROM val)
+    ORDER BY value DESC, l_partkey
+    """,
+    tags=("join", "scalar-subquery", "having", "groupby-agg"),
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose shipped value from one nation's suppliers exceeds a
+    fraction of that nation's total (TPC-H Q11 shape; lineitem value stands
+    in for partsupp stock value).
+
+    The uncorrelated scalar subquery is a 1-row aggregate that Spark
+    broadcasts into the filter — the per-part relation is computed once and
+    reused for both sides (cached), so lineitem is scanned once. DECIMAL
+    sums make the threshold compare exact on both engines.
+    At 100 TB: one shuffle on partkey; the threshold is a second pass over
+    the small per-part aggregate, not the fact table.
+    """
+    li, sup, nat = _t(spark, sf_dir, "lineitem", "supplier", "nation")
+    china_sup = (
+        sup.join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .where(F.col("n_name") == "NATION_7")
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(F.broadcast(china_sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            ).alias("value")
+        )
+        .cache()
+    )
+    threshold = val.agg((F.sum("value") * F.lit(0.001)).alias("thr"))
+    return (
+        val.crossJoin(F.broadcast(threshold))
+        .where(F.col("value") > F.col("thr"))
+        .select(
+            "l_partkey", F.round("value", 2).cast("double").alias("value")
+        )
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+@register(
+    "q12_priority_by_linestatus",
+    oracle="""
+    SELECT l.l_linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+    tags=("join", "conditional-agg", "groupby-agg"),
+)
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority class counts per line status (TPC-H Q12 shape;
+    l_linestatus stands in for l_shipmode which the fixture lacks).
+
+    CASE-WHEN conditional aggregation — one shuffle on a 2-value key after
+    map-side partial agg, so the output is bounded regardless of input size.
+    The shipdate range filter pushes to the lineitem scan.
+    """
+    o, li = _t(spark, sf_dir, "orders", "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(round(r.total_revenue, 2) AS DOUBLE) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_revenue >= (SELECT max(total_revenue) FROM revenue) * 0.9
+    ORDER BY s.s_suppkey
+    """,
+    tags=("cte-reuse", "scalar-subquery", "join", "argmax"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers within 10% of the maximum quarterly revenue (TPC-H Q15
+    shape — the view-plus-scalar-max pattern).
+
+    The revenue relation is computed once and cached, reused for both the
+    max scalar and the equality filter (the CTE-reuse the original Q15
+    expresses with a VIEW). DECIMAL revenue makes the `= max` equality
+    exact on both engines; the >= 0.9*max band keeps the equality-
+    with-scalar shape while returning the whole leading cohort.
+    """
+    li, sup = _t(spark, sf_dir, "lineitem", "supplier")
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            ).alias("total_revenue")
+        )
+        .cache()
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .where(F.col("total_revenue") >= F.col("max_revenue") * F.lit(0.9))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q20_excess_supply_share",
+    oracle="""
+    WITH per_ps AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    tot AS (
+      SELECT l_partkey, sum(qty) AS total_qty FROM per_ps GROUP BY l_partkey
+    )
+    SELECT DISTINCT s.s_name, n.n_name AS nation
+    FROM per_ps ps
+    JOIN tot t      ON t.l_partkey = ps.l_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE ps.qty > 0.5 * t.total_qty
+      AND ps.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    ORDER BY s.s_name
+    """,
+    tags=("join", "semi-join", "nested-subquery", "distinct"),
+)
+def q20_excess_supply_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who shipped more than half a part's annual volume, for a
+    part-name family (TPC-H Q20 shape — nested IN + correlated half-of-sum
+    threshold, re-keyed to lineitem because the fixture has no partsupp).
+
+    The per-(part,supplier) and per-part aggregates share one lineitem scan
+    (cached); the name-family filter becomes a broadcast semi join that
+    prunes BEFORE the heavy aggregation. Quantities are whole numbers, so
+    double sums are exact and the > compare is engine-portable.
+    """
+    li, sup, nat, pt = _t(spark, sf_dir, "lineitem", "supplier", "nation", "part")
+    red_parts = pt.where(F.col("p_name").like("red%")).select("p_partkey")
+    per_ps = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(red_parts), F.col("p_partkey") == F.col("l_partkey"),
+              "leftsemi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .cache()
+    )
+    tot = per_ps.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    return (
+        per_ps.join(tot.withColumnRenamed("l_partkey", "t_partkey"),
+                    F.col("t_partkey") == F.col("l_partkey"))
+        .where(F.col("qty") > 0.5 * F.col("total_qty"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_name", F.col("n_name").alias("nation"))
+        .distinct()
+        .orderBy("s_name")
+    )
