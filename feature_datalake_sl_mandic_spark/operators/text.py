@@ -18,6 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from feature_datalake_sl_mandic_spark.functions.hashing import (
+    md5_bucket_col,
+    md5_bucket_sql,
+)
 from feature_datalake_sl_mandic_spark.operators.relational import _t
 from feature_datalake_sl_mandic_spark.registry import register
 
@@ -710,4 +714,303 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_shared_ngrams", F.lit(0)).alias("n_shared_ngrams"),
         )
         .orderBy("eval_doc_id")
+    )
+
+
+@register(
+    "quality_repetition_stats",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM base
+    ),
+    bgc AS (
+      SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY doc_id, bigram
+    ),
+    top AS (
+      SELECT doc_id, max(n) AS top_bigram_n, sum(n) AS n_bigrams
+      FROM bgc GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           len(b.toks) AS n_tokens,
+           round(1 - len(list_distinct(b.toks)) * 1.0 / len(b.toks), 4)
+             AS dup_token_frac,
+           round(t.top_bigram_n * 1.0 / t.n_bigrams, 4) AS top_bigram_frac,
+           CAST(CASE WHEN t.top_bigram_n * 100 > t.n_bigrams * 8
+                       OR len(list_distinct(b.toks)) * 10 < len(b.toks) * 4
+                     THEN 1 ELSE 0 END AS BIGINT) AS flag_repetitive
+    FROM base b JOIN top t USING (doc_id)
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality-filter", "repetition", "gopher-style"),
+)
+def quality_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-token fraction and
+    top-bigram fraction per document, with a combined repetitive flag
+    (Rae et al. 2021 §A1.1, adapted to the fixture's single-line docs).
+
+    The bigram top-count goes through explode + two groupBys keyed by doc_id
+    (embarrassingly parallel, shuffle width O(docs), never O(corpus tokens)
+    after the partial agg) rather than an O(n^2) per-row higher-order lambda,
+    so it survives long documents at 100 TB. Thresholds compare in integer
+    arithmetic (count*100 > total*8) — engine-portable, no float literal
+    (0.08) whose DECIMAL-vs-DOUBLE typing differs between engines.
+    """
+    (dc,) = _t(spark, sf_dir, "documents")
+    base = dc.select("doc_id", F.split("text", " ").alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1),"
+                "         slice(toks, 2, size(toks) - 1),"
+                "         (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("bigram"),
+    )
+    top = (
+        bigrams.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("top_bigram_n"),
+            F.sum("n").alias("n_bigrams"),
+        )
+    )
+    n_uniq = F.size(F.array_distinct("toks"))
+    n_tok = F.size("toks")
+    return (
+        base.join(top, "doc_id")
+        .select(
+            "doc_id",
+            n_tok.cast("bigint").alias("n_tokens"),
+            F.round(1 - n_uniq * F.lit(1.0) / n_tok, 4).alias("dup_token_frac"),
+            F.round(
+                F.col("top_bigram_n") * F.lit(1.0) / F.col("n_bigrams"), 4
+            ).alias("top_bigram_frac"),
+            F.when(
+                (F.col("top_bigram_n") * 100 > F.col("n_bigrams") * 8)
+                | (n_uniq * 10 < n_tok * 4),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("flag_repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_mixture_resample",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST(((CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) * 7) % 10
+                 + 1) / 10.0 AS DOUBLE) AS rate
+    FROM documents
+    WHERE {md5_bucket_sql("'mix:' || CAST(doc_id AS VARCHAR)", 1000)}
+          < ((CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) * 7) % 10
+             + 1) * 100
+    ORDER BY doc_id
+    """,
+    tags=("sampling", "mixture", "deterministic-hash", "llm-pipeline"),
+)
+def corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mixture resampling — the data-mixture step of an
+    LLM pipeline (downsample over-represented sources to target weights).
+
+    Per-source keep-rates derive from the source id (rate = ((7*src) mod 10
+    + 1)/10, standing in for a curated mixture table); membership is an
+    md5 hash-bucket test per document, so the sample is reproducible across
+    engines, runs, and cluster sizes — no RNG, no seed coordination across
+    executors, and re-runs on grown inputs keep previously selected docs
+    (stable incremental sampling). The filter is a pure projection: no
+    shuffle at any scale. Rate compare stays in integer space (bucket <
+    rate_tenths*100); only the reported rate column is a double.
+    """
+    (dc,) = _t(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", "([0-9]+)", 1).cast("int")
+    rate_tenths = (src_num * 7) % 10 + 1
+    bucket = md5_bucket_col(
+        F.concat(F.lit("mix:"), F.col("doc_id").cast("string")), 1000
+    )
+    return (
+        dc.where(bucket < rate_tenths * 100)
+        .select(
+            "doc_id",
+            "source",
+            (rate_tenths / F.lit(10.0)).cast("double").alias("rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_boilerplate_tokens",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+    ),
+    td AS (
+      SELECT doc_id, source, unnest(list_distinct(toks)) AS tok FROM docs
+    ),
+    df AS (
+      SELECT source, tok, count(*) AS n_docs_with FROM td GROUP BY source, tok
+    ),
+    tot AS (SELECT source, count(*) AS n_docs FROM docs GROUP BY source),
+    bp AS (
+      SELECT source, list_sort(list(tok)) AS bp_toks
+      FROM df JOIN tot USING (source)
+      WHERE n_docs_with * 10 >= n_docs * 9
+      GROUP BY source
+    )
+    SELECT d.doc_id,
+           CAST(len(d.toks)
+                - len(list_filter(d.toks,
+                      t -> NOT list_contains(coalesce(b.bp_toks, []), t)))
+                AS BIGINT) AS n_removed,
+           array_to_string(
+             list_filter(d.toks,
+                         t -> NOT list_contains(coalesce(b.bp_toks, []), t)),
+             ' ') AS cleaned_text
+    FROM docs d LEFT JOIN bp b USING (source)
+    ORDER BY d.doc_id
+    """,
+    tags=("text", "boilerplate-removal", "llm-pipeline", "document-frequency"),
+)
+def corpus_boilerplate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate removal (C4-style template stripping): tokens
+    present in >=90% of a source's documents are treated as site template
+    noise and stripped from every document of that source.
+
+    Document frequency is computed on array_distinct tokens (one row per
+    doc x distinct token) with map-side partial aggregation; the per-source
+    boilerplate vocabulary is tiny and bounded by |sources| x |vocab@90%|,
+    so it broadcasts back — the fact table is never shuffled. The 90%
+    threshold compares as n_with*10 >= n_docs*9 (exact integers on both
+    engines). Output arrays are stringified (driver canonicalizer cannot
+    hash list cells).
+    """
+    (dc,) = _t(spark, sf_dir, "documents")
+    docs = dc.select("doc_id", "source", F.split("text", " ").alias("toks"))
+    tok_doc = docs.select(
+        "doc_id", "source", F.explode(F.array_distinct("toks")).alias("tok")
+    )
+    df_counts = tok_doc.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("n_docs_with")
+    )
+    src_tot = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    bp = (
+        df_counts.join(F.broadcast(src_tot), "source")
+        .where(F.col("n_docs_with") * 10 >= F.col("n_docs") * 9)
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_list("tok")).alias("bp_toks"))
+    )
+    cleaned = F.expr(
+        "filter(toks, t -> NOT array_contains(coalesce(bp_toks, array()), t))"
+    )
+    return (
+        docs.join(F.broadcast(bp), "source", "left")
+        .select(
+            "doc_id",
+            (F.size("toks") - F.size(cleaned)).cast("bigint").alias("n_removed"),
+            F.array_join(cleaned, " ").alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_chunk_dedup_crossdoc",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, i AS idx,
+             array_to_string(toks[i * 10 + 1 : i * 10 + 10], ' ') AS chunk
+      FROM docs, UNNEST(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS t(i)
+    ),
+    ranked AS (
+      SELECT doc_id, idx, chunk,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+      FROM chunks
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(chunk, ' ' ORDER BY idx) AS dedup_text
+      FROM ranked WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(ceil(len(d.toks) / 10.0) AS BIGINT) AS n_chunks,
+           coalesce(a.n_kept, 0) AS n_kept,
+           coalesce(a.dedup_text, '') AS dedup_text
+    FROM docs d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    tags=("dedup", "chunk-level", "keep-first", "llm-pipeline"),
+)
+def corpus_chunk_dedup_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document chunk-level dedup: split every document into
+    non-overlapping 10-token chunks, keep only the globally FIRST occurrence
+    of each chunk (ordered by doc_id, then position), and reassemble each
+    document from its surviving chunks — the passage-level dedup LLM corpora
+    apply after document-level dedup.
+
+    Keep-first is one row_number window partitioned by chunk content (at
+    100 TB: partition by a chunk hash, same plan shape, bounded key width),
+    then one groupBy(doc_id) to reassemble — two shuffles total, each keyed
+    on high-cardinality uniform keys. Documents whose every chunk appeared
+    earlier elsewhere survive with empty text via the left join, so the
+    output is total over the corpus.
+    """
+    (dc,) = _t(spark, sf_dir, "documents")
+    docs = dc.select("doc_id", F.split("text", " ").alias("toks"))
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, CAST(ceil(size(toks) / 10.0) AS INT) - 1),"
+                " i -> struct(i AS idx,"
+                "             array_join(slice(toks, i * 10 + 1, 10), ' ') AS chunk))"
+            )
+        ).alias("c"),
+    ).select("doc_id", F.col("c.idx").alias("idx"), F.col("c.chunk").alias("chunk"))
+    kept = (
+        chunks.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("chunk").orderBy("doc_id", "idx")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(idx, chunk))),"
+                    " s -> s.chunk)"
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+    )
+    return (
+        docs.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.ceil(F.size("toks") / F.lit(10.0)).cast("bigint").alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+        )
+        .orderBy("doc_id")
     )

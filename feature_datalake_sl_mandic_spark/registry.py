@@ -127,6 +127,10 @@ _PRIORITY: list[str] = [
     "corpus_decontaminate",
     "ann_scalar_quantized",
     "nested_json_shred",
+    "quality_repetition_stats",
+    "corpus_mixture_resample",
+    "corpus_boilerplate_tokens",
+    "corpus_chunk_dedup_crossdoc",
 ]
 
 
