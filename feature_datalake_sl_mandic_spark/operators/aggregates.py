@@ -368,3 +368,71 @@ def agg_histogram_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "agg_winsorized_event_values",
+    oracle="""
+    WITH st AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           round(st.p05, 4) AS p05,
+           round(st.p95, 4) AS p95,
+           round(CAST(sum(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*), 4) AS mean_raw,
+           round(CAST(sum(CAST(least(greatest(e.value, st.p05), st.p95)
+                               AS DECIMAL(38,6))) AS DOUBLE)
+                 / count(*), 4) AS mean_winsorized
+    FROM events e JOIN st USING (event_type)
+    GROUP BY e.event_type, st.p05, st.p95
+    ORDER BY e.event_type
+    """,
+    tags=("robust-stats", "exact-percentile", "winsorize", "groupby-agg"),
+)
+def agg_winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-group means: clamp each value to its group's exact
+    [p5, p95] band, then compare raw vs robust means — outlier-resistant
+    metrics over noisy event values.
+
+    Spark's exact `percentile` and DuckDB's `quantile_cont` share the
+    (n-1)*p linear-interpolation definition and agree bit-for-bit (probed),
+    so the clamp thresholds are hash-checkable with no rounding slack. The
+    per-group thresholds are a |groups|-row relation broadcast back into the
+    scan; means accumulate as DECIMAL so summation order can't drift. Two
+    passes over events — at 100 TB the percentile pass can swap to
+    approx_percentile without changing the plan shape.
+    """
+    (ev,) = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    n = F.count(F.lit(1))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "p05", "p95")
+        .agg(
+            n.alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double") / n, 4
+            ).alias("mean_raw"),
+            F.round(
+                F.sum(clamped.cast("decimal(38,6)")).cast("double") / n, 4
+            ).alias("mean_winsorized"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("p05", 4).alias("p05"),
+            F.round("p95", 4).alias("p95"),
+            "mean_raw",
+            "mean_winsorized",
+        )
+        .orderBy("event_type")
+    )

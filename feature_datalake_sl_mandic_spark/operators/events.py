@@ -587,3 +587,69 @@ def events_user_profiles_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+      FROM events
+    ),
+    first_d AS (SELECT user_id, min(d) AS cohort_day FROM ud GROUP BY user_id),
+    sizes AS (
+      SELECT cohort_day, count(*) AS cohort_n FROM first_d GROUP BY cohort_day
+    ),
+    act AS (
+      SELECT f.cohort_day,
+             CAST(datediff('day', f.cohort_day, u.d) AS BIGINT) AS day_offset,
+             count(DISTINCT u.user_id) AS n_active
+      FROM ud u JOIN first_d f USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT strftime(a.cohort_day, '%Y-%m-%d') AS cohort_day,
+           a.day_offset, a.n_active,
+           round(a.n_active * 1.0 / s.cohort_n, 4) AS retention_rate
+    FROM act a JOIN sizes s USING (cohort_day)
+    ORDER BY cohort_day, day_offset
+    """,
+    tags=("events", "cohort", "retention", "groupby-agg"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, retention =
+    share of the cohort active again N days later — the canonical product-
+    analytics rollup (and the acceptance signal for any events store).
+
+    Three aggregations, all keyed by user_id or by the bounded
+    (cohort_day, offset) pair: the distinct user-day relation shuffles once
+    on user_id, first-day derives from it map-side, and the final rollup's
+    key space is |days|^2/2 — tiny at any corpus size. Cohort sizes are a
+    |days|-row relation and broadcast back for the rate division.
+    """
+    (ev,) = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    first_d = ud.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    sizes = first_d.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_n"))
+    act = (
+        ud.join(first_d, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("d", "cohort_day").cast("bigint").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return (
+        act.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+            "n_active",
+            F.round(F.col("n_active") * F.lit(1.0) / F.col("cohort_n"), 4).alias(
+                "retention_rate"
+            ),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
