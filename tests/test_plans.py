@@ -65,3 +65,51 @@ def test_q6_full_pushdown_and_pruning(spark):
     # 4 of lineitem's 11 columns read
     [schema] = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert "l_orderkey" not in schema and "l_comment" not in schema
+
+
+def test_q9_broadcasts_dims_and_pushes_like(spark):
+    from feature_datalake_sl_mandic_spark.operators.relational import (
+        q9_product_profit_by_nation_year,
+    )
+
+    df = q9_product_profit_by_nation_year(spark, SF_SMALL)
+    # part (LIKE-filtered), supplier, nation broadcast; only orders⋈lineitem shuffles
+    assert plans.count_broadcast_joins(df) >= 3
+    assert any("p_name" in f for f in plans.pushed_filters(df)), (
+        "part name LIKE filter must reach the part scan"
+    )
+
+
+def test_q2_single_lineitem_scan_and_window_min(spark):
+    from feature_datalake_sl_mandic_spark.operators.relational import (
+        q2_min_cost_supplier,
+    )
+
+    df = q2_min_cost_supplier(spark, SF_SMALL)
+    plan = plans.formatted_plan(df)
+    # the correlated min is decorrelated into ONE window over ONE cost
+    # aggregation — lineitem must not be scanned twice
+    assert plan.count("lineitem.parquet") <= 1
+    assert plans.count_broadcast_joins(df) >= 2
+
+
+def test_boilerplate_fact_never_shuffled(spark):
+    from feature_datalake_sl_mandic_spark.operators.text import (
+        corpus_boilerplate_tokens,
+    )
+
+    df = corpus_boilerplate_tokens(spark, SF_SMALL)
+    plan = plans.formatted_plan(df)
+    # the boilerplate vocabulary joins back via broadcast, not a shuffle of docs
+    assert plans.count_broadcast_joins(df) >= 2
+
+
+def test_mixture_resample_is_pure_projection(spark):
+    from feature_datalake_sl_mandic_spark.operators.text import (
+        corpus_mixture_resample,
+    )
+
+    df = corpus_mixture_resample(spark, SF_SMALL)
+    # deterministic hash-bucket sampling: no aggregation, no join — the only
+    # exchange allowed is the final global sort
+    assert plans.count_shuffles(df) <= 2
