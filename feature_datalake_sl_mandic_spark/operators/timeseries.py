@@ -1,0 +1,149 @@
+"""Time-series smoothing & anomaly detection over the ``events`` table.
+
+Extension surface (the reference has no time-series ops — SURVEY.md §2.2):
+batch analytics a monitoring/training-telemetry pipeline needs on top of the
+event stream: exponential smoothing of a metric series and rolling z-score
+outlier flagging. Both are expressed with window functions only — one shuffle
+on the series key, no UDFs — so at 100 TB they parallelize per entity
+(partitionBy the series key; here the key is ``event_type`` whose cardinality
+is small in the fixture, and the daily pre-aggregation bounds each partition
+to the calendar, same argument as ``window_range_frame_moving_avg``).
+
+EWMA is computed in closed form (pandas ``adjust=True`` semantics):
+
+    y_t = sum_{i<=t} (1-a)^(t-i) x_i / sum_{i<=t} (1-a)^(t-i)
+
+via two running sums of ``x_i * r^i`` and ``r^i`` with ``r = 1/(1-a)`` — the
+``(1-a)^t`` factor cancels in the ratio, so no per-row recursion is needed and
+the whole thing stays inside whole-stage codegen. Both engines do the same
+IEEE double math; results are rounded to 4 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from feature_datalake_sl_mandic_spark.operators.relational import _t
+from feature_datalake_sl_mandic_spark.registry import register
+
+EWMA_ALPHA = 0.3
+ZSCORE_WINDOW = 7  # trailing rows (excluding current) for the baseline
+ZSCORE_THRESHOLD = 2.0
+
+_DAILY_CTE = """
+    SELECT event_type,
+           CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           round(sum(value), 2) AS daily_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+def _daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("daily_value"))
+
+
+@register(
+    "ts_ewma_daily_value",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CTE}),
+    pos AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS i
+      FROM daily
+    ), sums AS (
+      SELECT event_type, day, daily_value,
+             sum(daily_value * pow(1.0 / (1.0 - {EWMA_ALPHA}), i))
+               OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS num,
+             sum(pow(1.0 / (1.0 - {EWMA_ALPHA}), i))
+               OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS den
+      FROM pos
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day, daily_value,
+           round(num / den, 4) AS ewma_value
+    FROM sums
+    ORDER BY event_type, day
+    """,
+    tags=("timeseries", "ewma", "window", "events"),
+)
+def ts_ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=0.3) of daily event value
+    per event_type — closed-form ratio of two running sums, window-only."""
+    daily = _daily_series(spark, sf_dir)
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = 1.0 / (1.0 - EWMA_ALPHA)
+    pos = daily.withColumn("i", F.row_number().over(w_ord) - F.lit(1))
+    weighted = pos.withColumn("wt", F.pow(F.lit(r), F.col("i")))
+    return (
+        weighted.withColumn("num", F.sum(F.col("daily_value") * F.col("wt")).over(w_run))
+        .withColumn("den", F.sum("wt").over(w_run))
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            "daily_value",
+            F.round(F.col("num") / F.col("den"), 4).alias("ewma_value"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "ts_zscore_anomalies",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CTE}),
+    stats AS (
+      SELECT event_type, day, daily_value,
+             avg(daily_value) OVER (PARTITION BY event_type ORDER BY day
+                                    ROWS BETWEEN {ZSCORE_WINDOW} PRECEDING AND 1 PRECEDING) AS base_mean,
+             stddev_samp(daily_value) OVER (PARTITION BY event_type ORDER BY day
+                                    ROWS BETWEEN {ZSCORE_WINDOW} PRECEDING AND 1 PRECEDING) AS base_std,
+             count(*) OVER (PARTITION BY event_type ORDER BY day
+                                    ROWS BETWEEN {ZSCORE_WINDOW} PRECEDING AND 1 PRECEDING) AS base_n
+      FROM daily
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day, daily_value,
+           round(base_mean, 4) AS base_mean,
+           round((daily_value - base_mean) / base_std, 4) AS zscore
+    FROM stats
+    WHERE base_n >= 3 AND base_std > 0
+      AND abs((daily_value - base_mean) / base_std) > {ZSCORE_THRESHOLD}
+    ORDER BY event_type, day
+    """,
+    tags=("timeseries", "anomaly", "zscore", "window", "events"),
+)
+def ts_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score outliers: each day's value vs the trailing-7-day mean
+    and sample stddev (current row excluded, >=3 baseline days). Flags days
+    with |z| > 2. Window-only — one shuffle on the series key."""
+    daily = _daily_series(spark, sf_dir)
+    w_base = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-ZSCORE_WINDOW, -1)
+    )
+    z = (F.col("daily_value") - F.col("base_mean")) / F.col("base_std")
+    return (
+        daily.withColumn("base_mean", F.avg("daily_value").over(w_base))
+        .withColumn("base_std", F.stddev_samp("daily_value").over(w_base))
+        .withColumn("base_n", F.count(F.lit(1)).over(w_base))
+        .where(
+            (F.col("base_n") >= 3)
+            & (F.col("base_std") > 0)
+            & (F.abs(z) > ZSCORE_THRESHOLD)
+        )
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            "daily_value",
+            F.round("base_mean", 4).alias("base_mean"),
+            F.round(z, 4).alias("zscore"),
+        )
+        .orderBy("event_type", "day")
+    )
