@@ -290,3 +290,52 @@ class TestJdbcConfig:
         assert "table_schema = 'db'" in mysql_catalog_query("db")
         assert "sys.tables" in mssql_catalog_query() and "dbo" in mssql_catalog_query()
         assert MSSQL_DRIVER.endswith("SQLServerDriver")
+
+
+class TestScd2:
+    def test_scd2_apply_null_transitions_and_noops(self, spark):
+        from feature_datalake_sl_mandic_spark.ingest.scd import HIGH_DATE, scd2_apply
+        import pyspark.sql.functions as F
+
+        dim = spark.createDataFrame(
+            [
+                (1, "alice", "gold", None),     # tracked attr NULL -> value
+                (2, "bob", None, "BR"),         # tracked NULL stays NULL (no-op)
+                (3, "carol", "silver", "US"),   # value change
+                (4, "dave", "bronze", "AR"),    # untouched (not in batch)
+            ],
+            "k INT, name STRING, tier STRING, country STRING",
+        )
+        dim = (
+            dim.withColumn("valid_from", F.lit("2023-01-01").cast("date"))
+            .withColumn("valid_to", F.lit(HIGH_DATE).cast("date"))
+            .withColumn("is_current", F.lit(1))
+        )
+        updates = spark.createDataFrame(
+            [
+                (1, "gold", "FR"),    # NULL -> FR : change
+                (2, None, "BR"),      # identical incl NULL : no-op
+                (3, "gold", "US"),    # silver -> gold : change
+                (5, "new", None),     # brand-new key
+            ],
+            "k INT, tier STRING, country STRING",
+        )
+        out = scd2_apply(dim, updates, "k", ["tier", "country"], "2024-06-01")
+        rows = {(r.k, str(r.valid_from), r.is_current): r for r in out.collect()}
+
+        assert len(rows) == 7  # 4 original-era rows (2 closed) + 2 new versions + 1 insert
+        # k=1: closed old (country NULL) + open new (country FR)
+        assert rows[(1, "2023-01-01", 0)].country is None
+        assert str(rows[(1, "2023-01-01", 0)].valid_to) == "2024-06-01"
+        assert rows[(1, "2024-06-01", 1)].country == "FR"
+        assert rows[(1, "2024-06-01", 1)].name == "alice"  # non-tracked carried
+        # k=2: single untouched current version (NULL == NULL is not a change)
+        assert rows[(2, "2023-01-01", 1)].is_current == 1
+        assert (2, "2024-06-01", 1) not in rows
+        # k=3: versioned
+        assert rows[(3, "2023-01-01", 0)].tier == "silver"
+        assert rows[(3, "2024-06-01", 1)].tier == "gold"
+        # k=4: untouched
+        assert rows[(4, "2023-01-01", 1)].valid_to.year == 9999
+        # k=5: inserted, non-tracked attrs NULL
+        assert rows[(5, "2024-06-01", 1)].name is None
