@@ -1,0 +1,178 @@
+"""Embedding clustering for training-data curation.
+
+Extension surface (BASELINE.json LLM-pipeline north star): cluster the
+embedding space (k-means) and draw a cluster-balanced subsample — the
+standard recipe for diversity-preserving corpus downsampling (cf. DoReMi /
+SemDeDup-style pipelines: cluster, then cap per cluster).
+
+Determinism contract (everything here is hash-checked against DuckDB):
+- centroids initialize from the k smallest ``vec_id`` embeddings (data-driven
+  but order-free);
+- one Lloyd update runs with per-dimension means ROUNDED to 6 decimals on
+  both engines, absorbing distributed-summation-order wobble (same contract
+  as every float aggregate in this repo);
+- distances are left-to-right folds over the array (``F.aggregate`` /
+  ``list_sum(list_transform(...))``) rounded to 6 decimals, tie-broken by
+  centroid id.
+
+Scale shape: centroids are k×d literals-after-aggregation — always broadcast;
+assignment is an embarrassingly-parallel map over the corpus; the centroid
+update is ONE shuffle keyed (cluster, dim). A production loop would iterate
+assignment+update with ``localCheckpoint`` per round exactly like
+``dedup_cluster_components``; the registered query fixes iterations at 1 so
+the oracle can mirror it as SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from feature_datalake_sl_mandic_spark.functions.hashing import md5_int60_col, md5_int60_sql
+from feature_datalake_sl_mandic_spark.operators.relational import _t
+from feature_datalake_sl_mandic_spark.registry import register
+
+DIM = 64
+K = 8
+SAMPLE_PER_CLUSTER = 10
+
+
+def _dist2(a: str, b: str):
+    return F.round(
+        F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+
+
+def _assign(e: DataFrame, centroids: DataFrame, out: str) -> DataFrame:
+    """Nearest-centroid assignment: broadcast centroids, argmin by
+    (dist2, cid) — ties break toward the smaller cluster id."""
+    d = e.crossJoin(F.broadcast(centroids)).withColumn("dist2", _dist2("emb", "cemb"))
+    w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "emb", F.col("cid").alias(out), F.col("dist2"))
+    )
+
+
+def _final_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """init assign -> one Lloyd centroid update -> reassign."""
+    (em,) = _t(spark, sf_dir, "embeddings")
+    e = em.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    c0 = e.where(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+    a0 = _assign(e, c0, "cluster_init")
+
+    # Lloyd update: per-(cluster, dim) mean, rounded for engine parity; one
+    # shuffle keyed (cluster, pos) then a tiny k-row aggregate.
+    exploded = a0.select("cluster_init", F.posexplode("emb").alias("pos", "v"))
+    means = exploded.groupBy("cluster_init", "pos").agg(
+        F.round(F.avg("v"), 6).alias("cv")
+    )
+    c1 = (
+        means.groupBy(F.col("cluster_init").alias("cid"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+            ).alias("cemb")
+        )
+    )
+    a1 = _assign(e, c1, "cluster_final").withColumnRenamed("dist2", "dist2_final")
+    return a0.select("vec_id", "cluster_init").join(a1, on="vec_id")
+
+
+# Shared oracle CTE chain mirroring _final_assignments.
+_ASSIGN_CTES = f"""
+    e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+          FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < {K}),
+    d0 AS (SELECT e.vec_id, c0.cid,
+                  round(list_sum(list_transform(range(1, {DIM + 1}),
+                        i -> (e.emb[i] - c0.cemb[i]) * (e.emb[i] - c0.cemb[i]))), 6) AS dist2
+           FROM e CROSS JOIN c0),
+    a0 AS (SELECT vec_id, cid AS cluster_init FROM
+             (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+              FROM d0) WHERE rn = 1),
+    m AS (SELECT a0.cluster_init AS cid, t.i AS pos, round(avg(e.emb[t.i]), 6) AS cv
+          FROM e JOIN a0 USING (vec_id) CROSS JOIN range(1, {DIM + 1}) t(i)
+          GROUP BY 1, 2),
+    c1 AS (SELECT cid, list(cv ORDER BY pos) AS cemb FROM m GROUP BY cid),
+    d1 AS (SELECT e.vec_id, c1.cid,
+                  round(list_sum(list_transform(range(1, {DIM + 1}),
+                        i -> (e.emb[i] - c1.cemb[i]) * (e.emb[i] - c1.cemb[i]))), 6) AS dist2
+           FROM e CROSS JOIN c1),
+    a1 AS (SELECT vec_id, cid AS cluster_final, dist2 AS dist2_final FROM
+             (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+              FROM d1) WHERE rn = 1)
+"""
+
+
+@register(
+    "kmeans_lloyd_embeddings",
+    oracle=f"""
+    WITH {_ASSIGN_CTES}
+    SELECT a0.vec_id,
+           CAST(a0.cluster_init AS BIGINT) AS cluster_init,
+           CAST(a1.cluster_final AS BIGINT) AS cluster_final,
+           a1.dist2_final
+    FROM a0 JOIN a1 USING (vec_id)
+    ORDER BY vec_id
+    """,
+    tags=("clustering", "kmeans", "embeddings", "broadcast-join"),
+)
+def kmeans_lloyd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (k=8) over the embedding corpus: deterministic init from the
+    smallest vec_ids, one exact Lloyd update, reassignment. Per-vector
+    output proves both the assignment argmin and the centroid recompute."""
+    a = _final_assignments(spark, sf_dir)
+    return a.select(
+        "vec_id",
+        F.col("cluster_init").cast("bigint").alias("cluster_init"),
+        F.col("cluster_final").cast("bigint").alias("cluster_final"),
+        "dist2_final",
+    ).orderBy("vec_id")
+
+
+@register(
+    "kmeans_balanced_sample",
+    oracle=f"""
+    WITH {_ASSIGN_CTES},
+    keyed AS (
+      SELECT vec_id, cluster_final,
+             row_number() OVER (PARTITION BY cluster_final
+                                ORDER BY {md5_int60_sql("CAST(vec_id AS VARCHAR)")}, vec_id)
+               AS sample_rank
+      FROM a1
+    )
+    SELECT CAST(cluster_final AS BIGINT) AS cluster_final, vec_id,
+           CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM keyed WHERE sample_rank <= {SAMPLE_PER_CLUSTER}
+    ORDER BY cluster_final, sample_rank
+    """,
+    tags=("clustering", "sampling", "curation", "embeddings"),
+)
+def kmeans_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced subsample: cap each k-means cluster at 10 vectors
+    chosen by stable md5 order — diversity-preserving corpus downsampling
+    (the per-cluster cap pattern of SemDeDup-style curation)."""
+    a = _final_assignments(spark, sf_dir)
+    w = Window.partitionBy("cluster_final").orderBy(
+        md5_int60_col(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        a.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("sample_rank") <= SAMPLE_PER_CLUSTER)
+        .select(
+            F.col("cluster_final").cast("bigint").alias("cluster_final"),
+            "vec_id",
+            "sample_rank",
+        )
+        .orderBy("cluster_final", "sample_rank")
+    )
