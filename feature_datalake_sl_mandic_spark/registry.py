@@ -52,6 +52,7 @@ _QUERY_MODULES = [
     "feature_datalake_sl_mandic_spark.operators.text",
     "feature_datalake_sl_mandic_spark.operators.timeseries",
     "feature_datalake_sl_mandic_spark.operators.clustering",
+    "feature_datalake_sl_mandic_spark.operators.sketches",
     "feature_datalake_sl_mandic_spark.ingest.change_detection",
     "feature_datalake_sl_mandic_spark.ingest.scd",
     "feature_datalake_sl_mandic_spark.multimodal.media",
