@@ -1,0 +1,200 @@
+"""Graph analytics over a relationally-derived graph.
+
+Extension surface: the co-supply graph — suppliers are vertices, an edge
+links two suppliers that ship many of the same parts. The fixture's
+lineitem is dense enough that ANY fixed shared-part threshold yields a
+complete graph, so the edge set is defined rank-adaptively: the top
+``N_EDGES`` pairs by (shared-part count DESC, pair id) — deterministic at
+every scale factor and sparse by construction.
+
+Operators (both fully hash-checked — integer counts / rounded doubles):
+
+- degree + per-vertex triangle participation: the triangle join is the
+  standard a<b<c three-way self-join on the oriented edge list, so each
+  triangle is generated exactly once;
+- PageRank, 2 fixed power iterations (damping 0.85) on the undirected
+  graph. Per-iteration scores are rounded to 6 decimals on both engines —
+  the same distributed-summation-order contract as every float aggregate
+  here. A production run would loop with ``localCheckpoint`` per iteration
+  exactly like ``dedup_cluster_components``; 2 unrolled iterations keep the
+  oracle SQL-expressible.
+
+Scale shape: pair generation groups by part then emits per-part supplier
+pairs — bounded by the same per-key cap argument as ``shingles_with_df_cap``
+(skewed parts would be capped or salted at 100 TB; the docstringed plan is
+``groupBy(part) -> pairs -> groupBy(pair) count``, two shuffles). The edge
+list after the top-N rank is tiny and broadcasts everywhere downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from feature_datalake_sl_mandic_spark.operators.relational import _t
+from feature_datalake_sl_mandic_spark.registry import register
+
+N_EDGES = 150
+DAMPING = 0.85
+
+_EDGE_CTES = f"""
+    sp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS shared_parts
+      FROM sp a JOIN sp b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT u, v, shared_parts FROM (
+        SELECT *, row_number() OVER (ORDER BY shared_parts DESC, u, v) AS rnk
+        FROM pairs
+      ) WHERE rnk <= {N_EDGES}
+    )
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    sp = li.select("l_partkey", "l_suppkey").distinct()
+    a = sp.alias("a")
+    b = sp.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_parts"))
+    )
+    w = Window.orderBy(F.col("shared_parts").desc(), "u", "v")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= N_EDGES)
+        .select("u", "v", "shared_parts")
+    )
+
+
+@register(
+    "graph_cosupply_triangles",
+    oracle=f"""
+    WITH {_EDGE_CTES},
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), tri_nodes AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ), deg AS (
+      SELECT node, count(*) AS degree FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+      ) GROUP BY node
+    )
+    SELECT d.node AS s_suppkey, d.degree,
+           coalesce(t.n, 0) AS n_triangles
+    FROM deg d LEFT JOIN (SELECT node, count(*) AS n FROM tri_nodes GROUP BY node) t
+      ON d.node = t.node
+    ORDER BY s_suppkey
+    """,
+    tags=("graph", "triangles", "degree", "self-join"),
+)
+def graph_cosupply_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex degree and triangle participation on the top-150 co-supply
+    graph. Oriented (u<v) edge list makes the 3-way self-join emit each
+    triangle once; per-vertex counts come from unpivoting triangle corners."""
+    e = _edges(spark, sf_dir).cache()
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c")))
+        .select("a", "b", "c")
+    )
+    tri_nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.join(tri_nodes, on="node", how="left")
+        .select(
+            F.col("node").alias("s_suppkey"),
+            "degree",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_triangles"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "graph_pagerank_cosupply",
+    oracle=f"""
+    WITH {_EDGE_CTES},
+    ed AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+    deg AS (SELECT u AS node, count(*) AS d FROM ed GROUP BY u),
+    n AS (SELECT count(*) AS cnt FROM deg),
+    pr0 AS (SELECT node, d, round(1.0 / n.cnt, 6) AS pr FROM deg CROSS JOIN n),
+    pr1 AS (
+      SELECT t.node, deg.d,
+             round((1 - {DAMPING}) / any_value(n.cnt)
+                   + {DAMPING} * sum(t.contrib), 6) AS pr
+      FROM (SELECT ed.v AS node, pr0.pr / pr0.d AS contrib
+            FROM ed JOIN pr0 ON ed.u = pr0.node) t
+      CROSS JOIN n
+      JOIN deg ON deg.node = t.node
+      GROUP BY t.node, deg.d
+    ),
+    pr2 AS (
+      SELECT t.node,
+             round((1 - {DAMPING}) / any_value(n.cnt)
+                   + {DAMPING} * sum(t.contrib), 6) AS pr
+      FROM (SELECT ed.v AS node, pr1.pr / pr1.d AS contrib
+            FROM ed JOIN pr1 ON ed.u = pr1.node) t
+      CROSS JOIN n
+      GROUP BY t.node
+    )
+    SELECT node AS s_suppkey, pr AS pagerank
+    FROM pr2 ORDER BY s_suppkey
+    """,
+    tags=("graph", "pagerank", "iterative", "groupby-agg"),
+)
+def graph_pagerank_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-iteration PageRank (d=0.85) on the undirected co-supply graph:
+    contribution = pr/degree flows along each directed edge, damped sum per
+    vertex, scores rounded per iteration for engine parity."""
+    e = _edges(spark, sf_dir)
+    ed = e.select("u", "v").unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).cache()
+    deg = ed.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    n = deg.count()  # bounded: node count of the capped edge list
+    pr = deg.select("node", "d", F.round(F.lit(1.0) / n, 6).alias("pr"))
+    for _ in range(2):
+        contrib = ed.join(pr, ed["u"] == pr["node"]).select(
+            F.col("v").alias("node"), (F.col("pr") / F.col("d")).alias("contrib")
+        )
+        pr = (
+            contrib.groupBy("node")
+            .agg(
+                F.round(
+                    F.lit((1 - DAMPING) / n) + F.lit(DAMPING) * F.sum("contrib"), 6
+                ).alias("pr")
+            )
+            .join(deg, on="node")
+            .select("node", "d", "pr")
+        )
+    return pr.select(F.col("node").alias("s_suppkey"), F.col("pr").alias("pagerank")).orderBy(
+        "s_suppkey"
+    )

@@ -53,6 +53,7 @@ _QUERY_MODULES = [
     "feature_datalake_sl_mandic_spark.operators.timeseries",
     "feature_datalake_sl_mandic_spark.operators.clustering",
     "feature_datalake_sl_mandic_spark.operators.sketches",
+    "feature_datalake_sl_mandic_spark.operators.graph",
     "feature_datalake_sl_mandic_spark.ingest.change_detection",
     "feature_datalake_sl_mandic_spark.ingest.scd",
     "feature_datalake_sl_mandic_spark.multimodal.media",
