@@ -591,3 +591,50 @@ def txlog_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("price"), 2).alias("total"))
         .orderBy("status")
     )
+
+
+@register(
+    "udaf_median_session_value",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(median(value), 4) AS median_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("pandas-udf", "udaf", "grouped-agg", "events"),
+)
+def udaf_median_session_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via a GROUPED_AGG pandas_udf: exact per-group median.
+
+    Covers the aggregate-UDF surface (SURVEY.md §2.2 UDF/UDAF/UDTF row):
+    Arrow ships each group's column to Python once, the UDAF sorts
+    INTERNALLY so shuffle arrival order cannot affect the result, and the
+    even-count case interpolates the two middle values exactly like
+    DuckDB's ``median``. At 100 TB an exact median needs the whole group on
+    one executor — the same contract as any holistic aggregate; for sketch
+    trade-offs use ``agg_approx_sketches`` (approx_percentile) instead.
+    """
+    import numpy as np
+
+    (ev,) = _t(spark, sf_dir, "events")
+
+    @pandas_udf("double")
+    def exact_median(v: pd.Series) -> float:
+        return float(np.median(v.to_numpy()))
+
+    # grouped-agg pandas UDFs cannot mix with JVM aggregates in one agg —
+    # the row count is a second (trivial) UDAF over the same Arrow batch.
+    @pandas_udf("long")
+    def group_size(v: pd.Series) -> int:
+        return len(v)
+
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            group_size("value").alias("n_events"),
+            F.round(exact_median("value"), 4).alias("median_value"),
+        )
+        .orderBy("event_type")
+    )

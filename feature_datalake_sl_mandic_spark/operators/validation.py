@@ -1,0 +1,105 @@
+"""Rule-based row validation with quarantine (expectations, deequ-style).
+
+Engine feature the reference lacks: its pipeline loads whatever the JDBC
+cursor yields — a bad upstream batch lands in the lake unflagged. This
+operator evaluates a declarative rule set per row and splits the input into
+a clean stream and a quarantine stream carrying WHICH rules failed, the
+standard expectations pattern (Delta Live Tables / Great Expectations /
+Deequ) expressed as pure Catalyst columns:
+
+- every rule is one boolean expression — all rules evaluate in a single
+  projection, no extra scans, no UDFs;
+- ``failed_rules`` concatenates the violated rule names in declaration
+  order (deterministic, hash-checkable);
+- the quarantine stream is just ``filter(n_failed > 0)`` over the annotated
+  frame — at 100 TB both streams stay one narrow map over the scan, and the
+  clean/quarantine split writes as two partition-pruned sinks.
+
+The registered query quarantines orders under three rules that real fixture
+rows violate (price cap, freshness horizon, known-status whitelist) plus one
+format rule that holds everywhere — exercising both the failing and the
+passing path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feature_datalake_sl_mandic_spark.operators.relational import _t
+from feature_datalake_sl_mandic_spark.registry import register
+
+
+def validate(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Annotate ``df`` with per-rule booleans, ``failed_rules`` (comma-joined
+    names in declaration order) and ``n_failed``. NULL rule results count as
+    failures (a rule that cannot evaluate did not pass)."""
+    failed_flags = [
+        F.when(~F.coalesce(cond, F.lit(False)), F.lit(name)) for name, cond in rules.items()
+    ]
+    annotated = df.withColumn(
+        "failed_rules",
+        F.concat_ws(",", *[f for f in failed_flags]),
+    )
+    return annotated.withColumn(
+        "n_failed",
+        F.when(F.col("failed_rules") == "", 0)
+        .otherwise(F.size(F.split("failed_rules", ",")))
+        .cast("bigint"),
+    )
+
+
+def quarantine(df: DataFrame, rules: dict[str, Column]) -> tuple[DataFrame, DataFrame]:
+    """Split into (clean, quarantined-with-reasons)."""
+    annotated = validate(df, rules)
+    clean = annotated.where(F.col("n_failed") == 0).drop("failed_rules", "n_failed")
+    bad = annotated.where(F.col("n_failed") > 0)
+    return clean, bad
+
+
+_PRICE_CAP = 400_000
+_FRESH_SINCE = "1996-01-01"
+
+
+def _order_rules() -> dict[str, Column]:
+    return {
+        "price_range": (F.col("o_totalprice") > 0) & (F.col("o_totalprice") <= _PRICE_CAP),
+        "fresh_order": F.col("o_orderdate") >= F.lit(_FRESH_SINCE).cast("timestamp"),
+        "status_known": F.col("o_orderstatus").isin("O", "F"),
+        "priority_format": F.col("o_orderpriority").rlike("^[1-5]-"),
+    }
+
+
+@register(
+    "validate_quarantine_orders",
+    oracle=f"""
+    WITH annotated AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             concat_ws(',',
+               CASE WHEN NOT coalesce(o_totalprice > 0 AND o_totalprice <= {_PRICE_CAP}, FALSE)
+                    THEN 'price_range' END,
+               CASE WHEN NOT coalesce(o_orderdate >= TIMESTAMP '{_FRESH_SINCE}', FALSE)
+                    THEN 'fresh_order' END,
+               CASE WHEN NOT coalesce(o_orderstatus IN ('O', 'F'), FALSE)
+                    THEN 'status_known' END,
+               CASE WHEN NOT coalesce(regexp_matches(o_orderpriority, '^[1-5]-'), FALSE)
+                    THEN 'priority_format' END
+             ) AS failed_rules
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice, failed_rules,
+           CAST(len(string_split(failed_rules, ',')) AS BIGINT) AS n_failed
+    FROM annotated
+    WHERE failed_rules <> ''
+    ORDER BY o_orderkey
+    """,
+    tags=("validation", "quarantine", "expectations", "data-quality"),
+)
+def validate_quarantine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantined orders under the 4-rule expectation set, with the exact
+    violated-rule list per row. Single projection + filter over the scan."""
+    (od,) = _t(spark, sf_dir, "orders")
+    _, bad = quarantine(od, _order_rules())
+    return bad.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "failed_rules", "n_failed"
+    ).orderBy("o_orderkey")

@@ -54,6 +54,8 @@ _QUERY_MODULES = [
     "feature_datalake_sl_mandic_spark.operators.clustering",
     "feature_datalake_sl_mandic_spark.operators.sketches",
     "feature_datalake_sl_mandic_spark.operators.graph",
+    "feature_datalake_sl_mandic_spark.operators.profile",
+    "feature_datalake_sl_mandic_spark.operators.validation",
     "feature_datalake_sl_mandic_spark.ingest.change_detection",
     "feature_datalake_sl_mandic_spark.ingest.scd",
     "feature_datalake_sl_mandic_spark.multimodal.media",
