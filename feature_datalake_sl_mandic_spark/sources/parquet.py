@@ -47,3 +47,24 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(table_path(lake_dir, database, table))
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: co-locates rows by ``hash(bucket_col) %
+    n_buckets`` at WRITE time, so equi-joins and aggregations on the bucket
+    key later run with NO shuffle on the bucketed side — the write-once,
+    join-many layout for 100 TB fact tables (the join's Exchange disappears
+    from the plan; asserted in tests/test_plans.py). Requires saveAsTable
+    (bucket metadata lives in the session catalog, not the parquet files).
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table_name)

@@ -339,3 +339,30 @@ class TestScd2:
         assert rows[(4, "2023-01-01", 1)].valid_to.year == 9999
         # k=5: inserted, non-tracked attrs NULL
         assert rows[(5, "2024-06-01", 1)].name is None
+
+
+class TestIncrementalRefresh:
+    def test_retraction_and_new_group(self, spark):
+        from feature_datalake_sl_mandic_spark.ingest.incremental import (
+            aggregate_batch,
+            incremental_refresh,
+        )
+        import pyspark.sql.functions as F
+
+        base = spark.createDataFrame(
+            [("a", 10.0), ("a", 20.0), ("b", 5.0)], "k STRING, v DOUBLE"
+        )
+        mv = aggregate_batch(base, ["k"], {"total": "v"})
+        # retraction: remove one 'a' row (negative delta); new group 'c'
+        delta_rows = spark.createDataFrame(
+            [("a", -20.0, -1), ("c", 7.0, 1)], "k STRING, v DOUBLE, sign INT"
+        )
+        delta = delta_rows.groupBy("k").agg(
+            F.sum("sign").cast("bigint").alias("n_rows"),
+            F.sum(F.col("v").cast("decimal(38,6)")).alias("total"),
+        )
+        out = {
+            r.k: (r.n_rows, float(r.total))
+            for r in incremental_refresh(mv, delta, ["k"], ["total"]).collect()
+        }
+        assert out == {"a": (1, 10.0), "b": (1, 5.0), "c": (1, 7.0)}

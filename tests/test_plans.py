@@ -113,3 +113,30 @@ def test_mixture_resample_is_pure_projection(spark):
     # deterministic hash-bucket sampling: no aggregation, no join — the only
     # exchange allowed is the final global sort
     assert plans.count_shuffles(df) <= 2
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_shuffle(self, spark, tmp_path_factory):
+        """Both sides bucketed by the join key -> sort-merge join with zero
+        Exchange operators; the same join unbucketed shuffles both sides."""
+        from feature_datalake_sl_mandic_spark.sources.parquet import write_bucketed
+
+        # warehouse dir is a static conf -> managed tables land in the
+        # session default; DROP TABLE below removes the files.
+        od = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        write_bucketed(od, "b_orders", "o_orderkey", 8)
+        write_bucketed(li, "b_lineitem", "l_orderkey", 8)
+        try:
+            bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+            joined = bo.join(
+                bl, bo.o_orderkey == bl.l_orderkey
+            ).groupBy("o_orderkey").count()
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning" not in plan, plan
+            # sanity: result matches the unbucketed join
+            plain = od.join(li, od.o_orderkey == li.l_orderkey).groupBy("o_orderkey").count()
+            assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+        finally:
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_lineitem")

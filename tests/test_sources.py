@@ -203,3 +203,33 @@ class TestLiveJdbcDerby:
         assert results[0].row_count == src.count()
         latest = hist.latest_runs(spark, lake_dir).collect()
         assert {r["table_name"] for r in latest} == {"supplier"}
+
+
+def test_xml_round_trip(spark, tmp_path):
+    """Spark 4 ships a native XML data source — round-trip a nested record.
+
+    Completes the source-format matrix (CSV/JSON/ORC/parquet above)."""
+    df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    path = str(tmp_path / "nation_xml")
+    df.write.format("xml").option("rootTag", "nations").option("rowTag", "nation").save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .load(path)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.select("n_nationkey", "n_name", "n_regionkey").collect())
+    )
+
+
+def test_binaryfile_source_reads_payloads(spark, tmp_path):
+    """``binaryFile`` source: the ingestion front door for multimodal blobs
+    (images/audio land as (path, length, content) rows that feed the
+    multimodal mapInPandas decode plumbing)."""
+    blobs = {"a.bin": b"\x00\x01\x02", "b.bin": b"hello-bytes"}
+    for name, payload in blobs.items():
+        (tmp_path / name).write_bytes(payload)
+    df = spark.read.format("binaryFile").load(str(tmp_path))
+    rows = {r.path.rsplit("/", 1)[-1]: (r.length, bytes(r.content)) for r in df.collect()}
+    assert rows == {n: (len(p), p) for n, p in blobs.items()}
