@@ -50,46 +50,40 @@ def scd2_apply(
             cond = cond | ~F.col(f"cur.{c}").eqNullSafe(F.col(f"upd.{c}"))
         return cond
 
-    # on=key (string) coalesces the key into one unqualified output column;
-    # tracked/attr columns stay alias-qualified.
+    # ONE batch⋈current join feeds every derived branch (closed rows carry
+    # the cur-side attributes, opened rows mix upd tracked + cur non-tracked
+    # values) — at 100 TB the dimension shuffles once for this join and once
+    # for the untouched anti-join on the same key (AQE reuses the exchange),
+    # instead of once per branch. on=key (string) coalesces the key into one
+    # unqualified output column; other columns stay alias-qualified.
     matched = upd.alias("upd").join(current.alias("cur"), on=key, how="left")
-    changed_keys = matched.where(
-        F.col("cur.valid_from").isNotNull() & differs()
-    ).select(F.col(key))
-    brand_new = matched.where(F.col("cur.valid_from").isNull())
+    is_new = F.col("cur.valid_from").isNull()
+    is_changed = F.col("cur.valid_from").isNotNull() & differs()
+    non_tracked = [c for c in attr_cols if c != key and c not in tracked]
 
-    # Rows to close: current versions of changed keys.
-    closed = (
-        current.join(changed_keys, on=key, how="semi")
-        .withColumn("valid_to", F.lit(effective_date).cast("date"))
-        .withColumn("is_current", F.lit(0))
+    closed = matched.where(is_changed).select(
+        F.col(key),
+        *[F.col(f"cur.{c}").alias(c) for c in attr_cols if c != key],
+        F.col("cur.valid_from").alias("valid_from"),
+        F.lit(effective_date).cast("date").alias("valid_to"),
+        F.lit(0).alias("is_current"),
+    )
+    # Opened versions: changed keys take updated tracked values and keep
+    # their previous non-tracked attributes; brand-new keys get NULLs there.
+    opened = matched.where(is_changed | is_new).select(
+        F.col(key),
+        *[F.col(f"cur.{c}").alias(c) for c in non_tracked],
+        *[F.col(f"upd.{c}").alias(c) for c in tracked],
+        F.lit(effective_date).cast("date").alias("valid_from"),
+        F.lit(HIGH_DATE).cast("date").alias("valid_to"),
+        F.lit(1).alias("is_current"),
     )
     # Untouched: everything except the current rows of changed keys.
+    changed_keys = matched.where(is_changed).select(F.col(key))
     untouched = dim.join(
         changed_keys.withColumn("is_current", F.lit(1)),
         on=[key, "is_current"],
         how="anti",
-    )
-
-    # New versions: changed keys take updated tracked values but keep the
-    # non-tracked attributes of their previous current row; brand-new keys
-    # arrive with NULL non-tracked attributes.
-    prev_attrs = current.select(key, *[c for c in attr_cols if c != key and c not in tracked])
-    new_changed = (
-        upd.join(changed_keys, on=key, how="semi")
-        .join(prev_attrs, on=key, how="left")
-        .select(*attr_cols)
-    )
-    new_inserted = (
-        brand_new.select(F.col(key), *[F.col(f"upd.{c}").alias(c) for c in tracked])
-        .join(prev_attrs, on=key, how="left")  # no match: NULL fills
-        .select(*attr_cols)
-    )
-    opened = (
-        new_changed.unionByName(new_inserted)
-        .withColumn("valid_from", F.lit(effective_date).cast("date"))
-        .withColumn("valid_to", F.lit(HIGH_DATE).cast("date"))
-        .withColumn("is_current", F.lit(1))
     )
     return untouched.unionByName(closed.select(*untouched.columns)).unionByName(
         opened.select(*untouched.columns)

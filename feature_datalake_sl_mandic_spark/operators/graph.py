@@ -70,10 +70,16 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_parts"))
     )
     w = Window.orderBy(F.col("shared_parts").desc(), "u", "v")
+    # The capped edge list is tiny (N_EDGES rows) but referenced many times
+    # downstream (triangle 3-way self-join; PageRank iterations).
+    # localCheckpoint materializes it once and truncates lineage so each
+    # reuse is a cached scan, not a re-derivation from lineitem — same
+    # pattern as dedup_cluster_components' iteration loop.
     return (
         pairs.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= N_EDGES)
         .select("u", "v", "shared_parts")
+        .localCheckpoint()
     )
 
 
@@ -107,7 +113,7 @@ def graph_cosupply_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex degree and triangle participation on the top-150 co-supply
     graph. Oriented (u<v) edge list makes the 3-way self-join emit each
     triangle once; per-vertex counts come from unpivoting triangle corners."""
-    e = _edges(spark, sf_dir).cache()
+    e = _edges(spark, sf_dir)
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c"))
     e3 = e.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
@@ -177,7 +183,7 @@ def graph_pagerank_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribution = pr/degree flows along each directed edge, damped sum per
     vertex, scores rounded per iteration for engine parity."""
     e = _edges(spark, sf_dir)
-    ed = e.select("u", "v").unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).cache()
+    ed = e.select("u", "v").unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = ed.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
     n = deg.count()  # bounded: node count of the capped edge list
     pr = deg.select("node", "d", F.round(F.lit(1.0) / n, 6).alias("pr"))

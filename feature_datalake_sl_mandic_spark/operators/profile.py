@@ -41,19 +41,29 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             F.max(c).cast("string").alias(f"__max_{c}"),
         ]
     wide = df.agg(*aggs)
-    rows = None
-    for c in cols:
-        row = wide.select(
-            F.lit(c).alias("column"),
-            F.lit(dtypes[c]).alias("dtype"),
-            F.col("__n_rows").alias("n_rows"),
-            F.col(f"__nulls_{c}").alias("n_nulls"),
-            F.col(f"__distinct_{c}").alias("n_distinct"),
-            F.col(f"__min_{c}").alias("min_value"),
-            F.col(f"__max_{c}").alias("max_value"),
-        )
-        rows = row if rows is None else rows.unionByName(row)
-    return rows
+    # Unpivot the single wide row with stack() — one generator projection,
+    # so the aggregation runs ONCE (a per-column union would re-execute the
+    # agg subtree once per column).
+    stack_args = ", ".join(
+        f"'{c}', '{dtypes[c]}', __nulls_{c}, __distinct_{c}, __min_{c}, __max_{c}"
+        for c in cols
+    )
+    stacked = wide.select(
+        F.col("__n_rows").alias("n_rows"),
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col_name, dtype, n_nulls, n_distinct, min_value, max_value)"
+        ),
+    )
+    return stacked.select(
+        F.col("col_name").alias("column"),
+        "dtype",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "min_value",
+        "max_value",
+    )
 
 
 _PROFILE_COLS = [
