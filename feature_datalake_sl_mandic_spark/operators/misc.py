@@ -638,3 +638,51 @@ def udaf_median_session_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "recursive_cte_customer_chain",
+    oracle="""
+    WITH RECURSIVE up(c_custkey, ancestor, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer
+      UNION ALL
+      SELECT u.c_custkey, u.ancestor // 10, u.depth + 1
+      FROM up u WHERE u.ancestor >= 10
+    )
+    SELECT c_custkey,
+           ancestor AS root,
+           CAST(depth AS BIGINT) AS depth
+    FROM up
+    WHERE ancestor < 10
+    ORDER BY c_custkey
+    """,
+    tags=("recursive-cte", "hierarchy", "iterative", "sql"),
+)
+def recursive_cte_customer_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``): walk the synthetic
+    customer hierarchy ``parent(k) = k div 10`` up to its single-digit root,
+    emitting each customer's root and chain depth.
+
+    Covers the iterative-SQL surface natively — the engine's recursion
+    (iterative union with a fixpoint) is the declarative twin of the manual
+    loops in ``dedup_cluster_components``/``graph_pagerank_cosupply``; depth
+    is bounded by log10(maxkey), so state stays small at any scale.
+    """
+    (cu,) = _t(spark, sf_dir, "customer")
+    cu.select("c_custkey").createOrReplaceTempView("rcte_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE up(c_custkey, ancestor, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM rcte_customer
+          UNION ALL
+          SELECT u.c_custkey, u.ancestor div 10, u.depth + 1
+          FROM up u WHERE u.ancestor >= 10
+        )
+        SELECT c_custkey,
+               ancestor AS root,
+               CAST(depth AS BIGINT) AS depth
+        FROM up
+        WHERE ancestor < 10
+        ORDER BY c_custkey
+        """
+    )
