@@ -686,3 +686,75 @@ def recursive_cte_customer_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_custkey
         """
     )
+
+
+@register(
+    "txlog_change_data_feed",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS okey, round(o_totalprice, 2) AS price,
+             o_orderstatus AS status
+      FROM orders
+    ),
+    -- commit 1: MERGE (updates %7 win, %13 insert under shifted keys)
+    -- commit 2: DELETE okey in [100, 2000]
+    diff AS (
+      -- deletes: original keys erased by the range delete (v0 image)
+      SELECT okey, price, status, 'delete' AS _change_type
+      FROM base WHERE okey BETWEEN 100 AND 2000
+      UNION ALL
+      -- update pre/post: merged keys outside the deleted range
+      SELECT okey, price, status, 'update_preimage'
+      FROM base WHERE okey % 7 = 0 AND okey NOT BETWEEN 100 AND 2000
+      UNION ALL
+      SELECT okey, round(price + 100, 2), 'U', 'update_postimage'
+      FROM base WHERE okey % 7 = 0 AND okey NOT BETWEEN 100 AND 2000
+      UNION ALL
+      -- inserts: shifted keys (never in [100, 2000])
+      SELECT okey + 1000000000, 1.0, 'N', 'insert'
+      FROM base WHERE okey % 13 = 0
+    )
+    SELECT okey, price, status, _change_type
+    FROM diff
+    ORDER BY _change_type, okey
+    """,
+    tags=("ingest", "cdc", "change-data-feed", "transaction-log", "time-travel"),
+)
+def txlog_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed from the transaction-log format (Delta CDF shape):
+    create -> MERGE -> range-DELETE as three committed versions, then derive
+    the row-level diff v0 -> latest FROM THE SNAPSHOTS (time travel), not
+    from writer-side bookkeeping. The oracle recomputes the expected diff
+    relationally; hash equality proves insert/delete/update classification
+    and both update images."""
+    import tempfile
+
+    from feature_datalake_sl_mandic_spark.sources.txlog import TxTable
+
+    (od,) = _t(spark, sf_dir, "orders")
+    base = od.select(
+        F.col("o_orderkey").alias("okey"),
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    updates = (
+        od.where(F.col("o_orderkey") % 7 == 0)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.round(F.col("o_totalprice") + 100, 2).alias("price"),
+            F.lit("U").alias("status"),
+        )
+        .unionAll(
+            od.where(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + 1_000_000_000).alias("okey"),
+                F.lit(1.0).alias("price"),
+                F.lit("N").alias("status"),
+            )
+        )
+    )
+    t = TxTable.create(spark, tempfile.mkdtemp(prefix="txlog_cdf_"), base)
+    t.merge(spark, updates, key="okey")
+    t.delete_where(spark, "okey", 100, 2000)
+    return t.change_feed(spark, key="okey", from_version=0).orderBy(
+        "_change_type", "okey"
+    )

@@ -359,3 +359,56 @@ class TxTable:
 
     def history(self) -> list[TxSnapshot]:
         return [self.snapshot(v) for v in self.versions()]
+
+    def change_feed(
+        self,
+        spark: SparkSession,
+        key: str,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Row-level change feed between two committed versions (Delta CDF /
+        Iceberg changelog shape): full-outer join the snapshots on ``key``
+        and classify each key as ``insert`` / ``delete`` / ``update_preimage``
+        + ``update_postimage`` (unchanged rows drop out). Computed FROM the
+        immutable snapshots, so any consumer can derive the feed for any
+        version pair after the fact — no extra write-path bookkeeping. One
+        shuffle on the key; at scale, manifest stats could restrict the join
+        to files that actually changed between the versions."""
+        from pyspark.sql import functions as F
+
+        a = self.read(spark, version=from_version)
+        b = self.read(spark, version=to_version)
+        val_cols = [c for c in a.columns if c != key]
+        differs = F.lit(False)
+        for c in val_cols:
+            differs = differs | ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+        # explicit presence markers: value columns may be legitimately NULL
+        in_a = F.col("a._present").isNotNull()
+        in_b = F.col("b._present").isNotNull()
+        ja = a.withColumn("_present", F.lit(1)).alias("a")
+        jb = b.withColumn("_present", F.lit(1)).alias("b")
+        j = ja.join(jb, on=key, how="full_outer")
+
+        def side(alias: str, change: str) -> DataFrame:
+            return j.select(
+                F.col(key),
+                *[F.col(f"{alias}.{c}").alias(c) for c in val_cols],
+                F.lit(change).alias("_change_type"),
+                in_a.alias("_in_a"),
+                in_b.alias("_in_b"),
+                differs.alias("_differs"),
+            )
+
+        inserts = side("b", "insert").where(~F.col("_in_a") & F.col("_in_b"))
+        deletes = side("a", "delete").where(F.col("_in_a") & ~F.col("_in_b"))
+        pre = side("a", "update_preimage").where(
+            F.col("_in_a") & F.col("_in_b") & F.col("_differs")
+        )
+        post = side("b", "update_postimage").where(
+            F.col("_in_a") & F.col("_in_b") & F.col("_differs")
+        )
+        return (
+            inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+            .drop("_in_a", "_in_b", "_differs")
+        )

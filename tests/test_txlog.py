@@ -165,3 +165,29 @@ def test_delete_where_partial_file_rewrite(spark, nation, tmp_path):
     assert out.count() == 20
     assert out.where(F.col("n_nationkey").between(5, 9)).count() == 0
     assert out.where(F.col("n_nationkey") < 5).count() == 5
+
+
+class TestChangeFeed:
+    def test_change_feed_classifies_and_drops_unchanged(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+        from feature_datalake_sl_mandic_spark.sources.txlog import TxTable
+
+        base = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+            "k INT, name STRING, v DOUBLE",
+        )
+        t = TxTable.create(spark, str(tmp_path / "t"), base)
+        # v1: update k=2 (NULL -> value), delete k=3, insert k=5, keep k=1/4
+        after = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 22.0), (4, "d", 40.0), (5, "e", None)],
+            "k INT, name STRING, v DOUBLE",
+        )
+        t.overwrite(after)
+        feed = t.change_feed(spark, key="k", from_version=0)
+        rows = {(r.k, r._change_type): (r.name, r.v) for r in feed.collect()}
+        assert rows == {
+            (2, "update_preimage"): ("b", None),
+            (2, "update_postimage"): ("b", 22.0),
+            (3, "delete"): ("c", 30.0),
+            (5, "insert"): ("e", None),
+        }
