@@ -758,3 +758,55 @@ def txlog_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.change_feed(spark, key="okey", from_version=0).orderBy(
         "_change_type", "okey"
     )
+
+
+@register(
+    "arrow_batch_embedding_norms",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 6)
+             AS l2_norm
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+    tags=("arrow", "mapInArrow", "udf", "embeddings"),
+)
+def arrow_batch_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the zero-copy Arrow-native UDF surface (one step lower
+    than mapInPandas — no pandas conversion at all). Per-batch numpy over the
+    raw Arrow buffers computes embedding L2 norms; per-row math, so batch
+    boundaries can't affect results. Complements the pandas-based UDF family
+    (vectorized/grouped-agg/group-map/UDTF) with the Arrow-level API."""
+    import pyarrow as pa
+
+    (em,) = _t(spark, sf_dir, "embeddings")
+
+    def norms(batches):
+        import numpy as np
+
+        for batch in batches:
+            tbl = pa.table(
+                {
+                    "vec_id": batch.column("vec_id"),
+                    "dim": pa.array(
+                        [len(v) for v in batch.column("embedding").to_pylist()],
+                        type=pa.int64(),
+                    ),
+                    "l2_norm": pa.array(
+                        [
+                            round(float(np.sqrt(np.sum(np.asarray(v, dtype=np.float64) ** 2))), 6)
+                            for v in batch.column("embedding").to_pylist()
+                        ],
+                        type=pa.float64(),
+                    ),
+                }
+            )
+            for out in tbl.to_batches():
+                yield out
+
+    return (
+        em.select("vec_id", "embedding")
+        .mapInArrow(norms, "vec_id BIGINT, dim BIGINT, l2_norm DOUBLE")
+        .orderBy("vec_id")
+    )
