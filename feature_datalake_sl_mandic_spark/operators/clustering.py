@@ -176,3 +176,52 @@ def kmeans_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_final", "sample_rank")
     )
+
+
+@register(
+    "embedding_standardize_dims",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+               FROM embeddings),
+    long AS (
+      SELECT vec_id, t.i - 1 AS pos, emb[t.i] AS v
+      FROM e CROSS JOIN range(1, {DIM + 1}) t(i)
+    ), stats AS (
+      SELECT pos, round(avg(v), 6) AS mu, round(stddev_samp(v), 6) AS sigma
+      FROM long GROUP BY pos
+    )
+    SELECT l.vec_id, CAST(l.pos AS BIGINT) AS pos,
+           round((l.v - s.mu) / s.sigma, 6) AS z
+    FROM long l JOIN stats s USING (pos)
+    WHERE l.vec_id < 20
+    ORDER BY vec_id, pos
+    """,
+    tags=("feature-engineering", "standardize", "embeddings", "groupby-agg"),
+)
+def embedding_standardize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization of the embedding corpus — the
+    feature-scaling pass upstream of distance-based ops (k-means, kNN),
+    where unscaled dimensions dominate the metric. Shape: posexplode to
+    (row, dim) long format, ONE shuffle keyed dim for the d-row stats table
+    (broadcast back), pure projection after that. Stats are rounded to 6
+    for the distributed-sum parity contract; output long-format (array
+    columns crash the driver canonicalizer)."""
+    (em,) = _t(spark, sf_dir, "embeddings")
+    long = em.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    stats = long.groupBy("pos").agg(
+        F.round(F.avg("v"), 6).alias("mu"),
+        F.round(F.stddev_samp("v"), 6).alias("sigma"),
+    )
+    return (
+        long.join(F.broadcast(stats), on="pos")
+        .where(F.col("vec_id") < 20)
+        .select(
+            "vec_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.round((F.col("v") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+        )
+        .orderBy("vec_id", "pos")
+    )

@@ -186,3 +186,77 @@ def join_asof_purchase_after_click(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("user_id", "event_id")
     )
+
+
+CAMPAIGN_EPOCH_US = 1703808000000000  # 2023-12-29 00:00:00 UTC
+CAMPAIGN_LEN_US = 7 * 86_400 * 1_000_000
+N_CAMPAIGNS = 6
+
+
+@register(
+    "join_interval_overlap_campaigns",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, event_type,
+             epoch_us(min(CAST(ts AS TIMESTAMP))) AS start_us,
+             epoch_us(max(CAST(ts AS TIMESTAMP))) AS end_us
+      FROM events
+      WHERE user_id < 50
+      GROUP BY user_id, event_type
+    ), camps AS (
+      SELECT t.i AS campaign_id,
+             {CAMPAIGN_EPOCH_US} + t.i * {CAMPAIGN_LEN_US} AS c_start_us,
+             {CAMPAIGN_EPOCH_US} + (t.i + 1) * {CAMPAIGN_LEN_US} - 1 AS c_end_us
+      FROM range(0, {N_CAMPAIGNS}) t(i)
+    )
+    SELECT iv.user_id, iv.event_type, camps.campaign_id,
+           (least(iv.end_us, camps.c_end_us)
+            - greatest(iv.start_us, camps.c_start_us)) // 1000000 AS overlap_sec
+    FROM iv JOIN camps
+      ON iv.start_us <= camps.c_end_us AND camps.c_start_us <= iv.end_us
+    ORDER BY user_id, event_type, campaign_id
+    """,
+    tags=("join", "interval-overlap", "range-join", "events"),
+)
+def join_interval_overlap_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (interval x interval, vs the point-in-range
+    ``join_range_*``): per-(user, event_type) activity spans against weekly
+    campaign windows, keeping pairs whose intervals intersect plus the
+    overlap length. The campaign side is tiny and broadcasts, so the overlap
+    predicate evaluates as a broadcast nested-loop — the right plan for
+    small×big interval joins; for big×big, bucket both sides by coarse time
+    grain first so candidates co-locate (same blocking idea as the dedup
+    family). All arithmetic is integer µs — bit-exact in both engines."""
+    (ev,) = _t(spark, sf_dir, "events")
+    iv = (
+        ev.where(F.col("user_id") < 50)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("start_us"),
+            F.unix_micros(F.max("ts")).alias("end_us"),
+        )
+    )
+    camps = spark.range(N_CAMPAIGNS).select(
+        F.col("id").alias("campaign_id"),
+        (F.lit(CAMPAIGN_EPOCH_US) + F.col("id") * CAMPAIGN_LEN_US).alias("c_start_us"),
+        (F.lit(CAMPAIGN_EPOCH_US) + (F.col("id") + 1) * CAMPAIGN_LEN_US - 1).alias(
+            "c_end_us"
+        ),
+    )
+    overlap = (
+        F.least("end_us", "c_end_us") - F.greatest("start_us", "c_start_us")
+    ) / 1_000_000
+    return (
+        iv.join(
+            F.broadcast(camps),
+            (F.col("start_us") <= F.col("c_end_us"))
+            & (F.col("c_start_us") <= F.col("end_us")),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "campaign_id",
+            F.floor(overlap).cast("bigint").alias("overlap_sec"),
+        )
+        .orderBy("user_id", "event_type", "campaign_id")
+    )
