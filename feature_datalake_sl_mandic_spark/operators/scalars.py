@@ -266,3 +266,40 @@ def nested_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id")
     )
+
+
+@register(
+    "variant_props_events",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           count(*) AS n,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+    FROM events
+    WHERE json_valid(props)
+    GROUP BY 1
+    ORDER BY k_mod
+    """,
+    tags=("variant", "semi-structured", "spark4", "groupby-agg"),
+)
+def variant_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type: ``parse_json`` shreds the props JSON into the
+    binary variant encoding once, ``variant_get`` then extracts typed paths
+    without re-parsing — the engine-native semi-structured column (vs
+    ``get_json_object``'s string re-parse per access, see
+    ``scalar_json_events``). ``try_parse_json`` nulls malformed documents
+    instead of failing the scan — the ingest-safe default."""
+    (ev,) = _t(spark, sf_dir, "events")
+    v = F.expr("try_parse_json(props)")
+    k = F.expr("variant_get(try_parse_json(props), '$.k', 'bigint')")
+    return (
+        ev.select(v.alias("var"), k.alias("k"))
+        .where(F.col("var").isNotNull())
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("k_mod")
+    )

@@ -53,3 +53,24 @@ def test_user_profiles_match_batch(spark, tmp_path):
         assert gn == n, uid
         assert abs(gv - v) < 0.02, uid
         assert glast == last, uid
+
+
+def test_transform_with_state_api_present_but_env_blocked():
+    """Spark 4's transformWithStateInPandas is the successor stateful API to
+    applyInPandasWithState. The API imports and plans fine here, but its
+    driver worker needs google.protobuf, which this container lacks (no
+    package installs) — probed end-to-end: the query crashes with
+    ImportError('cannot import name descriptor from google.protobuf').
+    applyInPandasWithState (tested above) is the supported stateful path in
+    this environment; swap-in is mechanical when protobuf is available."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle  # noqa: F401
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+    if not has_protobuf:
+        import pytest
+
+        pytest.skip("transformWithState needs google.protobuf (not installed here)")
