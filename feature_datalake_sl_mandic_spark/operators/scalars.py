@@ -303,3 +303,61 @@ def variant_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_mod")
     )
+
+
+@register(
+    "arrays_setops_adjacent_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_distinct(string_split(lower(text), ' ')) AS tset
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.tset AS ta, b.tset AS tb
+      FROM toks a JOIN toks b
+        ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(ta, tb)) AS BIGINT) AS n_common,
+           CAST(len(list_distinct(list_concat(ta, tb))) AS BIGINT) AS n_union,
+           round(len(list_intersect(ta, tb))::DOUBLE
+                 / len(list_distinct(list_concat(ta, tb))), 6) AS jaccard,
+           (len(list_filter(ta, x -> list_contains(tb, x))) > 0) AS any_shared,
+           (len(list_filter(ta, x -> NOT list_contains(tb, x))) = 0) AS all_shared
+    FROM pairs
+    ORDER BY doc_a
+    """,
+    tags=("arrays", "set-ops", "higher-order", "documents"),
+)
+def arrays_setops_adjacent_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra + higher-order predicates, row-wise and JVM-side:
+    token-set intersect/union/Jaccard between adjacent same-language docs,
+    plus ``exists``/``forall`` membership tests — the per-row (non-shuffle)
+    complement of the inverted-index dedup family."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    toks = dc.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(F.split(F.lower("text"), " ")).alias("tset"),
+    )
+    a = toks.alias("a")
+    b = toks.select(
+        (F.col("doc_id") - 1).alias("join_id"), F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"), F.col("tset").alias("tb"),
+    ).alias("b")
+    inter = F.array_intersect("tset", "tb")
+    union = F.array_distinct(F.concat("tset", "tb"))
+    return (
+        a.join(b, (F.col("doc_id") == F.col("join_id")) & (F.col("lang") == F.col("lang_b")))
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            "doc_b",
+            F.size(inter).cast("bigint").alias("n_common"),
+            F.size(union).cast("bigint").alias("n_union"),
+            F.round(F.size(inter).cast("double") / F.size(union), 6).alias("jaccard"),
+            F.exists("tset", lambda x: F.array_contains("tb", x)).alias("any_shared"),
+            F.forall("tset", lambda x: F.array_contains("tb", x)).alias("all_shared"),
+        )
+        .orderBy("doc_a")
+    )
