@@ -1014,3 +1014,55 @@ def corpus_chunk_dedup_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+SAMPLE_QUALITY_SCALE = 0.8
+
+
+@register(
+    "corpus_quality_weighted_sample",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_unique,
+             {_STOP_SQL} AS n_stop
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source, {_QUALITY_SQL} AS quality,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000)
+               / 1000000.0 AS u
+      FROM feats
+    )
+    SELECT doc_id, source, quality
+    FROM scored
+    WHERE u < quality * {SAMPLE_QUALITY_SCALE}
+    ORDER BY doc_id
+    """,
+    tags=("text", "curation", "weighted-sampling", "quality-score"),
+)
+def corpus_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted downsampling: keep each document with probability
+    proportional to its quality score (deterministic md5 uniform per doc, so
+    the sample is reproducible and oracle-checkable). The importance-sampling
+    complement of source-based ``corpus_mixture_resample``: one is keyed by
+    provenance, this one by content quality. Pure projection + filter."""
+    from feature_datalake_sl_mandic_spark.functions.hashing import md5_int60_col
+
+    (dc,) = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    feats = dc.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        _stop_count_col(toks).alias("n_stop"),
+    )
+    u = (md5_int60_col(F.col("doc_id").cast("string")) % 1_000_000) / 1_000_000.0
+    return (
+        feats.withColumn("quality", _quality_col())
+        .withColumn("u", u)
+        .where(F.col("u") < F.col("quality") * SAMPLE_QUALITY_SCALE)
+        .select("doc_id", "source", "quality")
+        .orderBy("doc_id")
+    )
