@@ -147,3 +147,47 @@ def ts_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+ROLLMED_WINDOW = 6  # current row + 6 preceding
+
+
+@register(
+    "ts_rolling_median_value",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CTE})
+    SELECT event_type, CAST(day AS VARCHAR) AS day, daily_value,
+           round(quantile_cont(daily_value, 0.5) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN {ROLLMED_WINDOW} PRECEDING AND CURRENT ROW), 4) AS rolling_median,
+           count(*) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN {ROLLMED_WINDOW} PRECEDING AND CURRENT ROW) AS n_in_window
+    FROM daily
+    ORDER BY event_type, day
+    """,
+    tags=("timeseries", "rolling-median", "window", "holistic-agg", "events"),
+)
+def ts_rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median (7-row trailing frame) per series — a HOLISTIC
+    aggregate as a window function (vs the distributive sums of
+    ``ts_ewma_daily_value``): the robust-smoothing twin of the mean-based
+    EWMA, immune to the single-day spikes ``ts_zscore_anomalies`` flags.
+    Both engines interpolate even-count medians identically
+    (``percentile``/``quantile_cont``); frame rows are bounded by the
+    calendar so per-partition state is O(window)."""
+    daily = _daily_series(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-ROLLMED_WINDOW, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "daily_value",
+        F.round(F.expr("percentile(daily_value, 0.5)").over(w), 4).alias(
+            "rolling_median"
+        ),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    ).orderBy("event_type", "day")
