@@ -204,3 +204,65 @@ def graph_pagerank_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(F.col("node").alias("s_suppkey"), F.col("pr").alias("pagerank")).orderBy(
         "s_suppkey"
     )
+
+
+BFS_HOPS = 3
+
+
+@register(
+    "graph_bfs_distances",
+    oracle=f"""
+    WITH {_EDGE_CTES},
+    ed AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+    seed AS (
+      SELECT u AS node FROM edges ORDER BY shared_parts DESC, u, v LIMIT 1
+    ),
+    f1 AS (SELECT DISTINCT e.v AS node FROM ed e JOIN seed s ON e.u = s.node),
+    f2 AS (SELECT DISTINCT e.v AS node FROM ed e JOIN f1 f ON e.u = f.node),
+    f3 AS (SELECT DISTINCT e.v AS node FROM ed e JOIN f2 f ON e.u = f.node),
+    reach AS (
+      SELECT node, 0 AS dist FROM seed
+      UNION ALL SELECT node, 1 FROM f1
+      UNION ALL SELECT node, 2 FROM f2
+      UNION ALL SELECT node, 3 FROM f3
+    )
+    SELECT node AS s_suppkey, min(dist) AS dist
+    FROM reach GROUP BY node
+    ORDER BY dist, s_suppkey
+    """,
+    tags=("graph", "bfs", "iterative"),
+)
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first shortest hop distance (<= 3 hops) from the most-connected
+    supplier over the undirected co-supply graph. Iterative frontier
+    expansion: each hop is one equi-join frontier><edges + distinct, with
+    ``localCheckpoint`` truncating lineage per level (same pattern as
+    PageRank at ``graph.py`` above — without it, level k replays all k-1
+    prior joins). Frontiers stay small relative to the edge relation, so at
+    scale each hop is a broadcast join of frontier onto hash-partitioned
+    edges; the final min-dist group-by is over the bounded reach set."""
+    e = _edges(spark, sf_dir)
+    ed = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    seed = (
+        e.orderBy(F.col("shared_parts").desc(), "u", "v")
+        .limit(1)
+        .select(F.col("u").alias("node"))
+    )
+    levels = [seed.withColumn("dist", F.lit(0))]
+    frontier = seed.localCheckpoint(eager=True)
+    for hop in range(1, BFS_HOPS + 1):
+        frontier = (
+            ed.join(frontier, ed["u"] == frontier["node"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        levels.append(frontier.withColumn("dist", F.lit(hop)))
+    reach = levels[0]
+    for lv in levels[1:]:
+        reach = reach.union(lv)
+    return (
+        reach.groupBy(F.col("node").alias("s_suppkey"))
+        .agg(F.min("dist").alias("dist"))
+        .orderBy("dist", "s_suppkey")
+    )

@@ -260,3 +260,41 @@ def join_interval_overlap_campaigns(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("user_id", "event_type", "campaign_id")
     )
+
+
+LATERAL_TOP_N = 2
+
+
+@register(
+    "join_lateral_topn_customers",
+    oracle=f"""
+    SELECT n.n_name AS nation, c.c_name AS customer,
+           round(c.c_acctbal, 2) AS acctbal
+    FROM nation n,
+    LATERAL (SELECT c_name, c_acctbal FROM customer
+             WHERE c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_name LIMIT {LATERAL_TOP_N}) c
+    ORDER BY nation, acctbal DESC, customer
+    """,
+    tags=("join", "lateral-join", "top-k-per-group"),
+)
+def join_lateral_topn_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-2 customers by account balance per
+    nation. The declarative per-group top-k — Catalyst decorrelates the
+    LIMIT'd subquery into a ranked join rather than executing it per outer
+    row, so at scale this is one shuffle on the correlation key (equivalent
+    to the window-rank formulation, but stated as the ANSI lateral the
+    reference's warehouse users would write)."""
+    for t in ("nation", "customer"):
+        _t(spark, sf_dir, t)[0].createOrReplaceTempView(t)
+    return spark.sql(
+        f"""
+        SELECT n.n_name AS nation, c.c_name AS customer,
+               round(c.c_acctbal, 2) AS acctbal
+        FROM nation n,
+        LATERAL (SELECT c_name, c_acctbal FROM customer
+                 WHERE c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT {LATERAL_TOP_N}) c
+        ORDER BY nation, acctbal DESC, customer
+        """
+    )

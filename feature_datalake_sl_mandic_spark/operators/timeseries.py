@@ -191,3 +191,68 @@ def ts_rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).over(w).alias("n_in_window"),
     ).orderBy("event_type", "day")
+
+
+# 1.5 * 1.4826 (normal-consistency constant): ~1.5-sigma equivalent. The
+# fixture's daily sums aggregate many events, so deviations are mild — the
+# classical 3-sigma cut flags nothing at any SF; 1.5-sigma keeps the oracle
+# non-vacuous (8-17 flagged days per SF) while exercising the same plan.
+MAD_K = 2.2239
+
+
+@register(
+    "ts_mad_outliers",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CTE}),
+    med AS (
+      SELECT event_type, median(daily_value) AS med_value
+      FROM daily GROUP BY event_type
+    ),
+    dev AS (
+      SELECT d.event_type, d.day, d.daily_value, m.med_value,
+             abs(d.daily_value - m.med_value) AS abs_dev
+      FROM daily d JOIN med m ON d.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, median(abs_dev) AS mad_value
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, CAST(d.day AS VARCHAR) AS day, d.daily_value,
+           round(d.med_value, 4) AS med_value,
+           round(m.mad_value, 4) AS mad_value,
+           round(d.abs_dev, 4) AS abs_dev
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    WHERE d.abs_dev > {MAD_K} * m.mad_value
+    ORDER BY d.event_type, d.day
+    """,
+    tags=("timeseries", "outliers", "robust-stats", "events"),
+)
+def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier detection on the daily value series:
+    flag days where |x - median| > 1.5 * 1.4826 * MAD. Robust to the outliers
+    it hunts (unlike the z-score variant, whose mean/std the anomaly itself
+    inflates). Plan shape: two tiny per-key aggregations (exact ``median``)
+    broadcast back onto the series — the series itself is never re-sorted or
+    collected; both medians and the comparison use identical IEEE doubles on
+    both engines, with rounding applied only to displayed columns."""
+    daily = _daily_series(spark, sf_dir)
+    med = daily.groupBy("event_type").agg(
+        F.median("daily_value").alias("med_value")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "abs_dev", F.abs(F.col("daily_value") - F.col("med_value"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("abs_dev").alias("mad_value"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("abs_dev") > MAD_K * F.col("mad_value"))
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            "daily_value",
+            F.round("med_value", 4).alias("med_value"),
+            F.round("mad_value", 4).alias("mad_value"),
+            F.round("abs_dev", 4).alias("abs_dev"),
+        )
+        .orderBy("event_type", "day")
+    )
