@@ -225,3 +225,66 @@ def embedding_standardize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id", "pos")
     )
+
+
+SEMDEDUP_THRESHOLD = 0.35  # same near-dup constant as dedup_embedding_cosine
+
+_COS_AB_SQL = (
+    "list_sum(list_transform(range(1, 65), i -> ea.emb[i] * eb.emb[i]))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), i -> ea.emb[i] * ea.emb[i])))"
+    " * sqrt(list_sum(list_transform(range(1, 65), i -> eb.emb[i] * eb.emb[i]))))"
+)
+
+
+@register(
+    "semdedup_cluster_cosine",
+    oracle=f"""
+    WITH {_ASSIGN_CTES}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(a.cluster_final AS BIGINT) AS cluster_final,
+           round({_COS_AB_SQL}, 6) AS cosine
+    FROM a1 a JOIN a1 b
+      ON a.cluster_final = b.cluster_final AND a.vec_id < b.vec_id
+    JOIN e ea ON ea.vec_id = a.vec_id
+    JOIN e eb ON eb.vec_id = b.vec_id
+    WHERE {_COS_AB_SQL} >= {SEMDEDUP_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """,
+    tags=("dedup", "clustering", "semdedup", "embeddings"),
+)
+def semdedup_cluster_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: k-means clusters as the
+    blocking key, exact cosine only WITHIN a cluster. This is the scale
+    answer to ``dedup_embedding_cosine``'s label-blocked join (the label is
+    a fixture convenience; the learned cluster is what a real corpus has):
+    pairwise work drops from O(n^2) to sum over clusters of O(|c|^2), and
+    each cluster's pair join is an equi-join Catalyst hash-partitions by
+    cluster id. The assignment relation is localCheckpoint'd once and reused
+    for both sides of the self-join — without it each side replays the whole
+    Lloyd chain (broadcast-assign, centroid update, reassign) from parquet."""
+    from feature_datalake_sl_mandic_spark.operators.similarity import _dot as dot
+
+    a1 = (
+        _final_assignments(spark, sf_dir)
+        .select("vec_id", "cluster_final", "emb")
+        .withColumn("norm", F.sqrt(dot("emb", "emb")))
+        .localCheckpoint()
+    )
+    a = a1.alias("a")
+    b = a1.alias("b")
+    cos = dot("a.emb", "b.emb") / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster_final") == F.col("b.cluster_final"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos >= SEMDEDUP_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.cluster_final").cast("bigint").alias("cluster_final"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )

@@ -810,3 +810,70 @@ def arrow_batch_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInArrow(norms, "vec_id BIGINT, dim BIGINT, l2_norm DOUBLE")
         .orderBy("vec_id")
     )
+
+
+MAP_RATE_THRESHOLD = 60.0
+
+
+@register(
+    "maps_zipwith_type_rates",
+    oracle=f"""
+    WITH cents AS (
+      SELECT user_id, event_type,
+             sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS s100,
+             count(*) AS c
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type,
+           ((2 * s100 * 100 + c) // (2 * c)) / 10000.0 AS avg_value
+    FROM cents
+    WHERE (2 * s100 * 100 + c) // (2 * c) >= {int(MAP_RATE_THRESHOLD)} * 10000
+    ORDER BY user_id, event_type
+    """,
+    tags=("maps", "higher-order", "map-zip-with", "map-filter"),
+)
+def maps_zipwith_type_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order-function surface: per-user count and value-sum maps
+    combined with ``map_zip_with`` (avg per event type), thresholded with
+    ``map_filter``, rounded with ``transform_values``, exploded back to
+    scalar rows. The oracle states the same result relationally — the point
+    here is the MapType algebra staying JVM-side; map entries are built from
+    sorted collect_lists so construction order is deterministic, and sums
+    are exact integer cents so no engine can flip a rounding boundary."""
+    (ev,) = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("s100"),
+    )
+    m = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "c")))
+        ).alias("mcount"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "s100")))
+        ).alias("msum"),
+    )
+    # map_zip_with: exact half-up 4-decimal average scaled to an integer
+    # ((2*s*100 + c) floor-div (2*c), written as n - n%d over bigints);
+    # map_filter thresholds on that integer; transform_values descales.
+    thr4 = int(MAP_RATE_THRESHOLD) * 10000
+    num = lambda s, c: 2 * s * 100 + c  # noqa: E731
+    scaled = m.select(
+        "user_id",
+        F.map_filter(
+            F.map_zip_with(
+                "msum",
+                "mcount",
+                lambda k, s, c: (num(s, c) - num(s, c) % (2 * c)) / (2 * c),
+            ),
+            lambda k, v: v >= thr4,
+        ).alias("mscaled"),
+    )
+    rates = scaled.select(
+        "user_id",
+        F.transform_values("mscaled", lambda k, v: v / 10000.0).alias("mrate"),
+    )
+    return (
+        rates.select("user_id", F.explode("mrate").alias("event_type", "avg_value"))
+        .orderBy("user_id", "event_type")
+    )
