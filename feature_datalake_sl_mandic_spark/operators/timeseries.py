@@ -234,13 +234,22 @@ def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     inflates). Plan shape: two tiny per-key aggregations (exact ``median``)
     broadcast back onto the series — the series itself is never re-sorted or
     collected; both medians and the comparison use identical IEEE doubles on
-    both engines, with rounding applied only to displayed columns."""
-    daily = _daily_series(spark, sf_dir)
+    both engines, with rounding applied only to displayed columns.
+
+    The daily aggregate (one row per (event_type, day) — calendar-bounded)
+    is localCheckpoint'd: it feeds four downstream derivations (median,
+    deviations, MAD, final filter) and without the checkpoint each one
+    replays the events scan+aggregation, 22 shuffles instead of ~6."""
+    daily = _daily_series(spark, sf_dir).localCheckpoint()
     med = daily.groupBy("event_type").agg(
         F.median("daily_value").alias("med_value")
     )
-    dev = daily.join(F.broadcast(med), "event_type").withColumn(
-        "abs_dev", F.abs(F.col("daily_value") - F.col("med_value"))
+    # dev feeds both the MAD aggregate and the final filter; checkpoint it
+    # too so the med-join isn't replayed (14 -> ~6 shuffles).
+    dev = (
+        daily.join(F.broadcast(med), "event_type")
+        .withColumn("abs_dev", F.abs(F.col("daily_value") - F.col("med_value")))
+        .localCheckpoint()
     )
     mad = dev.groupBy("event_type").agg(F.median("abs_dev").alias("mad_value"))
     return (
