@@ -309,3 +309,132 @@ def quality_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "decile")
     )
+
+
+FINAL_QUALITY_FLOOR = 0.55  # same as text.QUALITY_THRESHOLD
+
+
+@register(
+    "corpus_curation_end_to_end",
+    oracle=f"""
+    WITH exact AS (
+      SELECT doc_id, text, lang, source,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    pfx AS (
+      SELECT doc_id, text, lang, source,
+             row_number() OVER (
+               PARTITION BY md5(array_to_string(
+                   string_split({_NORM_SQL}, ' ')[1:{PREFIX_TOKENS}], ' '))
+               ORDER BY doc_id) AS rn
+      FROM exact WHERE rn = 1
+    ),
+    feats AS (
+      SELECT doc_id, lang, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_unique,
+             len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'of', 'and', 'in'))) AS n_stop,
+             len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a', 'of', 'and', 'fast'))) AS s_en, len(list_filter(string_split(text, ' '), w -> w IN ('el', 'la', 'de', 'que', 'rapido'))) AS s_es, len(list_filter(string_split(text, ' '), w -> w IN ('le', 'la', 'de', 'et', 'vite'))) AS s_fr,
+             len(list_filter(string_split(text, ' '), w -> w IN ('der', 'die', 'das', 'und', 'schnell'))) AS s_de, len(list_filter(string_split(text, ' '), w -> w IN ('de', 'shi', 'le', 'zai', 'kuai'))) AS s_zh
+      FROM pfx WHERE rn = 1
+    ),
+    gated AS (
+      SELECT doc_id, lang, source, n_tokens,
+             round( least(n_tokens / 50.0, 1.0) * 0.4 + (n_unique * 1.0 / n_tokens) * 0.4 + least(n_stop * 4.0 / n_tokens, 1.0) * 0.2, 4) AS quality
+      FROM (SELECT *, CASE greatest(s_en, s_es, s_fr, s_de, s_zh) WHEN s_en THEN 'en' WHEN s_es THEN 'es' WHEN s_fr THEN 'fr' WHEN s_de THEN 'de' ELSE 'zh' END AS lang_pred FROM feats)
+      WHERE round( least(n_tokens / 50.0, 1.0) * 0.4 + (n_unique * 1.0 / n_tokens) * 0.4 + least(n_stop * 4.0 / n_tokens, 1.0) * 0.2, 4) >= {FINAL_QUALITY_FLOOR} AND lang_pred = lang
+    ),
+    capped AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(doc_id::VARCHAR), doc_id) AS cap_rn
+      FROM gated
+    )
+    SELECT lang, source,
+           count(*) AS n_docs,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           ((2 * sum(CAST(round(quality * 10000, 0) AS BIGINT)) + count(*))
+            // (2 * count(*))) / 10000.0 AS avg_quality
+    FROM capped WHERE cap_rn <= {DOMAIN_CAP}
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    tags=("text", "pipeline", "dedup", "quality-score", "domain-caps"),
+)
+def corpus_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pass as ONE declarative plan: exact-hash dedup ->
+    prefix-fingerprint dedup -> quality floor + language-agreement gate ->
+    per-domain caps -> per-(lang, source) corpus stats. Composes the
+    individual registered operators (each verified on its own) into the
+    pipeline a real corpus build runs nightly.
+
+    Scale shape: three hash exchanges over strictly shrinking data (content
+    md5 -> prefix md5 -> source), each keyed on a 16-byte hash or a low-skew
+    domain key; every filter between them fuses into the preceding exchange's
+    read stage (one scan of the corpus total). This is the composition
+    argument for the operator set: because each stage is a DataFrame ->
+    DataFrame transform, Catalyst plans the whole chain as one job with no
+    materialization between stages."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    from feature_datalake_sl_mandic_spark.operators.text import (
+        _lang_pred_col,
+        _lang_score_col,
+    )
+
+    w_exact = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact = dc.withColumn("rn", F.row_number().over(w_exact)).where(
+        F.col("rn") == 1
+    )
+
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    fp = F.md5(F.array_join(F.slice(F.split(norm, " "), 1, PREFIX_TOKENS), " "))
+    w_pfx = Window.partitionBy(fp).orderBy("doc_id")
+    pfx = (
+        exact.drop("rn")
+        .withColumn("rn", F.row_number().over(w_pfx))
+        .where(F.col("rn") == 1)
+    )
+
+    toks = F.split("text", " ")
+    feats = pfx.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        _stop_count_col(toks).alias("n_stop"),
+        *[_lang_score_col(toks, lg) for lg in ("en", "es", "fr", "de", "zh")],
+    )
+    gated = (
+        feats.withColumn("quality", _quality_col())
+        .withColumn("lang_pred", _lang_pred_col())
+        .where(
+            (F.col("quality") >= FINAL_QUALITY_FLOOR)
+            & (F.col("lang_pred") == F.col("lang"))
+        )
+    )
+    w_cap = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    capped = gated.withColumn("cap_rn", F.row_number().over(w_cap)).where(
+        F.col("cap_rn") <= DOMAIN_CAP
+    )
+    return (
+        capped.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.round(F.col("quality") * 10000, 0).cast("bigint")).alias("_q"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "total_tokens",
+            (F.expr("(2 * _q + n_docs) DIV (2 * n_docs)") / 10000.0).alias(
+                "avg_quality"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
