@@ -35,10 +35,17 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def _read_events(spark: SparkSession, path: str) -> DataFrame:
-    """Read events.parquet handling the ns-timestamp column.
+    """Read events.parquet normalizing ``ts`` to session-TZ TIMESTAMP.
 
-    Primary path: nanosAsLong conf + timestamp_micros(ts div 1000) — stays
-    fully JVM-side and scales to any size. Fallback (conf rejected by an
+    The fixture has carried two physical types across driver generations:
+    parquet TIMESTAMP(NANOS) (unreadable directly — nanosAsLong conf reads it
+    as Long nanos, truncated here to microsecond TIMESTAMP) and plain
+    TIMESTAMP(MICROS) with isAdjustedToUTC=false (Spark 4 infers
+    TIMESTAMP_NTZ). Event-time operators use instant semantics
+    (``unix_micros``, watermarks), so both forms are normalized to TIMESTAMP
+    (LTZ); the session is pinned to UTC (session.py) so the wall-clock values
+    are identical to DuckDB's naive reading of the same file. All conversion
+    stays JVM-side and scales to any size. Fallback (conf rejected by an
     externally-created session): PyArrow cast to us then createDataFrame —
     acceptable only for the small test fixtures, flagged loudly.
     """
@@ -48,8 +55,11 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
         pass
     try:
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     except Exception:
         # Last resort (conf static/rejected): driver-side Arrow read with

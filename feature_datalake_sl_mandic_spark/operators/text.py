@@ -1066,3 +1066,75 @@ def corpus_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFram
         .select("doc_id", "source", "quality")
         .orderBy("doc_id")
     )
+
+
+# ----------------------------------------------------- unigram LM perplexity
+
+
+@register(
+    "quality_unigram_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    dtc AS (
+      SELECT doc_id, lang, tok, count(*) AS k
+      FROM toks GROUP BY doc_id, lang, tok
+    ),
+    lm AS (SELECT tok, sum(k) AS cnt FROM dtc GROUP BY tok),
+    tot AS (SELECT sum(cnt) AS total FROM lm),
+    scored AS (
+      SELECT d.doc_id, d.lang,
+             CAST(sum(d.k) AS BIGINT) AS n_tok,
+             round(sum(d.k * -ln(l.cnt * 1.0 / t.total)) / sum(d.k), 4)
+               AS avg_nll
+      FROM dtc d JOIN lm l USING (tok) CROSS JOIN tot t
+      GROUP BY d.doc_id, d.lang
+    )
+    SELECT doc_id, lang, n_tok, avg_nll, round(exp(avg_nll), 3) AS ppl
+    FROM scored ORDER BY doc_id
+    """,
+    tags=("text", "quality-score", "language-model", "perplexity", "skew"),
+)
+def quality_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus quality signal: train a unigram language model on
+    the corpus itself (token -> count / total), score every document by its
+    average negative log-likelihood, and report perplexity = exp(avg_nll).
+    Low-ppl documents are fluent/common text; high-ppl ones are noise or
+    gibberish — the standard cut for LLM pretraining curation.
+
+    Scale shape: tokens collapse to per-document counts FIRST (``dtc``), so
+    the LM join moves one row per (doc, distinct token), not one per token
+    occurrence — and avg_nll is recovered exactly as the k-weighted sum. The
+    token-frequency distribution is Zipfian, which would skew a shuffle join
+    on ``tok``; at corpus scale the mitigation is the standard split — the
+    head of the vocabulary (top few thousand tokens, tiny) broadcasts while
+    the long tail shuffle-joins — or AQE skew-join handles it adaptively
+    (enabled in session.py). Both engines round the weighted average to 4
+    decimals to absorb summation-order differences.
+    """
+    (dc,) = _t(spark, sf_dir, "documents")
+    toks = dc.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    dtc = toks.groupBy("doc_id", "lang", "tok").agg(F.count(F.lit(1)).alias("k"))
+    lm = dtc.groupBy("tok").agg(F.sum("k").alias("cnt"))
+    tot = lm.agg(F.sum("cnt").alias("total"))
+    nll = -F.log(F.col("cnt") / F.col("total"))
+    scored = (
+        dtc.join(lm, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("k").alias("n_tok"),
+            F.round(F.sum(F.col("k") * nll) / F.sum("k"), 4).alias("avg_nll"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        "avg_nll",
+        F.round(F.exp("avg_nll"), 3).alias("ppl"),
+    ).orderBy("doc_id")
