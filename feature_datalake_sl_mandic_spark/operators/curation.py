@@ -438,3 +438,136 @@ def corpus_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# ------------------------------------------------- exact stratified splits
+
+SPLIT_TEST_PCT = 10  # percent; integer math keeps both engines exact
+SPLIT_VAL_PCT = 10
+
+
+@register(
+    "split_exact_stratified",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN r * 100 <= n * {SPLIT_TEST_PCT} THEN 'test'
+                WHEN r * 100 <= n * {SPLIT_TEST_PCT + SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'train' END AS split
+    FROM ranked
+    ORDER BY doc_id
+    """,
+    tags=("curation", "train-test-split", "stratified", "window"),
+)
+def split_exact_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified train/val/test split: within every language stratum,
+    documents are ordered by content-independent md5 (stable across runs and
+    engines) and the first 10% become test, the next 10% val, the rest train
+    — EXACT per-stratum proportions, unlike probabilistic hash-bucket
+    sampling (``sample_deterministic_hash``) whose splits only converge to
+    the target rate. The threshold comparison is pure integer arithmetic
+    (r*100 <= n*pct), so there is no float boundary to disagree on.
+
+    Scale: one shuffle keyed by stratum; a mega-stratum serializes through
+    one task's window — same regime note as ``corpus_domain_caps``: switch
+    to the two-level sub-rank + broadcast-offset pattern of
+    ``corpus_pack_shards`` when a stratum outgrows a task."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = dc.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    split = (
+        F.when(F.col("r") * 100 <= F.col("n") * SPLIT_TEST_PCT, "test")
+        .when(F.col("r") * 100 <= F.col("n") * (SPLIT_TEST_PCT + SPLIT_VAL_PCT), "val")
+        .otherwise("train")
+    )
+    return ranked.select("doc_id", "lang", split.alias("split")).orderBy("doc_id")
+
+
+# --------------------------------------------- length-bucketed batch packing
+
+LEN_BUCKET_WIDTH = 32  # token-count bucket granularity
+BATCH_SIZE = 8  # documents per training batch
+
+
+@register(
+    "corpus_length_batches",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, n_tokens,
+             CAST(floor(n_tokens / {LEN_BUCKET_WIDTH}) AS BIGINT) AS bucket,
+             row_number() OVER (
+               PARTITION BY floor(n_tokens / {LEN_BUCKET_WIDTH})
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+      FROM toks
+    ),
+    batched AS (
+      SELECT bucket, n_tokens,
+             CAST(floor((r - 1) / {BATCH_SIZE}) AS BIGINT) AS batch_in_bucket,
+             max(n_tokens) OVER (
+               PARTITION BY bucket, floor((r - 1) / {BATCH_SIZE})) AS batch_max
+      FROM bucketed
+    )
+    SELECT bucket, batch_in_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(sum(batch_max - n_tokens) AS BIGINT) AS padding_waste_tokens
+    FROM batched
+    GROUP BY bucket, batch_in_bucket
+    ORDER BY bucket, batch_in_bucket
+    """,
+    tags=("curation", "batching", "length-bucketing", "training-export"),
+)
+def corpus_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length-aware training batches: documents bucket by token
+    count, order deterministically within a bucket, and group into
+    fixed-size batches — the standard padding-waste reduction for packed
+    training (similar-length sequences batch together, so per-batch padding
+    to the max is small). Output is one row per batch with its realized
+    padding waste, the metric this operator exists to minimize.
+
+    Scale: bucket count grows with the length distribution, not the corpus,
+    and each bucket's window is independent — the shuffle key (bucket) is
+    the natural partitioner. Deterministic md5 order makes batch membership
+    reproducible run-to-run."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    toks = dc.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    bucket = F.floor(F.col("n_tokens") / LEN_BUCKET_WIDTH).cast("bigint")
+    wb = Window.partitionBy("bucket").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    bucketed = toks.select("doc_id", "n_tokens", bucket.alias("bucket")).withColumn(
+        "r", F.row_number().over(wb)
+    )
+    batch = F.floor((F.col("r") - 1) / BATCH_SIZE).cast("bigint")
+    wbatch = Window.partitionBy("bucket", "batch_in_bucket")
+    return (
+        bucketed.withColumn("batch_in_bucket", batch)
+        .withColumn("batch_max", F.max("n_tokens").over(wbatch))
+        .groupBy("bucket", "batch_in_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum(F.col("batch_max") - F.col("n_tokens")).alias("padding_waste_tokens"),
+        )
+        .orderBy("bucket", "batch_in_bucket")
+    )

@@ -653,3 +653,63 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "day_offset")
     )
+
+
+# ------------------------------------------------ sequence pattern matching
+
+
+@register(
+    "events_sequence_pattern",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(seq, 'c+p')) AS BIGINT)
+             AS n_click_runs_to_purchase,
+           CAST(len(regexp_extract_all(seq, 'ee+')) AS BIGINT)
+             AS n_error_bursts,
+           CAST((regexp_matches(seq, 's.*c.*p')) AS INT) AS full_funnel
+    FROM seqs
+    ORDER BY user_id
+    """,
+    tags=("events", "sequence-pattern", "match-recognize", "regex"),
+)
+def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern matching: each user's event
+    history collapses to an ordered type-string (c=click, e=error,
+    p=purchase, s=signup, v=view) and row-pattern queries become plain regex
+    counts — non-overlapping 'clicks-then-purchase' runs, repeated-error
+    bursts, and a did-the-full-funnel-ever-happen flag.
+
+    Scale shape: one shuffle on user_id; per-user state is the type string
+    (one byte per event), the same per-key sequence a streaming
+    transformWithState operator would hold, and regex matching happens
+    JVM-side inside codegen. Both engines scan regexes leftmost
+    non-overlapping, so the counts are exact, not heuristic."""
+    (ev,) = _t(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("ch"))
+                    )
+                ),
+                lambda s: s["ch"],
+            ),
+        ).alias("seq")
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("n_events"),
+        F.regexp_count("seq", F.lit("c+p")).cast("bigint").alias("n_click_runs_to_purchase"),
+        F.regexp_count("seq", F.lit("ee+")).cast("bigint").alias("n_error_bursts"),
+        F.col("seq").rlike("s.*c.*p").cast("int").alias("full_funnel"),
+    ).orderBy("user_id")

@@ -1118,7 +1118,12 @@ def quality_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = dc.select(
         "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("tok")
     )
-    dtc = toks.groupBy("doc_id", "lang", "tok").agg(F.count(F.lit(1)).alias("k"))
+    # dtc feeds the LM, the grand total, and the scoring join — cache it so
+    # the explode+count runs once, not three times (MEMORY_AND_DISK default
+    # spills gracefully at corpus scale).
+    dtc = (
+        toks.groupBy("doc_id", "lang", "tok").agg(F.count(F.lit(1)).alias("k")).cache()
+    )
     lm = dtc.groupBy("tok").agg(F.sum("k").alias("cnt"))
     tot = lm.agg(F.sum("cnt").alias("total"))
     nll = -F.log(F.col("cnt") / F.col("total"))

@@ -265,3 +265,80 @@ def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# --------------------------------------------------------- linear trend (OLS)
+
+
+@register(
+    "ts_linear_trend_daily",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CTE}),
+    xy AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', day) AS x,
+             daily_value AS y
+      FROM daily
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             sum(x * 1.0) AS sx, sum(y) AS sy,
+             sum(x * 1.0 * x) AS sxx, sum(x * y) AS sxy
+      FROM xy GROUP BY event_type
+    )
+    SELECT event_type, n_days, slope_per_day,
+           round((sy - slope_per_day * sx) / n_days, 4) AS intercept
+    FROM (
+      SELECT *,
+             round((n_days * sxy - sx * sy) / (n_days * sxx - sx * sx), 6)
+               AS slope_per_day
+      FROM stats
+    )
+    ORDER BY event_type
+    """,
+    tags=("timeseries", "regression", "sufficient-statistics"),
+)
+def ts_linear_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series OLS trend (slope + intercept of daily totals over time) via
+    sufficient statistics: one partial-aggregated pass collects
+    (n, Σx, Σy, Σx², Σxy) per series and the closed-form normal equations do
+    the rest — regression with zero iteration, the map-reduce classic. At
+    100 TB this is a single shuffle on the series key carrying five doubles
+    per series, regardless of row count. Daily totals are pre-rounded to
+    cents on both sides so the engines aggregate identical inputs; slope and
+    intercept round to absorb summation-order epsilon."""
+    daily = _daily_series(spark, sf_dir)
+    xy = daily.select(
+        "event_type",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+        .cast("double")
+        .alias("x"),
+        F.col("daily_value").alias("y"),
+    )
+    stats = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = F.round(
+        (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")),
+        6,
+    )
+    # The ROUNDED slope feeds the intercept on both sides: an unrounded-slope
+    # epsilon (~1e-16) is amplified by sx (~epoch-days x n_days) well past
+    # any final rounding.
+    intercept = (F.col("sy") - F.col("slope_per_day") * F.col("sx")) / F.col("n_days")
+    return (
+        stats.withColumn("slope_per_day", slope)
+        .select(
+            "event_type",
+            "n_days",
+            "slope_per_day",
+            F.round(intercept, 4).alias("intercept"),
+        )
+        .orderBy("event_type")
+    )
