@@ -23,6 +23,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from feature_datalake_sl_mandic_spark.functions.hashing import (
+    md5_int60_col,
+    md5_int60_sql,
+)
 from feature_datalake_sl_mandic_spark.operators.relational import _t
 from feature_datalake_sl_mandic_spark.registry import register
 
@@ -101,3 +105,68 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     in a single scan; long-format output, one row per column."""
     (od,) = _t(spark, sf_dir, "orders")
     return profile_table(od, [c for c, _ in _PROFILE_COLS]).orderBy("column")
+
+
+# --------------------------------------------- content checksums (anti-entropy)
+
+
+@register(
+    "checksum_orders_content",
+    oracle=f"""
+    WITH rows_h AS (
+      SELECT o_orderstatus,
+             {md5_int60_sql(
+                 "o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' || "
+                 "o_orderstatus || '|' || "
+                 "CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR)"
+                 " || '|' || strftime(o_orderdate, '%Y-%m-%d') || '|' || "
+                 "o_orderpriority"
+             )} AS h
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           bit_xor(h) AS content_xor,
+           CAST(sum(h % 1000000007) AS BIGINT) AS content_sum_mod
+    FROM rows_h
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("profile", "checksum", "anti-entropy", "reconciliation"),
+)
+def checksum_orders_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content checksum per partition group: every row
+    serializes to a canonical string (doubles as integer cents, dates as
+    ISO), hashes to a 60-bit md5 integer, and the group fingerprint is the
+    XOR plus a modular sum of row hashes — two commutative aggregates, so
+    the checksum is independent of row order and partitioning.
+
+    This is the anti-entropy primitive replica reconciliation is built on:
+    comparing per-group (n_rows, content_xor, content_sum_mod) between a
+    source and a sink detects any divergence without moving the data — a
+    strict upgrade over the reference's row_count-only ingest audit
+    (Sites/DataProc_Script/spark_ingest_slmandicprd.py:108 records only
+    df.count()). At 100 TB it is one partial-aggregated shuffle carrying
+    three longs per group. XOR alone is blind to duplicated-pair anomalies
+    (x XOR x = 0), which is why the modular sum rides along."""
+    (od,) = _t(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        "o_orderpriority",
+    )
+    h = md5_int60_col(canon)
+    return (
+        od.select("o_orderstatus", h.alias("h"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor("h").alias("content_xor"),
+            F.sum(F.col("h") % 1000000007).alias("content_sum_mod"),
+        )
+        .orderBy("o_orderstatus")
+    )

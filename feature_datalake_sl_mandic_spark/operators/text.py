@@ -1143,3 +1143,100 @@ def quality_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_nll",
         F.round(F.exp("avg_nll"), 3).alias("ppl"),
     ).orderBy("doc_id")
+
+
+# ------------------------------------------------- bigram next-token stats
+
+BIGRAM_TOP_W1 = 20
+BIGRAM_TOP_NEXT = 3
+
+
+@register(
+    "lm_bigram_next_tokens",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    big AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+                    i -> {{'w1': w[i], 'w2': w[i+1]}})) AS bg
+      FROM ws WHERE len(w) >= 2
+    ),
+    pairs AS (
+      SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS pair_cnt
+      FROM big GROUP BY 1, 2
+    ),
+    uni AS (
+      SELECT w1, CAST(sum(pair_cnt) AS BIGINT) AS w1_cnt
+      FROM pairs GROUP BY w1
+    ),
+    top_w1 AS (
+      SELECT w1, w1_cnt FROM uni ORDER BY w1_cnt DESC, w1 LIMIT {BIGRAM_TOP_W1}
+    ),
+    ranked AS (
+      SELECT p.w1, p.w2, p.pair_cnt, t.w1_cnt,
+             row_number() OVER (PARTITION BY p.w1
+                                ORDER BY p.pair_cnt DESC, p.w2) AS rnk
+      FROM pairs p JOIN top_w1 t USING (w1)
+    )
+    SELECT w1, w2, CAST(pair_cnt AS BIGINT) AS pair_cnt, w1_cnt,
+           round(pair_cnt * 1.0 / w1_cnt, 6) AS p_next,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {BIGRAM_TOP_NEXT}
+    ORDER BY w1, rnk
+    """,
+    tags=("text", "language-model", "bigram", "topk-per-group"),
+)
+def lm_bigram_next_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model statistics: corpus-wide (w1, w2) counts, the
+    conditional next-token probability p(w2|w1), and the top next tokens for
+    the most frequent context words — the n-gram companion to
+    ``quality_unigram_perplexity`` and the skeleton of KenLM-style corpus
+    scoring.
+
+    Scale shape: bigrams collapse to (w1, w2) counts in one partial-agg
+    shuffle (map-side combine absorbs the Zipf head before the exchange);
+    the context-word total is a second aggregation OVER THE COUNTS, not the
+    corpus; and the tiny top-context set broadcasts back. The guard
+    ``size(w) >= 2`` matters: Spark's ``sequence(1, 0)`` DESCENDS rather
+    than returning empty, so one-token documents must be filtered before
+    the bigram transform, not after."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), " ")
+    ws = dc.select(w.alias("w")).where(F.size("w") >= 2)
+    big = ws.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.struct(
+                    F.element_at("w", i).alias("w1"),
+                    F.element_at("w", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    )
+    # pairs feeds both the context totals and the scoring join — cache so the
+    # bigram explode+count runs once (pair counts are vocab-sized, far
+    # smaller than the corpus).
+    pairs = (
+        big.groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .cache()
+    )
+    uni = pairs.groupBy("w1").agg(F.sum("pair_cnt").alias("w1_cnt"))
+    top_w1 = uni.orderBy(F.col("w1_cnt").desc(), "w1").limit(BIGRAM_TOP_W1)
+    rnk_w = Window.partitionBy("w1").orderBy(F.col("pair_cnt").desc(), "w2")
+    return (
+        pairs.join(F.broadcast(top_w1), "w1")
+        .withColumn("rnk", F.row_number().over(rnk_w).cast("bigint"))
+        .where(F.col("rnk") <= BIGRAM_TOP_NEXT)
+        .select(
+            "w1",
+            "w2",
+            "pair_cnt",
+            "w1_cnt",
+            F.round(F.col("pair_cnt") / F.col("w1_cnt"), 6).alias("p_next"),
+            "rnk",
+        )
+        .orderBy("w1", "rnk")
+    )

@@ -1,0 +1,162 @@
+"""Property tests for the round-2 additions beyond oracle parity: exact
+split proportions, batch-packing invariants, checksum sensitivity, and PQ
+recall — the semantic claims the DuckDB hash check can't express."""
+
+from __future__ import annotations
+
+from conftest import SF_SMALL
+
+
+class TestSplitExactStratified:
+    def test_exact_proportions_and_partition(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.curation import (
+            SPLIT_TEST_PCT,
+            SPLIT_VAL_PCT,
+            split_exact_stratified,
+        )
+
+        rows = split_exact_stratified(spark, SF_SMALL).collect()
+        by_lang: dict[str, dict[str, int]] = {}
+        for r in rows:
+            by_lang.setdefault(r["lang"], {}).setdefault(r["split"], 0)
+            by_lang[r["lang"]][r["split"]] += 1
+        assert by_lang  # non-empty
+        for lang, counts in by_lang.items():
+            n = sum(counts.values())
+            # r*100 <= n*pct  =>  exactly floor(n*pct/100) rows qualify
+            assert counts.get("test", 0) == n * SPLIT_TEST_PCT // 100, lang
+            assert (
+                counts.get("test", 0) + counts.get("val", 0)
+                == n * (SPLIT_TEST_PCT + SPLIT_VAL_PCT) // 100
+            ), lang
+
+    def test_deterministic_across_runs(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.curation import (
+            split_exact_stratified,
+        )
+
+        a = split_exact_stratified(spark, SF_SMALL).collect()
+        b = split_exact_stratified(spark, SF_SMALL).collect()
+        assert a == b
+
+
+class TestLengthBatches:
+    def test_batch_invariants(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.curation import (
+            BATCH_SIZE,
+            LEN_BUCKET_WIDTH,
+            corpus_length_batches,
+        )
+
+        rows = corpus_length_batches(spark, SF_SMALL).collect()
+        assert rows
+        for r in rows:
+            assert 1 <= r["n_docs"] <= BATCH_SIZE
+            assert r["min_tokens"] <= r["max_tokens"]
+            # all docs in a batch share the bucket => spread < bucket width
+            assert r["max_tokens"] - r["min_tokens"] < LEN_BUCKET_WIDTH
+            # waste is bounded by (n_docs - 1) * (width - 1)
+            assert 0 <= r["padding_waste_tokens"] <= (r["n_docs"] - 1) * (
+                LEN_BUCKET_WIDTH - 1
+            )
+
+    def test_all_docs_assigned(self, spark):
+        from feature_datalake_sl_mandic_spark import catalog
+        from feature_datalake_sl_mandic_spark.operators.curation import (
+            corpus_length_batches,
+        )
+
+        n_docs = catalog.load_table(spark, SF_SMALL, "documents").count()
+        rows = corpus_length_batches(spark, SF_SMALL).collect()
+        assert sum(r["n_docs"] for r in rows) == n_docs
+
+
+class TestContentChecksum:
+    def test_order_insensitive_and_sensitive_to_change(self, spark, tmp_path):
+        import shutil
+
+        from feature_datalake_sl_mandic_spark import catalog
+        from feature_datalake_sl_mandic_spark.operators.profile import (
+            checksum_orders_content,
+        )
+        from pyspark.sql import functions as F
+
+        base = checksum_orders_content(spark, SF_SMALL).collect()
+
+        # Re-partitioned copy (different row order/layout): same checksums.
+        alt = tmp_path / "alt"
+        alt.mkdir()
+        for t in ("orders",):
+            df = catalog.load_table(spark, SF_SMALL, t)
+            df.repartition(7).write.parquet(str(alt / f"{t}.parquet"))
+        shuffled = checksum_orders_content(spark, str(alt)).collect()
+        assert sorted(map(tuple, base)) == sorted(map(tuple, shuffled))
+
+        # One mutated row: that group's checksum must change, count constant.
+        mut = tmp_path / "mut"
+        mut.mkdir()
+        df = catalog.load_table(spark, SF_SMALL, "orders")
+        df.withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") == df.select(F.min("o_orderkey")).first()[0],
+                   F.col("o_totalprice") + 1.0).otherwise(F.col("o_totalprice")),
+        ).write.parquet(str(mut / "orders.parquet"))
+        mutated = checksum_orders_content(spark, str(mut)).collect()
+        assert {r["o_orderstatus"]: r["n_rows"] for r in base} == {
+            r["o_orderstatus"]: r["n_rows"] for r in mutated
+        }
+        assert sorted(map(tuple, base)) != sorted(map(tuple, mutated))
+        shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+class TestPqRecall:
+    def test_pq_codes_and_recall(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.similarity import (
+            PQ_K,
+            PQ_M,
+            TOP_K,
+            ann_ivf_pq,
+            knn_cosine_topk,
+        )
+
+        pq = ann_ivf_pq(spark, SF_SMALL).collect()
+        exact = knn_cosine_topk(spark, SF_SMALL).collect()
+        assert pq and exact
+        for r in pq:
+            codes = [int(c) for c in r["pq_code"].split("_")]
+            assert len(codes) == PQ_M
+            assert all(0 <= c < PQ_K for c in codes)
+        # PQ with 4x4 codebooks is coarse; require non-trivial top-k overlap
+        # with the exact answer rather than a tight recall bound.
+        exact_sets: dict[int, set[int]] = {}
+        for r in exact:
+            exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(
+            r["neighbor_id"] in exact_sets.get(r["query_id"], set()) for r in pq
+        )
+        assert hits >= len(pq) // 10  # >=10% of slots agree with exact top-k
+
+
+class TestBigramLm:
+    def test_probabilities_form_topk_of_distribution(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.text import (
+            BIGRAM_TOP_NEXT,
+            BIGRAM_TOP_W1,
+            lm_bigram_next_tokens,
+        )
+
+        rows = lm_bigram_next_tokens(spark, SF_SMALL).collect()
+        assert rows
+        by_w1: dict[str, list] = {}
+        for r in rows:
+            by_w1.setdefault(r["w1"], []).append(r)
+        assert len(by_w1) <= BIGRAM_TOP_W1
+        for w1, rs in by_w1.items():
+            assert len(rs) <= BIGRAM_TOP_NEXT
+            ranks = sorted(r["rnk"] for r in rs)
+            assert ranks == list(range(1, len(rs) + 1))
+            cnts = [r["pair_cnt"] for r in sorted(rs, key=lambda r: r["rnk"])]
+            assert cnts == sorted(cnts, reverse=True)
+            for r in rs:
+                assert 0.0 < r["p_next"] <= 1.0
+                assert r["pair_cnt"] <= r["w1_cnt"]
