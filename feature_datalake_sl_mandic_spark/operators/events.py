@@ -713,3 +713,96 @@ def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("seq", F.lit("ee+")).cast("bigint").alias("n_error_bursts"),
         F.col("seq").rlike("s.*c.*p").cast("int").alias("full_funnel"),
     ).orderBy("user_id")
+
+
+# ------------------------------------------------ association rules (pairs)
+
+
+@register(
+    "events_assoc_rules",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    tot AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+    singles AS (
+      SELECT event_type, count(*) AS cnt FROM ut GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS pair_cnt
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.pair_cnt,
+           round(p.pair_cnt * 1.0 / t.n_users, 6) AS support,
+           round(p.pair_cnt * 1.0 / sa.cnt, 6) AS conf_a_to_b,
+           round(p.pair_cnt * 1.0 / sb.cnt, 6) AS conf_b_to_a,
+           round((p.pair_cnt * 1.0 / t.n_users)
+                 / ((sa.cnt * 1.0 / t.n_users) * (sb.cnt * 1.0 / t.n_users)),
+                 6) AS lift
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.type_a
+    JOIN singles sb ON sb.event_type = p.type_b
+    CROSS JOIN tot t
+    ORDER BY type_a, type_b
+    """,
+    tags=("events", "association-rules", "market-basket", "cooccurrence"),
+)
+def events_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over per-user event-type sets:
+    support, both-direction confidence, and lift for every co-occurring type
+    pair — the classic frequent-itemset pass (pairs only; Apriori's k=2
+    level, which is where most production rule mining stops).
+
+    Scale shape: pairs are generated INSIDE each user's collected type set
+    with higher-order functions (sorted set -> indexed transform -> slice),
+    so there is no self-join of the user-item relation — the classic
+    market-basket blowup is bounded by per-user distinct items, and the
+    only shuffles are the per-user set collection and the O(item-pairs)
+    count. The oracle states the same counts as the textbook self-join."""
+    (ev,) = _t(spark, sf_dir, "events")
+    # ut feeds pair generation, single counts, and the user total — cache so
+    # the distinct-set collection runs once, not three times.
+    ut = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("ts")
+    ).cache()
+    # pairwise combinations within the sorted set, JVM-side
+    pairs_arr = F.flatten(
+        F.transform(
+            "ts",
+            lambda x, i: F.transform(
+                F.slice("ts", i + 2, F.size("ts")),
+                lambda y: F.struct(x.alias("type_a"), y.alias("type_b")),
+            ),
+        )
+    )
+    pairs = (
+        ut.select(F.explode(pairs_arr).alias("p"))
+        .groupBy(F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b"))
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+    )
+    singles = ut.select(F.explode("ts").alias("event_type")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = ut.agg(F.count(F.lit(1)).alias("n_users"))
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("cnt").alias("cnt_a"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("cnt").alias("cnt_b"))
+    supp = F.col("pair_cnt") / F.col("n_users")
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "pair_cnt",
+            F.round(supp, 6).alias("support"),
+            F.round(F.col("pair_cnt") / F.col("cnt_a"), 6).alias("conf_a_to_b"),
+            F.round(F.col("pair_cnt") / F.col("cnt_b"), 6).alias("conf_b_to_a"),
+            F.round(
+                supp / ((F.col("cnt_a") / F.col("n_users")) * (F.col("cnt_b") / F.col("n_users"))),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )

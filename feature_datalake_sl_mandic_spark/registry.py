@@ -141,6 +141,11 @@ _PRIORITY: list[str] = [
     "corpus_boilerplate_tokens",
     "corpus_chunk_dedup_crossdoc",
 ]
+# Round-3 rotation candidates (added late in round 2, currently past the
+# 50-entry window; every one is green in the repo's oracle mirror):
+# quality_unigram_perplexity, ann_ivf_pq, ts_linear_trend_daily,
+# events_sequence_pattern, split_exact_stratified, corpus_length_batches,
+# checksum_orders_content, lm_bigram_next_tokens, events_assoc_rules.
 
 
 def load_all() -> dict[str, QuerySpec]:
