@@ -103,3 +103,68 @@ def validate_quarantine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bad.select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "failed_rules", "n_failed"
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------- k-anonymous release
+
+KANON_K = 5
+
+
+@register(
+    "kanon_release_customers",
+    oracle=f"""
+    WITH cells AS (
+      SELECT c_mktsegment, n.n_name AS nation, count(*) AS n_rows,
+             round(sum(c_acctbal), 2) AS total_balance
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT c_mktsegment,
+           CASE WHEN n_rows >= {KANON_K} THEN nation ELSE '__suppressed__' END
+             AS nation,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           round(sum(total_balance), 2) AS total_balance,
+           CAST(count(*) AS BIGINT) AS n_cells_merged
+    FROM cells
+    GROUP BY 1, 2
+    ORDER BY c_mktsegment, nation
+    """,
+    tags=("validation", "privacy", "k-anonymity", "suppression"),
+)
+def kanon_release_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymous aggregate release: cells of the (segment, nation)
+    quasi-identifier grid with fewer than k members are suppressed — merged
+    into one '__suppressed__' bucket per segment so their totals still
+    publish without isolating small groups. The minimum-viable privacy gate
+    a training-data pipeline applies before releasing grouped statistics.
+
+    Scale: two bounded-key aggregations (the cell grid is
+    |segments| x |nations|, constant); suppression is a projection over the
+    first aggregate's result, so the data is scanned once."""
+    (cu, na) = _t(spark, sf_dir, "customer", "nation")
+    cells = (
+        cu.join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .groupBy("c_mktsegment", F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+    )
+    released_nation = F.when(
+        F.col("n_rows") >= KANON_K, F.col("nation")
+    ).otherwise("__suppressed__")
+    return (
+        cells.select(
+            "c_mktsegment",
+            released_nation.alias("nation"),
+            "n_rows",
+            "total_balance",
+        )
+        .groupBy("c_mktsegment", "nation")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.round(F.sum("total_balance"), 2).alias("total_balance"),
+            F.count(F.lit(1)).alias("n_cells_merged"),
+        )
+        .orderBy("c_mktsegment", "nation")
+    )

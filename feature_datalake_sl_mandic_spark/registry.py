@@ -145,7 +145,8 @@ _PRIORITY: list[str] = [
 # 50-entry window; every one is green in the repo's oracle mirror):
 # quality_unigram_perplexity, ann_ivf_pq, ts_linear_trend_daily,
 # events_sequence_pattern, split_exact_stratified, corpus_length_batches,
-# checksum_orders_content, lm_bigram_next_tokens, events_assoc_rules.
+# checksum_orders_content, lm_bigram_next_tokens, events_assoc_rules,
+# kanon_release_customers.
 
 
 def load_all() -> dict[str, QuerySpec]:
