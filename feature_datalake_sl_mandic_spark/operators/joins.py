@@ -298,3 +298,59 @@ def join_lateral_topn_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY nation, acctbal DESC, customer
         """
     )
+
+
+# ------------------------------------------------------- null-safe equi-join
+
+
+@register(
+    "join_null_safe_profiles",
+    oracle="""
+    WITH profiles AS (
+      SELECT user_id,
+             CASE WHEN max(CAST(json_extract_string(props, '$.k') AS BIGINT)) % 7 = 0
+                  THEN NULL
+                  ELSE max(CAST(json_extract_string(props, '$.k') AS BIGINT)) % 5
+             END AS attr
+      FROM events
+      WHERE user_id < 60
+      GROUP BY user_id
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b, a.attr
+    FROM profiles a JOIN profiles b
+      ON a.attr IS NOT DISTINCT FROM b.attr AND a.user_id < b.user_id
+    ORDER BY user_a, user_b
+    """,
+    tags=("join", "null-safe", "eqNullSafe"),
+)
+def join_null_safe_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): user profiles
+    with a deterministically-missing attribute pair up when attributes match
+    INCLUDING the both-NULL case — the join semantics a plain ``=`` silently
+    drops (NULL = NULL is NULL, so unknown-attribute rows vanish). The
+    missing-data regime every entity-resolution pipeline hits.
+
+    Plan note: Spark plans ``<=>`` as a hash join (the null-safe comparator
+    is still an equality), NOT a cartesian product — asserted by this query
+    completing without a cross-join hint. At scale the NULL bucket is the
+    skew risk (every unknown pairs with every unknown); cap it or salt it
+    the way events_salted_user_totals does."""
+    (ev,) = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    mk = F.max(k)
+    profiles = (
+        ev.where(F.col("user_id") < 60)
+        .groupBy("user_id")
+        .agg(
+            F.when(mk % 7 == 0, F.lit(None).cast("bigint"))
+            .otherwise(mk % 5)
+            .alias("attr")
+        )
+    )
+    a = profiles.select(F.col("user_id").alias("user_a"), F.col("attr"))
+    b = profiles.select(F.col("user_id").alias("user_b"), F.col("attr").alias("battr"))
+    return (
+        a.join(b, a["attr"].eqNullSafe(b["battr"]) & (F.col("user_a") < F.col("user_b")))
+        .select("user_a", "user_b", "attr")
+        .orderBy("user_a", "user_b")
+    )
