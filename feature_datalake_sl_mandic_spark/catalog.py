@@ -95,8 +95,18 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
 _DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
+def _session_key(spark: SparkSession) -> str:
+    """Stable identity for a live session. id(spark) is unsafe here —
+    CPython reuses addresses after GC, so a new session could collide with
+    a dead one's cached (invalid) DataFrames."""
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:  # context already stopped mid-teardown
+        return f"dead-{id(spark)}"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (id(spark), sf_dir, name)
+    key = (_session_key(spark), sf_dir, name)
     df = _DF_CACHE.get(key)
     if df is None:
         path = os.path.join(sf_dir, f"{name}.parquet")

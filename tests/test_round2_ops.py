@@ -126,15 +126,15 @@ class TestPqRecall:
             codes = [int(c) for c in r["pq_code"].split("_")]
             assert len(codes) == PQ_M
             assert all(0 <= c < PQ_K for c in codes)
-        # PQ with 4x4 codebooks is coarse; require non-trivial top-k overlap
-        # with the exact answer rather than a tight recall bound.
+        # Data-trained 16x16 codebooks measure ~34% top-5 recall on the
+        # sf0.001 corpus; pin a 20% floor so codebook regressions surface.
         exact_sets: dict[int, set[int]] = {}
         for r in exact:
             exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
         hits = sum(
             r["neighbor_id"] in exact_sets.get(r["query_id"], set()) for r in pq
         )
-        assert hits >= len(pq) // 10  # >=10% of slots agree with exact top-k
+        assert hits >= len(pq) // 5  # >=20% of slots agree with exact top-k
 
 
 class TestBigramLm:
@@ -160,3 +160,46 @@ class TestBigramLm:
             for r in rs:
                 assert 0.0 < r["p_next"] <= 1.0
                 assert r["pair_cnt"] <= r["w1_cnt"]
+
+
+class TestDriverWindowContract:
+    """Guards for the driver's 50-entry CORRECTNESS window."""
+
+    def test_priority_names_all_resolve(self):
+        from feature_datalake_sl_mandic_spark import registry
+
+        specs = registry.load_all()
+        missing = [n for n in registry._PRIORITY if n not in specs]
+        assert not missing, f"_PRIORITY names not in registry: {missing}"
+        assert len(registry._PRIORITY) == len(set(registry._PRIORITY))
+
+    def test_first_50_outputs_are_scalar_only(self, spark):
+        """The driver's pandas canonicalizer crashes on array/map/struct
+        result columns (round-1 arrays_collect_per_order lesson) — keep the
+        driver window scalar-typed. Schema-only: no execution."""
+        from feature_datalake_sl_mandic_spark import registry
+
+        specs = registry.load_all()
+        offenders = []
+        for i, (name, spec) in enumerate(specs.items()):
+            if i >= 50:
+                break
+            schema = spec.fn(spark, SF_SMALL).schema
+            for f in schema.fields:
+                t = f.dataType.simpleString()
+                if any(k in t for k in ("array", "map", "struct", "binary")):
+                    offenders.append((name, f.name, t))
+        assert not offenders, offenders
+
+    def test_first_50_all_have_oracles(self):
+        """Every query inside the driver window must be value-hash-checkable
+        (rows-only entries belong in the tail)."""
+        from feature_datalake_sl_mandic_spark import registry
+
+        specs = registry.load_all()
+        missing = [
+            name
+            for i, (name, spec) in enumerate(specs.items())
+            if i < 50 and spec.oracle is None and name != "multimodal_feature_extract"
+        ]
+        assert not missing, missing
