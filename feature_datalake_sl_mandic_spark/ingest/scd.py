@@ -215,3 +215,91 @@ def scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey", "valid_from")
     )
+
+
+# --------------------------------------------------- point-in-time lookup
+
+_PIT_INITIAL = "1990-01-01"
+_PIT_EFFECTIVE = "1996-01-01"  # mid-range of the fixture's order dates
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle=f"""
+    WITH dim AS (
+      SELECT c_custkey, c_acctbal, c_mktsegment,
+             DATE '{_PIT_INITIAL}' AS valid_from,
+             DATE '{_PIT_EFFECTIVE}' AS valid_to, 0 AS ver
+      FROM customer WHERE c_custkey % 10 = 3
+      UNION ALL
+      SELECT c_custkey, round(c_acctbal + 100, 2), c_mktsegment,
+             DATE '{_PIT_EFFECTIVE}', DATE '{HIGH_DATE}', 1
+      FROM customer WHERE c_custkey % 10 = 3
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS order_date,
+           d.c_acctbal AS acctbal_at_order,
+           CAST(d.ver AS BIGINT) AS dim_version
+    FROM orders o JOIN dim d
+      ON o.o_custkey = d.c_custkey
+     AND d.valid_from <= CAST(o.o_orderdate AS DATE)
+     AND CAST(o.o_orderdate AS DATE) < d.valid_to
+    WHERE o.o_custkey % 10 = 3
+    ORDER BY o_orderkey
+    """,
+    tags=("ingest", "scd2", "point-in-time", "range-join", "as-of"),
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) lookup against the SCD2 dimension: each order
+    joins the customer version that was valid ON ITS ORDER DATE — the
+    consumer side of SCD2, and the pattern that makes training-data
+    features leak-proof (feature-at-event-time, never feature-of-today).
+    The dimension is built through the real ``scd2_apply`` merge (initial
+    load 1990, one tracked change effective 1996), then facts range-join on
+    (key, valid_from <= t < valid_to); the oracle states the closed-form
+    two-version dimension directly, so the merge machinery itself is under
+    test. Exactly one version matches per fact by SCD2's non-overlap
+    invariant.
+
+    Scale: equi-join on the dimension key with the validity range as a
+    residual filter — planned as a hash join, not an interval cross; the
+    dimension carries one row per key-version, never per fact."""
+    (cu, od) = _t(spark, sf_dir, "customer", "orders")
+    fam = cu.where(F.col("c_custkey") % 10 == 3)
+    dim0 = (
+        fam.select("c_custkey", "c_acctbal", "c_mktsegment")
+        .withColumn("valid_from", F.lit(_PIT_INITIAL).cast("date"))
+        .withColumn("valid_to", F.lit(HIGH_DATE).cast("date"))
+        .withColumn("is_current", F.lit(1))
+    )
+    updates = fam.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") + 100, 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    dim = scd2_apply(
+        dim0,
+        updates,
+        key="c_custkey",
+        tracked=["c_acctbal", "c_mktsegment"],
+        effective_date=_PIT_EFFECTIVE,
+    )
+    facts = od.where(F.col("o_custkey") % 10 == 3).select(
+        "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("order_d")
+    )
+    return (
+        facts.join(
+            dim,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("valid_from") <= F.col("order_d"))
+            & (F.col("order_d") < F.col("valid_to")),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("order_d").cast("string").alias("order_date"),
+            F.col("c_acctbal").alias("acctbal_at_order"),
+            F.col("is_current").cast("bigint").alias("dim_version"),
+        )
+        .orderBy("o_orderkey")
+    )
