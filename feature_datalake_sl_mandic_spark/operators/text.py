@@ -1240,3 +1240,96 @@ def lm_bigram_next_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("w1", "rnk")
     )
+
+
+# ------------------------------------------- sparse TF-IDF cosine pairs
+
+SPARSE_DOCS = 1000  # deterministic doc subset: doc_id < 1000
+SPARSE_MAX_DF = 500  # df cap on join terms (no-op here; the 100 TB knob)
+SPARSE_COS_THRESHOLD = 0.9
+
+
+@register(
+    "text_sparse_cosine_pairs",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < {SPARSE_DOCS}),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+      HAVING count(*) <= {SPARSE_MAX_DF}
+    ),
+    n AS (SELECT count(*) AS n_docs FROM docs),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(n.n_docs * 1.0 / df.df) AS w
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d.doc_a, d.doc_b,
+           round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.doc_a
+    JOIN norms nb ON nb.doc_id = d.doc_b
+    WHERE d.dot / (na.nrm * nb.nrm) >= {SPARSE_COS_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("text", "tfidf", "sparse-similarity", "inverted-index", "self-join"),
+)
+def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise document similarity in TF-IDF space via the inverted index:
+    the sparse complement to dense ``dedup_embedding_cosine`` — no
+    embeddings needed, and the dot product only touches terms two documents
+    actually share, so the join moves O(sum df^2 over terms) rows instead of
+    materializing any dense vectors. The document-frequency cap on join
+    terms is the 100 TB knob (ubiquitous terms dominate sum df^2 while
+    contributing the least TF-IDF mass — same guard as the MinHash shingle
+    cap); vectors are defined over the capped vocabulary on BOTH sides, so
+    the semantics stay exact, not approximated."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    docs = dc.where(F.col("doc_id") < SPARSE_DOCS)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= SPARSE_MAX_DF)
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("w"),
+        )
+        .cache()  # feeds norms AND both sides of the pair join
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.select(F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, (a["term"] == b["term"]) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(cos >= SPARSE_COS_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -342,3 +342,103 @@ def ts_linear_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------- linear interpolation
+
+
+@register(
+    "ts_linear_interpolate",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CTE}),
+    masked AS (
+      SELECT event_type, day,
+             date_diff('day', DATE '1970-01-01', day) AS x,
+             CASE WHEN date_diff('day', DATE '1970-01-01', day) % 5 = 2
+                  THEN NULL ELSE daily_value END AS v
+      FROM daily
+    ),
+    ctx AS (
+      SELECT *,
+             last_value(v IGNORE NULLS) OVER w_prev AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS)
+               OVER w_prev AS px,
+             first_value(v IGNORE NULLS) OVER w_next AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS)
+               OVER w_next AS nx
+      FROM masked
+      WINDOW w_prev AS (PARTITION BY event_type ORDER BY x
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             w_next AS (PARTITION BY event_type ORDER BY x
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NOT NULL AND nv IS NOT NULL
+                           THEN pv + (nv - pv) * (x - px) / (nx - px)
+                      WHEN pv IS NOT NULL THEN pv
+                      ELSE nv END, 4) AS value_filled,
+           CAST((v IS NULL) AS INT) AS is_interpolated
+    FROM ctx
+    ORDER BY event_type, day
+    """,
+    tags=("timeseries", "interpolation", "gap-fill", "window"),
+)
+def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing points in a per-series daily metric
+    (every 5th day deterministically knocked out to simulate sensor gaps):
+    each gap fills from the straight line between its nearest observed
+    neighbors, falling back to nearest-value at the series edges — the
+    upgrade over forward-fill (``events_gapfill_resample``) when the metric
+    trends inside a gap.
+
+    Pure window algebra: two IGNORE-NULLS window passes per series (previous
+    observed value+position, next observed value+position) and a closed-form
+    projection — no UDFs, no joins, one shuffle on the series key."""
+    daily = _daily_series(spark, sf_dir)
+    x = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    masked = daily.select(
+        "event_type",
+        "day",
+        x.alias("x"),
+        F.when(x % 5 == 2, F.lit(None).cast("double"))
+        .otherwise(F.col("daily_value"))
+        .alias("v"),
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    obs_x = F.when(F.col("v").isNotNull(), F.col("x"))
+    ctx = masked.select(
+        "event_type",
+        "day",
+        "x",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_x, ignorenulls=True).over(w_prev).alias("px"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_x, ignorenulls=True).over(w_next).alias("nx"),
+    )
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv")) * (F.col("x") - F.col("px"))
+            / (F.col("nx") - F.col("px")),
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    return ctx.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.round(interp, 4).alias("value_filled"),
+        F.col("v").isNull().cast("int").alias("is_interpolated"),
+    ).orderBy("event_type", "day")

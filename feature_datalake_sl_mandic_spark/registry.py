@@ -146,7 +146,8 @@ _PRIORITY: list[str] = [
 # quality_unigram_perplexity, ann_ivf_pq, ts_linear_trend_daily,
 # events_sequence_pattern, split_exact_stratified, corpus_length_batches,
 # checksum_orders_content, lm_bigram_next_tokens, events_assoc_rules,
-# kanon_release_customers, join_null_safe_profiles, scd2_point_in_time_join.
+# kanon_release_customers, join_null_safe_profiles, scd2_point_in_time_join,
+# text_sparse_cosine_pairs, ts_linear_interpolate.
 
 
 def load_all() -> dict[str, QuerySpec]:
