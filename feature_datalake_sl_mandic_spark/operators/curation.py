@@ -571,3 +571,66 @@ def corpus_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "batch_in_bucket")
     )
+
+
+# ------------------------------------------------ cross-source content overlap
+
+
+@register(
+    "source_overlap_jaccard",
+    oracle="""
+    WITH h AS (SELECT DISTINCT source, md5(text) AS h FROM documents),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+      FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM h GROUP BY source)
+    SELECT source_a, source_b, n_shared,
+           sa.n AS n_a, sb.n AS n_b,
+           round(n_shared * 1.0 / (sa.n + sb.n - n_shared), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON source_a = sa.source
+    JOIN sizes sb ON source_b = sb.source
+    ORDER BY source_a, source_b
+    """,
+    tags=("curation", "provenance", "dedup", "source-overlap"),
+)
+def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content overlap: Jaccard similarity between sources'
+    distinct-content sets (content = md5 of the text, so the join moves
+    16-byte hashes, never documents). The provenance question behind
+    mixture weighting — two sources that mirror each other shouldn't both
+    count at full weight in a training mixture, and this matrix is what
+    ``corpus_mixture_resample``'s weights should be corrected by.
+
+    Scale: |sources| is small but content is not — the equi-join on content
+    hash is the inverted-index shape, and per-source set sizes come from
+    the same hashed relation. One content-hash shuffle, bounded pair
+    output."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    h = dc.select("source", F.md5("text").alias("h")).distinct().cache()
+    a = h.select(F.col("source").alias("source_a"), "h")
+    b = h.select(F.col("source").alias("source_b"), "h")
+    pairs = (
+        a.join(b, (a["h"] == b["h"]) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = h.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

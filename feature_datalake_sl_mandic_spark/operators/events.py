@@ -806,3 +806,67 @@ def events_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ------------------------------------------------ Markov transition matrix
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    totals AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM trans GROUP BY 1)
+    SELECT t.from_type, t.to_type, t.n AS n_transitions, tt.tot AS n_from_total,
+           round(t.n * 1.0 / tt.tot, 6) AS p_transition
+    FROM trans t JOIN totals tt USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+    tags=("events", "markov-chain", "transition-matrix", "sequence"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the per-user event stream:
+    P(next event type | current type), estimated from every consecutive
+    pair — the behavioral fingerprint behind next-action prediction, Sankey
+    flow charts, and anomalous-session detection (low-likelihood paths).
+
+    One shuffle on user_id for the lead() window, one bounded aggregation
+    (|types|^2 cells); row-normalization joins the 5-row totals broadcast."""
+    (ev,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    # |types|^2 rows; cache so totals + the final join don't recompute the
+    # lead() window over the full event stream.
+    trans = (
+        seq.groupBy(
+            F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .cache()
+    )
+    totals = trans.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("n_from_total")
+    )
+    return (
+        trans.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            "n_from_total",
+            F.round(F.col("n_transitions") / F.col("n_from_total"), 6).alias(
+                "p_transition"
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )

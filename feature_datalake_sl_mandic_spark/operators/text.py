@@ -1333,3 +1333,106 @@ def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------- BM25 retrieval
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("hash", "join", "scan")  # fixed query term set
+BM25_TOP = 50
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dlen FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(dlen) AS avg_dlen FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN {BM25_QUERY!r}
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             sum(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * tf.tf * ({BM25_K1} + 1)
+                 / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                    + {BM25_B} * dl.dlen / s.avg_dlen))) AS score,
+             count(*) AS n_matched_terms
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, round(score, 6) AS bm25,
+             CAST(n_matched_terms AS BIGINT) AS n_matched_terms,
+             row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, bm25, n_matched_terms, rnk
+    FROM ranked WHERE rnk <= {BM25_TOP}
+    ORDER BY rnk
+    """,
+    tags=("text", "bm25", "retrieval", "topk"),
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring for a fixed query-term set (k1=1.2, b=0.75,
+    the Robertson-Sparck Jones idf with the +1 floor Lucene uses) — the
+    full-text-search companion to the TF-IDF operators: length-normalized
+    term saturation instead of raw tf weights, top-k documents by score.
+
+    Scale shape: the term filter prunes the inverted index to the query
+    terms BEFORE any aggregation, so per-query work is O(postings of the
+    query terms), not corpus size; corpus stats (N, avg doc length) are a
+    two-value broadcast. Ranking rounds before ordering on both sides so
+    the tie-break is on identical values."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    toks = dc.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    # doc lengths as a projection (size of the split array), NOT an
+    # explode+count — saves a full second pass over the exploded corpus.
+    dl = dc.select("doc_id", F.size(F.split("text", " ")).cast("bigint").alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avg_dlen")
+    )
+    tf = (
+        toks.where(F.col("term").isin(*BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dlen") / F.col("avg_dlen")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(idf * F.col("tf") * (BM25_K1 + 1) / denom).alias("score"),
+            F.count(F.lit(1)).alias("n_matched_terms"),
+        )
+    )
+    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    return (
+        scored.select(
+            "doc_id", F.round("score", 6).alias("bm25"), "n_matched_terms"
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= BM25_TOP)
+        .orderBy("rnk")
+    )

@@ -147,7 +147,8 @@ _PRIORITY: list[str] = [
 # events_sequence_pattern, split_exact_stratified, corpus_length_batches,
 # checksum_orders_content, lm_bigram_next_tokens, events_assoc_rules,
 # kanon_release_customers, join_null_safe_profiles, scd2_point_in_time_join,
-# text_sparse_cosine_pairs, ts_linear_interpolate.
+# text_sparse_cosine_pairs, ts_linear_interpolate, text_bm25_search,
+# events_markov_transitions, source_overlap_jaccard.
 
 
 def load_all() -> dict[str, QuerySpec]:
