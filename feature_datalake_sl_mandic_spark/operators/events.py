@@ -870,3 +870,66 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+# ------------------------------------------------ DAU / WAU / stickiness
+
+WAU_DAYS = 7
+
+
+@register(
+    "events_dau_wau_stickiness",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      FROM events
+    ),
+    dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+    contrib AS (
+      SELECT user_id, day + x::INT AS obs_day
+      FROM ud CROSS JOIN range({WAU_DAYS}) t(x)
+    ),
+    wau AS (
+      SELECT obs_day AS day, count(DISTINCT user_id) AS wau
+      FROM contrib GROUP BY obs_day
+    )
+    SELECT CAST(d.day AS VARCHAR) AS day, d.dau, w.wau,
+           round(d.dau * 1.0 / w.wau, 4) AS stickiness
+    FROM dau d JOIN wau w USING (day)
+    ORDER BY day
+    """,
+    tags=("events", "active-users", "sliding-distinct", "growth-analytics"),
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily / trailing-7-day active users and the DAU/WAU stickiness ratio —
+    the growth-analytics staple. Exact sliding-window distinct counts
+    without ``count(DISTINCT) OVER`` (which Spark windows don't support):
+    each (user, active day) pair CONTRIBUTES itself to the 7 observation
+    days it falls inside (a {WAU_DAYS}-row explode), and WAU is then a plain
+    per-day distinct aggregation — the standard shuffle-friendly rewrite of
+    sliding distinct at any scale, moving O(active-pairs x window) small
+    rows instead of holding per-window user sets in memory. Output trimmed
+    to days whose full window lies inside the data via the inner join with
+    DAU (both sides observed)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add("day", WAU_DAYS - 1))
+        ).alias("obs_day"),
+    )
+    wau = contrib.groupBy(F.col("obs_day").alias("day")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
