@@ -170,3 +170,71 @@ def checksum_orders_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ------------------------------------------- chi-square independence matrix
+
+
+@register(
+    "stats_chi2_segment_priority",
+    oracle="""
+    WITH joint AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio,
+             count(*) AS observed
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(observed)::BIGINT AS n FROM joint),
+    rows_t AS (SELECT seg, sum(observed)::BIGINT AS row_n FROM joint GROUP BY seg),
+    cols_t AS (SELECT prio, sum(observed)::BIGINT AS col_n FROM joint GROUP BY prio)
+    SELECT j.seg, j.prio, j.observed,
+           round(r.row_n * c.col_n * 1.0 / t.n, 4) AS expected,
+           round(pow(j.observed - r.row_n * c.col_n * 1.0 / t.n, 2)
+                 / (r.row_n * c.col_n * 1.0 / t.n), 6) AS chi2_term
+    FROM joint j
+    JOIN rows_t r USING (seg)
+    JOIN cols_t c USING (prio)
+    CROSS JOIN tot t
+    ORDER BY seg, prio
+    """,
+    tags=("profile", "statistics", "chi-square", "independence"),
+)
+def stats_chi2_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test-of-independence matrix between customer market
+    segment and order priority: observed vs expected-under-independence
+    counts and each cell's chi2 contribution (their sum is the statistic,
+    dof = (|seg|-1)(|prio|-1)) — the categorical-association check a data
+    profiler runs before trusting a segmentation.
+
+    One fact-side shuffle builds the joint contingency table; marginals and
+    the grand total are aggregations OVER THE TABLE (25 rows), never the
+    data, then broadcast back — the sufficient-statistics shape again."""
+    (od, cu) = _t(spark, sf_dir, "orders", "customer")
+    joint = (
+        od.join(cu, od["o_custkey"] == cu["c_custkey"])
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count(F.lit(1)).alias("observed"))
+        .cache()  # 25 rows feeding three aggregations + the final join
+    )
+    tot = joint.agg(F.sum("observed").alias("n"))
+    rows_t = joint.groupBy("seg").agg(F.sum("observed").alias("row_n"))
+    cols_t = joint.groupBy("prio").agg(F.sum("observed").alias("col_n"))
+    expected = F.col("row_n") * F.col("col_n") / F.col("n")
+    return (
+        joint.join(F.broadcast(rows_t), "seg")
+        .join(F.broadcast(cols_t), "prio")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "seg",
+            "prio",
+            "observed",
+            F.round(expected, 4).alias("expected"),
+            F.round(
+                F.pow(F.col("observed") - expected, 2) / expected, 6
+            ).alias("chi2_term"),
+        )
+        .orderBy("seg", "prio")
+    )

@@ -442,3 +442,103 @@ def ts_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(interp, 4).alias("value_filled"),
         F.col("v").isNull().cast("int").alias("is_interpolated"),
     ).orderBy("event_type", "day")
+
+
+# --------------------------------------------------- drift detection (PSI)
+
+PSI_SPLIT = "2024-01-16"  # reference period before, current period after
+PSI_DECILES = [round(0.1 * i, 1) for i in range(1, 10)]
+_PSI_DECILES_SQL = "[" + ", ".join(str(d) for d in PSI_DECILES) + "]"
+
+
+@register(
+    "drift_psi_event_values",
+    oracle=f"""
+    WITH ev AS (
+      SELECT value, CAST(ts AS TIMESTAMP) < TIMESTAMP '{PSI_SPLIT} 00:00:00'
+               AS is_ref
+      FROM events
+    ),
+    cuts AS (
+      SELECT list_transform(quantile_cont(value, {_PSI_DECILES_SQL}),
+                            c -> round(c, 6)) AS cutoffs
+      FROM ev WHERE is_ref
+    ),
+    bucketed AS (
+      SELECT len(list_filter(c.cutoffs, x -> e.value > x)) + 1 AS bucket,
+             e.is_ref
+      FROM ev e CROSS JOIN cuts c
+    ),
+    counts AS (
+      SELECT bucket,
+             sum(CASE WHEN is_ref THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+             sum(CASE WHEN is_ref THEN 0 ELSE 1 END)::BIGINT AS n_cur
+      FROM bucketed GROUP BY bucket
+    ),
+    tot AS (
+      SELECT sum(n_ref)::BIGINT AS t_ref, sum(n_cur)::BIGINT AS t_cur
+      FROM counts
+    )
+    SELECT bucket, n_ref, n_cur,
+           round((n_ref + 1.0) / (t_ref + 10), 6) AS p_ref,
+           round((n_cur + 1.0) / (t_cur + 10), 6) AS p_cur,
+           round(((n_cur + 1.0) / (t_cur + 10) - (n_ref + 1.0) / (t_ref + 10))
+                 * ln(((n_cur + 1.0) / (t_cur + 10))
+                      / ((n_ref + 1.0) / (t_ref + 10))), 6) AS psi_term
+    FROM counts CROSS JOIN tot
+    ORDER BY bucket
+    """,
+    tags=("timeseries", "drift", "psi", "percentile", "ml-ops"),
+)
+def drift_psi_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between a reference and a current period
+    of the event-value distribution — the standard ML-ops drift alarm for
+    features and scores (PSI > 0.25 = retrain). Buckets are the EXACT
+    deciles of the reference period (computed once, broadcast back — the
+    same no-range-partitioning shape as quality_decile_stats), and shares
+    use Laplace +1 smoothing on both sides so an empty current bucket
+    cannot produce ln(0). Per-bucket PSI terms are emitted so the alarm is
+    attributable to the distribution region that moved."""
+    (ev,) = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "value",
+        (F.col("ts") < F.lit(f"{PSI_SPLIT} 00:00:00").cast("timestamp")).alias(
+            "is_ref"
+        ),
+    )
+    cuts = (
+        e.where("is_ref")
+        .agg(
+            F.transform(
+                F.percentile("value", F.array(*[F.lit(d) for d in PSI_DECILES])),
+                lambda c: F.round(c, 6),
+            ).alias("cutoffs")
+        )
+    )
+    bucketed = e.crossJoin(F.broadcast(cuts)).select(
+        (F.size(F.filter("cutoffs", lambda x: F.col("value") > x)) + 1)
+        .cast("bigint")
+        .alias("bucket"),
+        "is_ref",
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_ref = (F.col("n_ref") + 1.0) / (F.col("t_ref") + 10)
+    p_cur = (F.col("n_cur") + 1.0) / (F.col("t_cur") + 10)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            F.round(p_ref, 6).alias("p_ref"),
+            F.round(p_cur, 6).alias("p_cur"),
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )

@@ -148,7 +148,8 @@ _PRIORITY: list[str] = [
 # checksum_orders_content, lm_bigram_next_tokens, events_assoc_rules,
 # kanon_release_customers, join_null_safe_profiles, scd2_point_in_time_join,
 # text_sparse_cosine_pairs, ts_linear_interpolate, text_bm25_search,
-# events_markov_transitions, source_overlap_jaccard, events_dau_wau_stickiness.
+# events_markov_transitions, source_overlap_jaccard, events_dau_wau_stickiness,
+# drift_psi_event_values, stats_chi2_segment_priority.
 
 
 def load_all() -> dict[str, QuerySpec]:
