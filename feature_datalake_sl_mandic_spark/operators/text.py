@@ -347,6 +347,22 @@ def corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     output as the single-window form for any bucket width, because range
     buckets respect doc_id order."""
     (dc,) = _t(spark, sf_dir, "documents")
+    packed = pack_shard_assignments(dc)
+    return (
+        packed.groupBy("lang", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("lang", "shard_id")
+    )
+
+
+def pack_shard_assignments(dc: DataFrame) -> DataFrame:
+    """Per-document shard assignment (doc_id, lang, n_tokens, shard_id) via
+    the two-level prefix sum described in ``corpus_pack_shards``. Reused by
+    the registered summary query and the shard exporter
+    (sources/export.py)."""
     toks = F.split("text", " ")
     t = dc.select(
         "doc_id",
@@ -373,20 +389,16 @@ def corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("offset", F.coalesce(F.sum("bucket_tokens").over(w_prev), F.lit(0)))
         .select("lang", "bucket", "offset")
     )
-    packed = within.join(F.broadcast(offsets), ["lang", "bucket"]).withColumn(
-        "shard_id",
-        F.floor(
-            (F.col("offset") + F.col("run_in_bucket") - F.col("n_tokens"))
-            / SHARD_TOKEN_BUDGET
-        ),
-    )
     return (
-        packed.groupBy("lang", "shard_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("total_tokens"),
+        within.join(F.broadcast(offsets), ["lang", "bucket"])
+        .withColumn(
+            "shard_id",
+            F.floor(
+                (F.col("offset") + F.col("run_in_bucket") - F.col("n_tokens"))
+                / SHARD_TOKEN_BUDGET
+            ),
         )
-        .orderBy("lang", "shard_id")
+        .select("doc_id", "lang", "n_tokens", "shard_id")
     )
 
 
