@@ -266,3 +266,99 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("dist").alias("dist"))
         .orderBy("dist", "s_suppkey")
     )
+
+
+# ------------------------------------------------ weighted min-cost paths
+
+SSSP_RELAXATIONS = 3
+EDGE_COST_SCALE = 1_000_000  # cost = floor(SCALE / shared_parts): stronger
+# co-supply = cheaper edge; integer costs keep min-plus arithmetic exact.
+
+
+@register(
+    "graph_min_cost_paths",
+    oracle=f"""
+    WITH {_EDGE_CTES},
+    ed AS (
+      SELECT u, v, CAST(floor({EDGE_COST_SCALE}.0 / shared_parts) AS BIGINT)
+               AS cost
+      FROM edges
+      UNION ALL
+      SELECT v, u, CAST(floor({EDGE_COST_SCALE}.0 / shared_parts) AS BIGINT)
+      FROM edges
+    ),
+    seed AS (
+      SELECT u AS node FROM edges ORDER BY shared_parts DESC, u, v LIMIT 1
+    ),
+    d0 AS (SELECT node, CAST(0 AS BIGINT) AS cost FROM seed),
+    d1 AS (
+      SELECT node, min(cost) AS cost FROM (
+        SELECT node, cost FROM d0
+        UNION ALL
+        SELECT e.v AS node, d.cost + e.cost AS cost
+        FROM d0 d JOIN ed e ON e.u = d.node
+      ) GROUP BY node
+    ),
+    d2 AS (
+      SELECT node, min(cost) AS cost FROM (
+        SELECT node, cost FROM d1
+        UNION ALL
+        SELECT e.v AS node, d.cost + e.cost AS cost
+        FROM d1 d JOIN ed e ON e.u = d.node
+      ) GROUP BY node
+    ),
+    d3 AS (
+      SELECT node, min(cost) AS cost FROM (
+        SELECT node, cost FROM d2
+        UNION ALL
+        SELECT e.v AS node, d.cost + e.cost AS cost
+        FROM d2 d JOIN ed e ON e.u = d.node
+      ) GROUP BY node
+    )
+    SELECT node AS s_suppkey, cost AS min_cost_scaled
+    FROM d3
+    ORDER BY min_cost_scaled, s_suppkey
+    """,
+    tags=("graph", "shortest-path", "bellman-ford", "iterative"),
+)
+def graph_min_cost_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source min-cost paths (<= 3 relaxations) over the
+    co-supply graph — Bellman-Ford as iterated min-plus: each round joins
+    the tentative-distance relation with the edge list and keeps the
+    per-node minimum, so hop-k costs are exact for paths up to k edges.
+    Edge cost is the integer floor(SCALE / shared_parts) — stronger
+    co-supply = cheaper — which keeps every distance a BIGINT sum: no float
+    comparisons anywhere, so min-plus ties are exact, not rounded. The
+    weighted twin of ``graph_bfs_distances`` (hop count = uniform costs).
+
+    Scale: per round one join of the bounded distance relation against the
+    hash-partitioned edge list + one min aggregation; ``localCheckpoint``
+    truncates lineage per round, same as BFS/PageRank above."""
+    e = _edges(spark, sf_dir)
+    cost = F.floor(EDGE_COST_SCALE / F.col("shared_parts")).cast("bigint")
+    ed = (
+        e.select("u", "v", cost.alias("cost"))
+        .union(e.select(F.col("v").alias("u"), F.col("u").alias("v"), cost.alias("cost")))
+    )
+    seed = (
+        e.orderBy(F.col("shared_parts").desc(), "u", "v")
+        .limit(1)
+        .select(F.col("u").alias("node"))
+    )
+    dist = seed.withColumn("cost", F.lit(0).cast("bigint")).localCheckpoint(eager=True)
+    for _ in range(SSSP_RELAXATIONS):
+        relaxed = (
+            ed.join(dist, ed["u"] == dist["node"])
+            .select(F.col("v").alias("node"), (dist["cost"] + ed["cost"]).alias("cost"))
+        )
+        dist = (
+            dist.select("node", "cost")
+            .union(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        dist.select(F.col("node").alias("s_suppkey"), F.col("cost").alias("min_cost_scaled"))
+        .orderBy("min_cost_scaled", "s_suppkey")
+    )

@@ -149,7 +149,7 @@ _PRIORITY: list[str] = [
 # kanon_release_customers, join_null_safe_profiles, scd2_point_in_time_join,
 # text_sparse_cosine_pairs, ts_linear_interpolate, text_bm25_search,
 # events_markov_transitions, source_overlap_jaccard, events_dau_wau_stickiness,
-# drift_psi_event_values, stats_chi2_segment_priority.
+# drift_psi_event_values, stats_chi2_segment_priority, graph_min_cost_paths.
 
 
 def load_all() -> dict[str, QuerySpec]:
