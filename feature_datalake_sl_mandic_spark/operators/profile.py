@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from feature_datalake_sl_mandic_spark.functions.hashing import (
     md5_int60_col,
@@ -238,3 +239,126 @@ def stats_chi2_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg", "prio")
     )
+
+
+# --------------------------------------------- mutual information (lang, source)
+
+
+@register(
+    "stats_mutual_info_lang_source",
+    oracle="""
+    WITH joint AS (
+      SELECT lang, source, count(*) AS nxy FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(nxy)::BIGINT AS n FROM joint),
+    px AS (SELECT lang, sum(nxy)::BIGINT AS nx FROM joint GROUP BY lang),
+    py AS (SELECT source, sum(nxy)::BIGINT AS ny FROM joint GROUP BY source)
+    SELECT j.lang, j.source, j.nxy,
+           round((j.nxy * 1.0 / t.n)
+                 * ln((j.nxy * 1.0 / t.n)
+                      / ((x.nx * 1.0 / t.n) * (y.ny * 1.0 / t.n))), 6)
+             AS mi_term
+    FROM joint j
+    JOIN px x USING (lang)
+    JOIN py y USING (source)
+    CROSS JOIN tot t
+    ORDER BY lang, source
+    """,
+    tags=("profile", "statistics", "mutual-information", "entropy"),
+)
+def stats_mutual_info_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual-information matrix between document language and
+    source: each cell's contribution p(x,y)·ln(p(x,y)/(p(x)p(y))) — their
+    sum is the mutual information, the entropy-based association measure
+    that (unlike chi-square) is directly comparable across tables and is
+    what a curation pipeline checks before treating source as a language
+    proxy. Same sufficient-statistics shape as the chi-square matrix: one
+    shuffle builds the joint table, marginals aggregate over its few rows
+    and broadcast back; every probability is an exact integer ratio, so
+    both engines compute identical doubles before the final rounding."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    joint = (
+        dc.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("nxy"))
+        .cache()  # few rows feeding three aggregations + the final join
+    )
+    tot = joint.agg(F.sum("nxy").alias("n"))
+    px = joint.groupBy("lang").agg(F.sum("nxy").alias("nx"))
+    py = joint.groupBy("source").agg(F.sum("nxy").alias("ny"))
+    pxy = F.col("nxy") / F.col("n")
+    mi = pxy * F.log(pxy / ((F.col("nx") / F.col("n")) * (F.col("ny") / F.col("n"))))
+    return (
+        joint.join(F.broadcast(px), "lang")
+        .join(F.broadcast(py), "source")
+        .crossJoin(F.broadcast(tot))
+        .select("lang", "source", "nxy", F.round(mi, 6).alias("mi_term"))
+        .orderBy("lang", "source")
+    )
+
+
+# ------------------------------------------------------- Gini coefficient
+
+
+@register(
+    "stats_gini_order_values",
+    oracle="""
+    WITH cents AS (
+      SELECT o.o_orderkey, c.c_mktsegment AS seg,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    ranked AS (
+      SELECT seg, v,
+             row_number() OVER (PARTITION BY seg ORDER BY v, o_orderkey) AS i
+      FROM cents
+    ),
+    agg AS (
+      SELECT seg,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(v)::BIGINT AS total,
+             sum(i * v)::BIGINT AS weighted
+      FROM ranked GROUP BY seg
+    )
+    SELECT seg, n,
+           round(total / 100.0, 2) AS total_value,
+           round((2.0 * weighted) / (n * 1.0 * total) - (n + 1.0) / n, 6)
+             AS gini
+    FROM agg
+    ORDER BY seg
+    """,
+    tags=("profile", "statistics", "gini", "inequality", "window"),
+)
+def stats_gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order values per market segment — the inequality
+    summary (0 = all orders equal, →1 = one order dominates) that answers
+    'is this segment's revenue concentration healthy'. Computed by the exact
+    sorted-rank formula G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over integer cents,
+    so rank-weighted sums are exact BIGINTs and the only float math is the
+    final two divisions. One shuffle sorts within each segment; the rank
+    window's partition is the segment key (bounded partitions at any scale
+    since segments are an enum)."""
+    (od, cu) = _t(spark, sf_dir, "orders", "customer")
+    cents = (
+        od.join(cu, od["o_custkey"] == cu["c_custkey"])
+        .select(
+            "o_orderkey",
+            F.col("c_mktsegment").alias("seg"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+        )
+    )
+    w = Window.partitionBy("seg").orderBy("v", "o_orderkey")
+    ranked = cents.withColumn("i", F.row_number().over(w).cast("bigint"))
+    agg = ranked.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("total"),
+        F.sum(F.col("i") * F.col("v")).alias("weighted"),
+    )
+    gini = (2.0 * F.col("weighted")) / (F.col("n") * F.col("total")) - (
+        F.col("n") + 1.0
+    ) / F.col("n")
+    return agg.select(
+        "seg",
+        "n",
+        F.round(F.col("total") / 100.0, 2).alias("total_value"),
+        F.round(gini, 6).alias("gini"),
+    ).orderBy("seg")

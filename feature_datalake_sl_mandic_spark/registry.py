@@ -149,7 +149,8 @@ _PRIORITY: list[str] = [
 # kanon_release_customers, join_null_safe_profiles, scd2_point_in_time_join,
 # text_sparse_cosine_pairs, ts_linear_interpolate, text_bm25_search,
 # events_markov_transitions, source_overlap_jaccard, events_dau_wau_stickiness,
-# drift_psi_event_values, stats_chi2_segment_priority, graph_min_cost_paths.
+# drift_psi_event_values, stats_chi2_segment_priority, graph_min_cost_paths,
+# stats_mutual_info_lang_source, stats_gini_order_values.
 
 
 def load_all() -> dict[str, QuerySpec]:
