@@ -4,8 +4,8 @@ BEFORE shard packing — prefix dedup, per-domain caps, entropy filtering,
 quality-decile pruning.
 
 Extension surface (BASELINE.json "text analysis" / "deduplication" families;
-no analog in the reference, which stops at warehouse ELT —
-``Sites/dag_anymarket/queries_slmandicprd.py`` is plain SELECTs).
+no analog in the reference, which stops at warehouse ELT — its 49-file census
+is 4 distinct ingest scripts parameterized per site, SURVEY.md §0).
 
 Scale design notes (100 TB):
 - ``dedup_prefix_fingerprint``: shuffles a 16-byte md5 of an 8-token prefix,

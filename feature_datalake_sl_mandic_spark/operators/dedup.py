@@ -241,7 +241,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dc.createOrReplaceTempView("documents")
     # DF-capped shingles: boilerplate shingles shared by > MINHASH_MAX_DF
     # docs carry no near-dup signal but dominate the band-join pair count.
-    sh = shingles_with_df_cap(dc, MINHASH_MAX_DF).cache()
+    # localCheckpoint, not cache: sh feeds the signature aggregation AND both
+    # sides of the exact-Jaccard intersection join; a lazy cache leaves the
+    # explode+df-cap subtree in all three plan branches (the bulk of this
+    # query's former 36-shuffle plan), while eager lineage truncation
+    # materializes it once.
+    sh = shingles_with_df_cap(dc, MINHASH_MAX_DF).localCheckpoint()
 
     # One aggregation produces the signature AND the shingle-set size: the
     # size rides along instead of needing its own groupBy + two extra joins.
@@ -299,6 +304,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.n").alias("n_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+        # Candidate pairs (band-collision-bounded) feed the intersection
+        # join AND the final verify join — materialize once.
+        .localCheckpoint()
     )
 
     x, y = sh.alias("x"), sh.alias("y")

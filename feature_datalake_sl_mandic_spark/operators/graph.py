@@ -30,8 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
+from feature_datalake_sl_mandic_spark.functions.ranking import topk
 from feature_datalake_sl_mandic_spark.operators.relational import _t
 from feature_datalake_sl_mandic_spark.registry import register
 
@@ -69,18 +69,16 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("shared_parts"))
     )
-    w = Window.orderBy(F.col("shared_parts").desc(), "u", "v")
     # The capped edge list is tiny (N_EDGES rows) but referenced many times
     # downstream (triangle 3-way self-join; PageRank iterations).
-    # localCheckpoint materializes it once and truncates lineage so each
-    # reuse is a cached scan, not a re-derivation from lineitem — same
-    # pattern as dedup_cluster_components' iteration loop.
-    return (
-        pairs.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= N_EDGES)
-        .select("u", "v", "shared_parts")
-        .localCheckpoint()
-    )
+    # topk plans as TakeOrderedAndProject (per-partition k-heap + driver
+    # merge) — the rank ordinal is never emitted, so no ranking pass is
+    # needed at all. localCheckpoint materializes it once and truncates
+    # lineage so each reuse is a cached scan, not a re-derivation from
+    # lineitem — same pattern as dedup_cluster_components' iteration loop.
+    return topk(
+        pairs, [("shared_parts", "desc"), ("u", "asc"), ("v", "asc")], N_EDGES
+    ).localCheckpoint()
 
 
 @register(

@@ -27,9 +27,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from feature_datalake_sl_mandic_spark.functions.hashing import md5_int60_col, md5_int60_sql
+from feature_datalake_sl_mandic_spark.functions.ranking import topk_with_rank
 from feature_datalake_sl_mandic_spark.operators.relational import _t
 from feature_datalake_sl_mandic_spark.registry import register
 
@@ -92,10 +92,8 @@ def cms_heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = hashes.groupBy("j", "b").agg(F.count(F.lit(1)).alias("n"))
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
-    w = Window.orderBy(F.col("exact_count").desc(), "user_id")
-    candidates = (
-        exact.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rnk") <= CMS_TOP)
+    candidates = topk_with_rank(
+        exact, [("exact_count", "desc"), ("user_id", "asc")], CMS_TOP
     )
     probes = candidates.crossJoin(F.broadcast(js)).select(
         "user_id",

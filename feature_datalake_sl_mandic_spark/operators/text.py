@@ -22,6 +22,7 @@ from feature_datalake_sl_mandic_spark.functions.hashing import (
     md5_bucket_col,
     md5_bucket_sql,
 )
+from feature_datalake_sl_mandic_spark.functions.ranking import topk_with_rank
 from feature_datalake_sl_mandic_spark.operators.relational import _t
 from feature_datalake_sl_mandic_spark.registry import register
 
@@ -1310,7 +1311,17 @@ def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds the df counts AND the weight relation; w feeds the norms AND
+    # both sides of the pair join. Without materialization Catalyst plans
+    # each consumer as an independent subtree, re-tokenizing the corpus ~4x.
+    # localCheckpoint (eager, lineage-truncating — unlike a lazy .cache(),
+    # which leaves the full subtree in every plan) materializes each ONCE;
+    # both relations are bounded by the doc cap and the per-doc vocabulary.
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
     df = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1325,7 +1336,7 @@ def text_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
             (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("w"),
         )
-        .cache()  # feeds norms AND both sides of the pair join
+        .localCheckpoint()
     )
     norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
     a = w.select(F.col("doc_id").alias("doc_a"), "term", F.col("w").alias("wa"))
@@ -1439,12 +1450,10 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_matched_terms"),
         )
     )
-    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
-    return (
+    return topk_with_rank(
         scored.select(
             "doc_id", F.round("score", 6).alias("bm25"), "n_matched_terms"
-        )
-        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rnk") <= BM25_TOP)
-        .orderBy("rnk")
+        ),
+        [("bm25", "desc"), ("doc_id", "asc")],
+        BM25_TOP,
     )

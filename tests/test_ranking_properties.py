@@ -1,0 +1,109 @@
+"""Property tests for ``functions/ranking.py``: the distributed top-k-with-
+rank rewrite must agree EXACTLY — rows, ranks, tie-breaks — with the
+single-global-Window ``row_number`` formulation it replaced in
+``text_bm25_search``, ``cms_heavy_hitters_events`` and the graph edge list.
+
+Randomized inputs deliberately generate heavy ties on the score column so
+the lexicographic tie-break path (not just the primary sort key) is what
+decides most ranks."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+PROP_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# (id, score) rows; score drawn from a tiny domain -> many ties, and ids are
+# unique so the full sort key is still a total order (the helper's contract).
+_rows_st = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 4)),
+    min_size=0,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+def _window_reference(df, k):
+    """The formulation the rewrite replaced: global row_number + filter."""
+    w = Window.orderBy(F.col("score").desc(), "id")
+    return (
+        df.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= k)
+    )
+
+
+@settings(**PROP_SETTINGS)
+@given(rows=_rows_st, k=st.integers(1, 12))
+def test_topk_with_rank_matches_global_row_number(spark, rows, k):
+    from feature_datalake_sl_mandic_spark.functions.ranking import topk_with_rank
+
+    df = spark.createDataFrame(
+        rows or [(None, None)], "id INT, score INT"
+    ).where(F.col("id").isNotNull())
+    got = {
+        (r.id, r.score, r.rnk)
+        for r in topk_with_rank(
+            df, [("score", "desc"), ("id", "asc")], k
+        ).collect()
+    }
+    want = {(r.id, r.score, r.rnk) for r in _window_reference(df, k).collect()}
+    assert got == want
+
+
+@settings(**PROP_SETTINGS)
+@given(rows=_rows_st, k=st.integers(1, 12))
+def test_topk_matches_global_row_number_rows(spark, rows, k):
+    from feature_datalake_sl_mandic_spark.functions.ranking import topk
+
+    df = spark.createDataFrame(
+        rows or [(None, None)], "id INT, score INT"
+    ).where(F.col("id").isNotNull())
+    got = {
+        (r.id, r.score)
+        for r in topk(df, [("score", "desc"), ("id", "asc")], k).collect()
+    }
+    want = {(r.id, r.score) for r in _window_reference(df, k).collect()}
+    assert got == want
+
+
+def test_topk_with_rank_three_key_order_and_plan(spark):
+    """Three-column lexicographic order (the graph edge-list shape) ranks
+    identically to row_number, and neither helper's plan contains a Window
+    operator (the point of the rewrite)."""
+    from feature_datalake_sl_mandic_spark.functions.ranking import (
+        topk,
+        topk_with_rank,
+    )
+
+    rows = [
+        (u, v, s)
+        for u in range(4)
+        for v in range(4)
+        for s in (1, 2)
+        if u < v
+    ]
+    df = spark.createDataFrame(rows, "u INT, v INT, shared INT")
+    order = [("shared", "desc"), ("u", "asc"), ("v", "asc")]
+    w = Window.orderBy(F.col("shared").desc(), "u", "v")
+    want = [
+        (r.u, r.v, r.shared, r.rnk)
+        for r in df.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 5)
+        .orderBy("rnk")
+        .collect()
+    ]
+    ranked = topk_with_rank(df, order, 5)
+    got = [(r.u, r.v, r.shared, r.rnk) for r in ranked.collect()]
+    assert got == want
+
+    for plan_df in (ranked, topk(df, order, 5)):
+        plan = plan_df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+    assert "TakeOrdered" in topk(df, order, 5)._jdf.queryExecution().executedPlan().toString()
