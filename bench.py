@@ -82,6 +82,17 @@ HEADLINE = [
     "change_detection",
 ]
 
+# The most expensive plans in the repo, benched separately so regressions in
+# them are visible (round-2 verdict ask #6). Kept out of HEADLINE so the
+# original 12-query total stays comparable across rounds; the JSON reports
+# both subtotals and a combined value.
+HEAVY = [
+    "dedup_minhash_lsh",
+    "text_sparse_cosine_pairs",
+    "ann_ivf_pq",
+    "corpus_curation_end_to_end",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -93,7 +104,9 @@ def main() -> None:
     spark = get_spark("bench")
     sf_dir = prepare_bench_dir(spark, sf_dir)
     specs = registry.load_all()
-    names = [n for n in HEADLINE if n in specs] or sorted(specs)
+    headline = [n for n in HEADLINE if n in specs] or sorted(specs)
+    heavy = [n for n in HEAVY if n in specs]
+    names = headline + heavy
 
     # Warm the JVM + parquet footer caches AND the shuffle/codegen machinery:
     # one cheap scan probe, then one full join-heavy query. Without the full
@@ -125,6 +138,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "subtotals": {
+                    "headline_12": round(sum(times[n] for n in headline), 4),
+                    "heavy_llm": round(sum(times[n] for n in heavy), 4),
+                },
                 "runs_per_query": N_RUNS,
                 "agg": "min",
                 "sf": sf,
