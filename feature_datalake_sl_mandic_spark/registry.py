@@ -155,7 +155,7 @@ _PRIORITY: list[str] = [
 # join_interval_overlap_campaigns, join_lateral_topn_customers,
 # join_null_safe_profiles, embedding_standardize_dims,
 # corpus_quality_weighted_sample, checksum_orders_content,
-# kanon_release_customers.
+# kanon_release_customers, plus new-in-round-3: ann_ivf_cells_nprobe2.
 # (multimodal_feature_extract stays out of every window by design: its codec
 # stubs make it permanently rows-only; multimodal_ppm_decode is the family's
 # hash-green representative.)
