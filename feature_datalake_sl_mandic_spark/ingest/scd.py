@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from feature_datalake_sl_mandic_spark.operators.relational import _t
 from feature_datalake_sl_mandic_spark.registry import register
@@ -287,6 +288,12 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts = od.where(F.col("o_custkey") % 10 == 3).select(
         "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("order_d")
     )
+    # Version ordinal = position in the key's validity chain, NOT is_current
+    # (which only coincides with the ordinal while the dimension has exactly
+    # two versions — a third scd2_apply batch would silently change its
+    # meaning). Per-key window, bounded by versions-per-key.
+    ver_w = Window.partitionBy("c_custkey").orderBy("valid_from")
+    dim = dim.withColumn("ver", F.row_number().over(ver_w) - 1)
     return (
         facts.join(
             dim,
@@ -299,7 +306,7 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             F.col("order_d").cast("string").alias("order_date"),
             F.col("c_acctbal").alias("acctbal_at_order"),
-            F.col("is_current").cast("bigint").alias("dim_version"),
+            F.col("ver").cast("bigint").alias("dim_version"),
         )
         .orderBy("o_orderkey")
     )

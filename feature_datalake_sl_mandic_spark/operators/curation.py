@@ -609,7 +609,7 @@ def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same hashed relation. One content-hash shuffle, bounded pair
     output."""
     (dc,) = _t(spark, sf_dir, "documents")
-    h = dc.select("source", F.md5("text").alias("h")).distinct().cache()
+    h = dc.select("source", F.md5("text").alias("h")).distinct().localCheckpoint()
     a = h.select(F.col("source").alias("source_a"), "h")
     b = h.select(F.col("source").alias("source_b"), "h")
     pairs = (

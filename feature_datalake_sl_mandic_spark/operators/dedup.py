@@ -150,7 +150,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     on shared shingles generates candidates, |A∩B|/|A∪B| filters them."""
     (dc,) = _t(spark, sf_dir, "documents")
     dc.createOrReplaceTempView("documents")
-    sh = _spark_shingles(dc).cache()
+    sh = _spark_shingles(dc).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

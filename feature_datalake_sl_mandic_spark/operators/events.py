@@ -761,11 +761,12 @@ def events_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     only shuffles are the per-user set collection and the O(item-pairs)
     count. The oracle states the same counts as the textbook self-join."""
     (ev,) = _t(spark, sf_dir, "events")
-    # ut feeds pair generation, single counts, and the user total — cache so
-    # the distinct-set collection runs once, not three times.
+    # ut feeds pair generation, single counts, and the user total —
+    # localCheckpoint so the distinct-set collection runs once, not three
+    # times, and its storage is freed after the query (not session-pinned).
     ut = ev.groupBy("user_id").agg(
         F.array_sort(F.collect_set("event_type")).alias("ts")
-    ).cache()
+    ).localCheckpoint()
     # pairwise combinations within the sorted set, JVM-side
     pairs_arr = F.flatten(
         F.transform(
@@ -845,14 +846,15 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = ev.select(
         "event_type", F.lead("event_type").over(w).alias("next_type")
     ).where(F.col("next_type").isNotNull())
-    # |types|^2 rows; cache so totals + the final join don't recompute the
-    # lead() window over the full event stream.
+    # |types|^2 rows; localCheckpoint so totals + the final join don't
+    # recompute the lead() window over the full event stream, and the tiny
+    # matrix is freed after the query rather than session-pinned.
     trans = (
         seq.groupBy(
             F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
         )
         .agg(F.count(F.lit(1)).alias("n_transitions"))
-        .cache()
+        .localCheckpoint()
     )
     totals = trans.groupBy("from_type").agg(
         F.sum("n_transitions").alias("n_from_total")
@@ -896,6 +898,7 @@ WAU_DAYS = 7
     SELECT CAST(d.day AS VARCHAR) AS day, d.dau, w.wau,
            round(d.dau * 1.0 / w.wau, 4) AS stickiness
     FROM dau d JOIN wau w USING (day)
+    WHERE d.day >= (SELECT min(day) FROM ud) + {WAU_DAYS - 1}
     ORDER BY day
     """,
     tags=("events", "active-users", "sliding-distinct", "growth-analytics"),
@@ -909,8 +912,11 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-day distinct aggregation — the standard shuffle-friendly rewrite of
     sliding distinct at any scale, moving O(active-pairs x window) small
     rows instead of holding per-window user sets in memory. Output trimmed
-    to days whose full window lies inside the data via the inner join with
-    DAU (both sides observed)."""
+    to days whose full trailing window lies inside the data: the DAU inner
+    join drops phantom trailing days, and the explicit
+    ``day >= min(day) + {WAU_DAYS}-1`` filter (a broadcast one-row scalar)
+    drops the leading days whose partial windows would bias stickiness
+    toward 1.0."""
     (ev,) = _t(spark, sf_dir, "events")
     ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
     dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
@@ -923,8 +929,13 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     wau = contrib.groupBy(F.col("obs_day").alias("day")).agg(
         F.countDistinct("user_id").alias("wau")
     )
+    first_full = ud.agg(
+        F.date_add(F.min("day"), WAU_DAYS - 1).alias("first_full_day")
+    )
     return (
         dau.join(wau, "day")
+        .crossJoin(F.broadcast(first_full))
+        .where(F.col("day") >= F.col("first_full_day"))
         .select(
             F.col("day").cast("string").alias("day"),
             "dau",

@@ -218,7 +218,7 @@ def stats_chi2_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("prio"),
         )
         .agg(F.count(F.lit(1)).alias("observed"))
-        .cache()  # 25 rows feeding three aggregations + the final join
+        .localCheckpoint()  # 25 rows feeding three aggregations + final join
     )
     tot = joint.agg(F.sum("observed").alias("n"))
     rows_t = joint.groupBy("seg").agg(F.sum("observed").alias("row_n"))
@@ -280,7 +280,7 @@ def stats_mutual_info_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame
     joint = (
         dc.groupBy("lang", "source")
         .agg(F.count(F.lit(1)).alias("nxy"))
-        .cache()  # few rows feeding three aggregations + the final join
+        .localCheckpoint()  # few rows feeding three aggregations + final join
     )
     tot = joint.agg(F.sum("nxy").alias("n"))
     px = joint.groupBy("lang").agg(F.sum("nxy").alias("nx"))
@@ -331,10 +331,12 @@ def stats_mutual_info_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame
 def stats_gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of order values per market segment — the inequality
     summary (0 = all orders equal, →1 = one order dominates) that answers
-    'is this segment's revenue concentration healthy'. Computed by the exact
-    sorted-rank formula G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over integer cents,
-    so rank-weighted sums are exact BIGINTs and the only float math is the
-    final two divisions. One shuffle sorts within each segment; the rank
+    'is this segment's revenue concentration healthy'. Computed by the
+    sorted-rank formula G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over integer cents;
+    values stay exact BIGINT cents while the rank-weighted sum and the n·Σx
+    denominator are accumulated in double — their exact products exceed 2^63
+    at large SF, and both feed a 6-decimal rounding. One shuffle sorts
+    within each segment; the rank
     window's partition is the segment key (bounded partitions at any scale
     since segments are an enum)."""
     (od, cu) = _t(spark, sf_dir, "orders", "customer")
@@ -351,9 +353,13 @@ def stats_gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ranked.groupBy("seg").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("v").alias("total"),
-        F.sum(F.col("i") * F.col("v")).alias("weighted"),
+        # rank*value summed in double: at large SF the exact-BIGINT product
+        # overflows (i ~ 1e9 rows x v ~ 1e7 cents > 2^63); double costs ~1
+        # ulp on a quantity that feeds a 6-decimal rounding anyway.
+        F.sum(F.col("i").cast("double") * F.col("v")).alias("weighted"),
     )
-    gini = (2.0 * F.col("weighted")) / (F.col("n") * F.col("total")) - (
+    # n * total likewise in double (mirrors the oracle's n*1.0*total).
+    gini = (2.0 * F.col("weighted")) / (F.col("n").cast("double") * F.col("total")) - (
         F.col("n") + 1.0
     ) / F.col("n")
     return agg.select(

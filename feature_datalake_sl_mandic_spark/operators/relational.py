@@ -1047,7 +1047,7 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("value")
         )
-        .cache()
+        .localCheckpoint()
     )
     threshold = val.agg((F.sum("value") * F.lit(0.001)).alias("thr"))
     return (
@@ -1146,7 +1146,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("total_revenue")
         )
-        .cache()
+        .localCheckpoint()
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
@@ -1207,7 +1207,7 @@ def q20_excess_supply_share(spark: SparkSession, sf_dir: str) -> DataFrame:
               "leftsemi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
-        .cache()
+        .localCheckpoint()
     )
     tot = per_ps.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
     return (

@@ -1131,11 +1131,15 @@ def quality_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = dc.select(
         "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("tok")
     )
-    # dtc feeds the LM, the grand total, and the scoring join — cache it so
-    # the explode+count runs once, not three times (MEMORY_AND_DISK default
-    # spills gracefully at corpus scale).
+    # dtc feeds the LM, the grand total, and the scoring join —
+    # localCheckpoint so the explode+count runs once, not three times, and
+    # the storage is released when the query's DataFrame is collected (a
+    # lazy .cache() would stay pinned in the session CacheManager across a
+    # full registry sweep).
     dtc = (
-        toks.groupBy("doc_id", "lang", "tok").agg(F.count(F.lit(1)).alias("k")).cache()
+        toks.groupBy("doc_id", "lang", "tok")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint()
     )
     lm = dtc.groupBy("tok").agg(F.sum("k").alias("cnt"))
     tot = lm.agg(F.sum("cnt").alias("total"))
@@ -1228,13 +1232,13 @@ def lm_bigram_next_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg")
     )
-    # pairs feeds both the context totals and the scoring join — cache so the
-    # bigram explode+count runs once (pair counts are vocab-sized, far
-    # smaller than the corpus).
+    # pairs feeds both the context totals and the scoring join —
+    # localCheckpoint so the bigram explode+count runs once (pair counts are
+    # vocab-sized, far smaller than the corpus) and is freed after the query.
     pairs = (
         big.groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
         .agg(F.count(F.lit(1)).alias("pair_cnt"))
-        .cache()
+        .localCheckpoint()
     )
     uni = pairs.groupBy("w1").agg(F.sum("pair_cnt").alias("w1_cnt"))
     top_w1 = uni.orderBy(F.col("w1_cnt").desc(), "w1").limit(BIGRAM_TOP_W1)

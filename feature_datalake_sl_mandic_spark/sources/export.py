@@ -49,8 +49,13 @@ def export_training_shards(packed: DataFrame, out_dir: str) -> dict:
     h = md5_int60_col(
         F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text"))
     )
+    # Stats come from reading back the WRITTEN files, not from re-executing
+    # ``packed``'s lineage: two actions over a nondeterministic input would
+    # otherwise publish a manifest describing data that was never written,
+    # silently voiding the self-validation contract.
+    written = packed.sparkSession.read.parquet(data_dir)
     stats = (
-        packed.select("lang", "shard_id", "n_tokens", h.alias("h"))
+        written.select("lang", "shard_id", "n_tokens", h.alias("h"))
         .groupBy("lang", "shard_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -140,3 +140,53 @@ class TestBucketedJoin:
         finally:
             spark.sql("DROP TABLE IF EXISTS b_orders")
             spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+class TestRound3GlobalWindowRemoval:
+    """Round-3 rewrites: the former global-window top-k sites must stay free
+    of Window operators, and the checkpointed heavy plans must keep their
+    reduced shuffle counts."""
+
+    def test_bm25_plan_has_no_window(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.text import text_bm25_search
+
+        plan = plans.formatted_plan(text_bm25_search(spark, SF_SMALL))
+        assert "Window" not in plan
+
+    def test_cms_plan_has_no_window(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.sketches import (
+            cms_heavy_hitters_events,
+        )
+
+        plan = plans.formatted_plan(cms_heavy_hitters_events(spark, SF_SMALL))
+        assert "Window" not in plan
+
+    def test_graph_edges_use_take_ordered(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.graph import _edges
+
+        # _edges checkpoints its result, so assert on the pre-checkpoint
+        # builder shape through a triangle query: no Window anywhere.
+        from feature_datalake_sl_mandic_spark.operators.graph import (
+            graph_cosupply_triangles,
+        )
+
+        assert "Window" not in plans.formatted_plan(
+            graph_cosupply_triangles(spark, SF_SMALL)
+        )
+        assert _edges(spark, SF_SMALL).count() > 0
+
+    def test_minhash_shuffles_stay_cut(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.dedup import dedup_minhash_lsh
+
+        # 36 before round 3; localCheckpoint of shingles+candidates cut it
+        # to 10. Allow slack for optimizer drift, but a regression to the
+        # re-derivation regime (3x the shingle subtree) must fail.
+        assert plans.count_shuffles(dedup_minhash_lsh(spark, SF_SMALL)) <= 16
+
+    def test_sparse_cosine_shuffles_stay_cut(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.text import (
+            text_sparse_cosine_pairs,
+        )
+
+        # 44 before round 3 (tokenization re-derived ~4x); now 14.
+        assert plans.count_shuffles(text_sparse_cosine_pairs(spark, SF_SMALL)) <= 20
