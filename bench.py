@@ -24,12 +24,19 @@ if REPO not in sys.path:
 # would measure plan overhead, not scan parallelism. We materialize (once,
 # cached by a manifest of source file sizes) a multi-file copy of each table
 # so scans fan out across cores and AQE has real partitions to coalesce.
-_SPLIT_TARGET_BYTES = 1 << 20  # ~1 MiB per file at bench SF (fixtures are
-# snappy-parquet in the single-digit-MB range; at production scale the analog
-# is 128 MiB files — what matters is >1 task per scan, while keeping per-task
-# overhead from dominating sub-second queries)
+# Relational tables split proportionally to bytes (per-task overhead would
+# dominate the sub-second TPC-H-ish queries otherwise); the corpus tables
+# split wider regardless of bytes, because compressed size wildly
+# understates their compute — documents is ~600 KiB on disk but fans out
+# 200x into shingles/tokens INSIDE the scan task, so a 2-task scan
+# serializes the heavy dedup/text plans. At production scale the analog is
+# many 128 MiB files; what matters here is matching task count to each
+# table's per-row compute.
+_SPLIT_TARGET_BYTES = 1 << 20
 _SPLIT_MAX_FILES = 4
 _SPLIT_MIN_BYTES_FOR_2 = 512 << 10  # mid-size tables still get 2 files
+_EXPLODE_HEAVY_FILES = 8
+_EXPLODE_HEAVY = {"documents", "embeddings", "events"}
 
 
 def prepare_bench_dir(spark, sf_dir: str) -> str:
@@ -56,9 +63,12 @@ def prepare_bench_dir(spark, sf_dir: str) -> str:
 
     os.makedirs(target, exist_ok=True)
     for t, size in src_manifest.items():
-        n_files = max(1, min(_SPLIT_MAX_FILES, size // _SPLIT_TARGET_BYTES))
-        if size >= _SPLIT_MIN_BYTES_FOR_2:
-            n_files = max(2, n_files)
+        if t in _EXPLODE_HEAVY:
+            n_files = _EXPLODE_HEAVY_FILES
+        else:
+            n_files = max(1, min(_SPLIT_MAX_FILES, size // _SPLIT_TARGET_BYTES))
+            if size >= _SPLIT_MIN_BYTES_FOR_2:
+                n_files = max(2, n_files)
         df = catalog.load_table(spark, sf_dir, t)
         out = os.path.join(target, f"{t}.parquet")
         df.repartition(int(n_files)).write.mode("overwrite").parquet(out)
