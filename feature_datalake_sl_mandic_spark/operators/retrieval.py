@@ -1,0 +1,215 @@
+"""Hybrid retrieval + retrieval-quality evaluation.
+
+Extension surface (BASELINE.json "similarity search" / "text analysis"; no
+analog in the reference — its 49-file census is 4 distinct ingest scripts
+parameterized per site, SURVEY.md §0). Two operators that close the RAG loop
+the repo's lexical (BM25) and dense (kNN/ANN) rankers open:
+
+- ``text_hybrid_rrf_search``: Reciprocal Rank Fusion (Cormack/Clarke/Buettcher,
+  SIGIR'09) of the BM25 lexical top-k and the embedding-cosine dense top-k:
+  ``rrf(d) = Σ_lists 1/(RRF_K + rank_list(d))``. RRF is the standard hybrid
+  fusion because it needs no score calibration between heterogeneous rankers
+  — only ranks, which both of this repo's retrieval paths already emit
+  deterministically.
+- ``eval_retrieval_metrics``: recall@k, MRR and nDCG@k of the IVF ANN index
+  (nprobe=1) against exact brute-force kNN ground truth — the evaluation
+  harness any ANN deployment needs before dialing ``nprobe``/cells for a
+  recall target.
+
+Scale shape: both operators post-process top-k lists that are bounded by
+construction (k ≤ 50 per query / per ranker), so every join here is a
+broadcast of a few hundred rows; the heavy lifting stays in the underlying
+retrieval plans, which are scale-audited where they live
+(``text.py``/``similarity.py``). Fusion adds ZERO new shuffles over the
+inputs' own plans.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feature_datalake_sl_mandic_spark.functions.ranking import topk_with_rank
+from feature_datalake_sl_mandic_spark.operators.relational import _t
+from feature_datalake_sl_mandic_spark.operators.similarity import (
+    _DUCK_PAIR_COS,
+    _dot,
+    TOP_K,
+    ivf_topk,
+    knn_cosine_topk,
+)
+from feature_datalake_sl_mandic_spark.operators.text import text_bm25_search
+from feature_datalake_sl_mandic_spark.registry import _REGISTRY, register
+
+RRF_K = 60  # the canonical fusion constant from the RRF paper
+RRF_LIST_K = 50  # per-ranker candidate list length
+RRF_TOP = 20  # fused results emitted
+DENSE_QUERY_ID = 0  # dense query = embedding of vec_id 0 (doc_id ≡ vec_id)
+
+# Reuse the registered oracles verbatim as derived tables (nested WITH is
+# valid DuckDB) — the fusion/eval oracles stay in lockstep with the
+# underlying rankers' oracles by construction.
+_BM25_ORACLE = _REGISTRY["text_bm25_search"].oracle
+_KNN_ORACLE = _REGISTRY["knn_cosine_topk"].oracle
+_IVF_ORACLE = _REGISTRY["ann_ivf_cells"].oracle
+
+
+@register(
+    "text_hybrid_rrf_search",
+    oracle=f"""
+    WITH bm AS (
+      SELECT doc_id, rnk AS bm25_rank FROM ({_BM25_ORACLE}) b
+    ),
+    e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+          FROM embeddings),
+    dense_scored AS (
+      SELECT c.vec_id AS doc_id, round({_DUCK_PAIR_COS}, 6) AS cosine
+      FROM (SELECT emb FROM e WHERE vec_id = {DENSE_QUERY_ID}) q
+      JOIN e c ON c.vec_id <> {DENSE_QUERY_ID}
+    ),
+    dn AS (
+      SELECT doc_id, dense_rank FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY cosine DESC, doc_id) AS dense_rank
+        FROM dense_scored
+      ) WHERE dense_rank <= {RRF_LIST_K}
+    ),
+    fused AS (
+      SELECT coalesce(bm.doc_id, dn.doc_id) AS doc_id,
+             bm.bm25_rank, dn.dense_rank,
+             round(coalesce(1.0 / ({RRF_K} + bm.bm25_rank), 0.0)
+                   + coalesce(1.0 / ({RRF_K} + dn.dense_rank), 0.0), 6)
+               AS rrf_score
+      FROM bm FULL OUTER JOIN dn ON bm.doc_id = dn.doc_id
+    )
+    SELECT doc_id, bm25_rank, dense_rank, rrf_score,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+             AS rnk
+    FROM fused
+    QUALIFY rnk <= {RRF_TOP}
+    ORDER BY rnk
+    """,
+    tags=("retrieval", "hybrid", "rrf", "bm25", "dense", "topk"),
+)
+def text_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion of the BM25 lexical top-50 and the
+    embedding-cosine dense top-50 (query vector = embedding of doc 0;
+    ``doc_id ≡ vec_id`` in the fixture corpus — at scale the join key is the
+    document's stable id shared by the text and vector tables).
+
+    ``rrf(d) = Σ 1/(60 + rank)`` over the lists that retrieved d; a document
+    found by only one ranker contributes only that term (full-outer join,
+    missing list → 0). Both input lists carry exact global ranks from
+    ``topk_with_rank`` (TakeOrdered + bounded self-count — no global Window),
+    and fusing 100 bounded rows is driver-trivial at any corpus size."""
+    bm = text_bm25_search(spark, sf_dir).select(
+        "doc_id", F.col("rnk").alias("bm25_rank")
+    )
+    (em,) = _t(spark, sf_dir, "embeddings")
+    e = em.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = e.where(F.col("vec_id") == DENSE_QUERY_ID).select(
+        F.col("emb").alias("qemb")
+    )
+    c = e.where(F.col("vec_id") != DENSE_QUERY_ID).select(
+        F.col("vec_id").alias("doc_id"), F.col("emb").alias("cemb")
+    )
+    cos = _dot("qemb", "cemb") / (
+        F.sqrt(_dot("qemb", "qemb")) * F.sqrt(_dot("cemb", "cemb"))
+    )
+    dense_scored = c.crossJoin(F.broadcast(q)).select(
+        "doc_id", F.round(cos, 6).alias("cosine")
+    )
+    dn = topk_with_rank(
+        dense_scored, [("cosine", "desc"), ("doc_id", "asc")], RRF_LIST_K
+    ).select("doc_id", F.col("rnk").alias("dense_rank"))
+
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (RRF_K + F.col("bm25_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (RRF_K + F.col("dense_rank")), F.lit(0.0)),
+        6,
+    )
+    fused = bm.join(dn, "doc_id", "full_outer").select(
+        "doc_id", "bm25_rank", "dense_rank", rrf.alias("rrf_score")
+    )
+    return topk_with_rank(
+        fused, [("rrf_score", "desc"), ("doc_id", "asc")], RRF_TOP
+    ).select("doc_id", "bm25_rank", "dense_rank", "rrf_score", "rnk")
+
+
+# Ideal DCG for k binary-relevant results — identical literal on both sides.
+_IDCG = sum(1.0 / math.log2(i + 1) for i in range(1, TOP_K + 1))
+
+
+@register(
+    "eval_retrieval_metrics",
+    oracle=f"""
+    WITH gt AS (
+      SELECT query_id, neighbor_id FROM ({_KNN_ORACLE}) g
+    ),
+    sys AS (
+      SELECT query_id, neighbor_id, rank FROM ({_IVF_ORACLE}) s
+    ),
+    hits AS (
+      SELECT s.query_id, s.rank
+      FROM sys s JOIN gt
+        ON s.query_id = gt.query_id AND s.neighbor_id = gt.neighbor_id
+    ),
+    per_q AS (
+      SELECT query_id,
+             count(*) AS n_hits,
+             min(rank) AS first_hit_rank,
+             sum(1.0 / log2(rank + 1)) AS dcg
+      FROM hits GROUP BY query_id
+    )
+    SELECT q.query_id,
+           coalesce(p.n_hits, 0) AS n_hits,
+           round(coalesce(p.n_hits, 0) / {TOP_K}.0, 6) AS recall_at_k,
+           round(coalesce(1.0 / p.first_hit_rank, 0.0), 6) AS mrr,
+           round(coalesce(p.dcg, 0.0) / {_IDCG!r}, 6) AS ndcg_at_k
+    FROM (SELECT DISTINCT query_id FROM gt) q
+    LEFT JOIN per_q p USING (query_id)
+    ORDER BY q.query_id
+    """,
+    tags=("retrieval", "evaluation", "ann", "recall", "ndcg"),
+)
+def eval_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality scorecard for the IVF ANN index (nprobe=1) against
+    exact brute-force kNN ground truth: per-query recall@5, MRR and nDCG@5
+    (binary relevance = membership in the exact top-5). This is the harness
+    that justifies any ANN parameter choice — the recall floors pinned in
+    ``tests/test_round3_ops.py`` are exactly these numbers.
+
+    Scale shape: both inputs are per-query top-k lists (≤ 5 rows × 10
+    queries here; ≤ k × |queries| generally), so the hit-join and the metric
+    aggregation are bounded by the query workload, never the corpus."""
+    gt = knn_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    sys_ = ivf_topk(spark, sf_dir, nprobe=1).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    hits = sys_.join(gt, ["query_id", "neighbor_id"])
+    per_q = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("rank").alias("first_hit_rank"),
+        F.sum(1.0 / F.log2(F.col("rank") + 1)).alias("dcg"),
+    )
+    queries = gt.select("query_id").distinct()
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0))
+    return (
+        queries.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            n_hits.alias("n_hits"),
+            F.round(n_hits / float(TOP_K), 6).alias("recall_at_k"),
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("first_hit_rank"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.round(F.coalesce(F.col("dcg"), F.lit(0.0)) / _IDCG, 6).alias(
+                "ndcg_at_k"
+            ),
+        )
+        .orderBy("query_id")
+    )

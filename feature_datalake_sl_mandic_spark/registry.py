@@ -49,6 +49,7 @@ _QUERY_MODULES = [
     "feature_datalake_sl_mandic_spark.operators.events",
     "feature_datalake_sl_mandic_spark.operators.dedup",
     "feature_datalake_sl_mandic_spark.operators.similarity",
+    "feature_datalake_sl_mandic_spark.operators.retrieval",
     "feature_datalake_sl_mandic_spark.operators.text",
     "feature_datalake_sl_mandic_spark.operators.timeseries",
     "feature_datalake_sl_mandic_spark.operators.clustering",

@@ -43,3 +43,42 @@ class TestIvfNprobeDial:
 
         rows = S.ivf_topk(spark, SF_SMALL, nprobe=2).collect()
         assert len({(r.query_id, r.neighbor_id) for r in rows}) == len(rows)
+
+
+class TestRetrievalFusionAndEval:
+    def test_rrf_score_is_sum_of_rank_reciprocals(self, spark):
+        """Fused score must equal 1/(60+r) summed over exactly the lists that
+        retrieved the doc — docs found by both rankers outscore equal-rank
+        single-list docs."""
+        from feature_datalake_sl_mandic_spark.operators import retrieval as R
+
+        rows = R.text_hybrid_rrf_search(spark, SF_SMALL).collect()
+        assert rows, "fusion produced no results"
+        for r in rows:
+            expect = 0.0
+            if r.bm25_rank is not None:
+                expect += 1.0 / (R.RRF_K + r.bm25_rank)
+            if r.dense_rank is not None:
+                expect += 1.0 / (R.RRF_K + r.dense_rank)
+            assert abs(r.rrf_score - round(expect, 6)) < 1e-9
+            assert r.bm25_rank is not None or r.dense_rank is not None
+
+    def test_eval_metrics_match_manual_recall(self, spark):
+        """recall@k from the scorecard equals the set-overlap recall computed
+        directly from the two result lists (the number the nprobe-dial test
+        uses)."""
+        from feature_datalake_sl_mandic_spark.operators import retrieval as R
+        from feature_datalake_sl_mandic_spark.operators import similarity as S
+
+        exact = _pairs(S.knn_cosine_topk(spark, SF_SMALL))
+        approx = _pairs(S.ivf_topk(spark, SF_SMALL, nprobe=1))
+        manual = len(approx & exact) / len(exact)
+        rows = R.eval_retrieval_metrics(spark, SF_SMALL).collect()
+        macro = sum(r.recall_at_k for r in rows) / len(rows)
+        assert abs(macro - manual) < 1e-6
+        for r in rows:
+            assert 0.0 <= r.recall_at_k <= 1.0
+            assert 0.0 <= r.mrr <= 1.0
+            assert 0.0 <= r.ndcg_at_k <= 1.0 + 1e-9
+            # nDCG and MRR are 0 exactly when no hits
+            assert (r.n_hits == 0) == (r.ndcg_at_k == 0.0)
