@@ -31,6 +31,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from feature_datalake_sl_mandic_spark.functions.hashing import (
+    md5_int60_col,
+    md5_int60_sql,
+)
+from feature_datalake_sl_mandic_spark.functions.ranking import topk_with_rank
 from feature_datalake_sl_mandic_spark.operators.relational import _t
 from feature_datalake_sl_mandic_spark.operators.text import (
     _STOP_SQL,
@@ -634,3 +639,111 @@ def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+DSIR_N_FEATURES = 1024  # hashed-unigram feature space
+DSIR_TARGET_LANG = "en"  # target distribution = the English sub-corpus
+DSIR_TOP = 50
+
+
+def _dsir_feat_sql(tok_expr: str) -> str:
+    return f"{md5_int60_sql(tok_expr)} % {DSIR_N_FEATURES}"
+
+
+@register(
+    "corpus_dsir_importance",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, lang,
+             {_dsir_feat_sql("t.tok")} AS f
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents) t
+    ),
+    raw_counts AS (SELECT f, count(*) AS cnt_r FROM feat GROUP BY f),
+    tgt_counts AS (SELECT f, count(*) AS cnt_t FROM feat
+                   WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY f),
+    totals AS (
+      SELECT (SELECT count(*) FROM feat) AS tot_r,
+             (SELECT count(*) FROM feat WHERE lang = '{DSIR_TARGET_LANG}') AS tot_t
+    ),
+    llr AS (
+      SELECT r.f,
+             ln((coalesce(t.cnt_t, 0) + 1.0) / (tt.tot_t + {DSIR_N_FEATURES}))
+             - ln((r.cnt_r + 1.0) / (tt.tot_r + {DSIR_N_FEATURES})) AS llr
+      FROM raw_counts r
+      LEFT JOIN tgt_counts t USING (f)
+      CROSS JOIN totals tt
+    ),
+    scored AS (
+      SELECT feat.doc_id, any_value(feat.lang) AS lang,
+             count(*) AS n_tokens,
+             round(sum(llr.llr) / count(*), 6) AS avg_llr
+      FROM feat JOIN llr USING (f)
+      GROUP BY feat.doc_id
+    )
+    SELECT doc_id, lang, n_tokens, avg_llr,
+           CAST(row_number() OVER (ORDER BY avg_llr DESC, doc_id) AS BIGINT)
+             AS rnk
+    FROM scored
+    QUALIFY rnk <= {DSIR_TOP}
+    ORDER BY rnk
+    """,
+    tags=("curation", "dsir", "importance-sampling", "mixture"),
+)
+def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document by
+    its per-token average log importance ratio under hashed-unigram bag
+    models of the TARGET distribution (here the English sub-corpus) vs the
+    RAW distribution (the whole corpus), Laplace-smoothed; emit the top-50
+    selection. High scorers are the raw docs most target-like — the
+    principled mixture-shifting upgrade over ``corpus_mixture_resample``'s
+    fixed per-source rates.
+
+    Scale shape: the feature space is hashed to a CONSTANT ``DSIR_N_FEATURES``
+    buckets, so both bag models and the log-ratio table
+    are bounded-size aggregates that broadcast back; the per-doc score is
+    then one map-side-combined shuffle on doc_id. No vocabulary-sized join
+    ever forms, which is the entire point of DSIR's hashing trick at 100 TB."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    toks = dc.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    feat = toks.select(
+        "doc_id", "lang", (md5_int60_col(F.col("tok")) % DSIR_N_FEATURES).alias("f")
+    )
+    raw_counts = feat.groupBy("f").agg(F.count(F.lit(1)).alias("cnt_r"))
+    tgt_counts = (
+        feat.where(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("cnt_t"))
+    )
+    totals = feat.agg(
+        F.count(F.lit(1)).alias("tot_r"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("tot_t"),
+    )
+    llr_col = F.log(
+        (F.coalesce(F.col("cnt_t"), F.lit(0)) + 1.0)
+        / (F.col("tot_t") + DSIR_N_FEATURES)
+    ) - F.log((F.col("cnt_r") + 1.0) / (F.col("tot_r") + DSIR_N_FEATURES))
+    llr = (
+        raw_counts.join(tgt_counts, "f", "left")
+        .crossJoin(F.broadcast(totals))
+        .select("f", llr_col.alias("llr"))
+    )
+    scored = (
+        feat.join(F.broadcast(llr), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("llr") / F.count(F.lit(1)), 6).alias("avg_llr"),
+        )
+    )
+    return topk_with_rank(
+        scored.select("doc_id", "lang", "n_tokens", "avg_llr"),
+        [("avg_llr", "desc"), ("doc_id", "asc")],
+        DSIR_TOP,
+    ).select("doc_id", "lang", "n_tokens", "avg_llr", "rnk")

@@ -612,3 +612,86 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+SPAN_NGRAM = 8  # span length in tokens (the Lee et al. substring unit)
+
+
+@register(
+    "dedup_duplicate_ngram_spans",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(
+               range(1, greatest(len(ws) - {SPAN_NGRAM - 2}, 1)),
+               i -> {" || ' ' || ".join(f"ws[i+{j}]" for j in range(SPAN_NGRAM))}))
+             AS s
+      FROM ws
+    ),
+    dg AS (
+      SELECT doc_id, any_value(lang) AS lang, md5(s) AS h, count(*) AS occ
+      FROM grams GROUP BY doc_id, md5(s)
+    ),
+    dfr AS (SELECT h, count(*) AS ndocs FROM dg GROUP BY h)
+    SELECT dg.doc_id, dg.lang,
+           sum(dg.occ)::BIGINT AS n_ngrams,
+           sum(CASE WHEN dfr.ndocs >= 2 THEN dg.occ ELSE 0 END)::BIGINT
+             AS n_dup_ngrams,
+           round(sum(CASE WHEN dfr.ndocs >= 2 THEN dg.occ ELSE 0 END)
+                 / sum(dg.occ), 6) AS dup_frac
+    FROM dg JOIN dfr USING (h)
+    GROUP BY dg.doc_id, dg.lang
+    ORDER BY dg.doc_id
+    """,
+    tags=("dedup", "near-dedup", "ngram-spans", "text"),
+)
+def dedup_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span measurement (the relational
+    approximation of Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better", which uses suffix arrays): for every document,
+    the fraction of its 8-token spans that also occur in at least one OTHER
+    document. Docs with high ``dup_frac`` are boilerplate-heavy or partial
+    copies that exact-hash dedup misses; the per-doc fraction is the usual
+    drop/trim signal.
+
+    Scale shape: spans are md5-hashed immediately, so only 16-byte hashes
+    shuffle, never text. Per-(doc, span) occurrence counts collapse map-side
+    before the span-frequency aggregation, and the frequency join is the
+    inverted-index equi-join shape — work scales with distinct (doc, span)
+    pairs, no all-pairs comparison. Docs shorter than the span length drop
+    out (zero spans), which the span-count output makes explicit."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - (SPAN_NGRAM - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, i + j) for j in range(SPAN_NGRAM)]
+        ),
+    )
+    g = dc.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.when(F.size(ws) >= SPAN_NGRAM, grams).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("s"),
+    ).select("doc_id", "lang", F.md5("s").alias("h"))
+    dg = g.groupBy("doc_id", "h").agg(
+        F.first("lang").alias("lang"), F.count(F.lit(1)).alias("occ")
+    )
+    dfr = dg.groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))
+    dup_occ = F.sum(F.when(F.col("ndocs") >= 2, F.col("occ")).otherwise(0))
+    return (
+        dg.join(dfr, "h")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("occ").alias("n_ngrams"),
+            dup_occ.alias("n_dup_ngrams"),
+            F.round(dup_occ / F.sum("occ"), 6).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )

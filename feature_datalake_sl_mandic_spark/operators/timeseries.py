@@ -542,3 +542,80 @@ def drift_psi_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+ACF_MAX_LAG = 7  # weekly seasonality shows up as a peak at lag 7
+
+
+@register(
+    "ts_autocorrelation",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CTE}),
+    mu AS (SELECT event_type, avg(daily_value) AS mu FROM daily GROUP BY 1),
+    cen AS (
+      SELECT d.event_type, d.day, d.daily_value - m.mu AS c
+      FROM daily d JOIN mu m USING (event_type)
+    ),
+    den AS (SELECT event_type, sum(c * c) AS den FROM cen GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type, t.k AS lag, sum(a.c * b.c) AS num,
+             count(*) AS n_pairs
+      FROM cen a
+      CROSS JOIN range(1, {ACF_MAX_LAG + 1}) t(k)
+      JOIN cen b ON b.event_type = a.event_type
+                AND b.day = a.day + CAST(t.k AS INTEGER)
+      GROUP BY 1, 2
+    )
+    SELECT p.event_type, CAST(p.lag AS BIGINT) AS lag, p.n_pairs,
+           round(p.num / d.den, 4) AS acf
+    FROM pairs p JOIN den d USING (event_type)
+    ORDER BY event_type, lag
+    """,
+    tags=("timeseries", "autocorrelation", "seasonality", "events"),
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation (k = 1..7) of the per-type daily value series —
+    the seasonality/persistence diagnostic that motivates the EWMA/z-score
+    window choices: a peak at lag 7 means weekly seasonality, fast decay
+    means the 7-row z-score baseline is long enough. Standard biased ACF
+    estimator: acf(k) = Σ(x_t−μ)(x_{{t+k}}−μ) / Σ(x_t−μ)², pairs matched by
+    calendar day (gaps drop pairs, never misalign them).
+
+    Scale shape: everything happens on the daily pre-aggregate (bounded by
+    |event_type| × calendar), the per-series mean broadcasts back, and the
+    lag pairing is an equi-join on (event_type, day+k) — no window over an
+    unbounded series, no UDF."""
+    daily = _daily_series(spark, sf_dir)
+    mu = daily.groupBy("event_type").agg(F.avg("daily_value").alias("mu"))
+    cen = daily.join(F.broadcast(mu), "event_type").select(
+        "event_type", "day", (F.col("daily_value") - F.col("mu")).alias("c")
+    )
+    den = cen.groupBy("event_type").agg(F.sum(F.col("c") * F.col("c")).alias("den"))
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = cen.crossJoin(F.broadcast(lags)).select(
+        "event_type",
+        "lag",
+        F.col("c").alias("ca"),
+        F.date_add(F.col("day"), F.col("lag").cast("int")).alias("day_b"),
+    )
+    b = cen.select(
+        "event_type", F.col("day").alias("day_b"), F.col("c").alias("cb")
+    )
+    pairs = (
+        a.join(b, ["event_type", "day_b"])
+        .groupBy("event_type", "lag")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("num"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    return (
+        pairs.join(F.broadcast(den), "event_type")
+        .select(
+            "event_type",
+            "lag",
+            "n_pairs",
+            F.round(F.col("num") / F.col("den"), 4).alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )

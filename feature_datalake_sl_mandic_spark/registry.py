@@ -58,6 +58,7 @@ _QUERY_MODULES = [
     "feature_datalake_sl_mandic_spark.operators.profile",
     "feature_datalake_sl_mandic_spark.operators.validation",
     "feature_datalake_sl_mandic_spark.operators.curation",
+    "feature_datalake_sl_mandic_spark.operators.layout",
     "feature_datalake_sl_mandic_spark.ingest.change_detection",
     "feature_datalake_sl_mandic_spark.ingest.scd",
     "feature_datalake_sl_mandic_spark.ingest.incremental",

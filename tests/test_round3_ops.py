@@ -82,3 +82,93 @@ class TestRetrievalFusionAndEval:
             assert 0.0 <= r.ndcg_at_k <= 1.0 + 1e-9
             # nDCG and MRR are 0 exactly when no hits
             assert (r.n_hits == 0) == (r.ndcg_at_k == 0.0)
+
+
+class TestRound3Wave2:
+    def test_zorder_bounds_both_dims(self, spark):
+        """The whole point of Z-order: the single-dim layout is perfect on
+        its own key and useless on the other; Z-order is materially better
+        than full-scan on BOTH dims."""
+        from feature_datalake_sl_mandic_spark.operators import layout as L
+
+        rows = L.layout_skipping_scorecard(spark, SF_SMALL).collect()
+        frac = {(r.layout, r.dim): r.avg_scan_fraction for r in rows}
+        assert frac[("hash_x", "x")] <= 1.0 / L.N_FILES + 1e-9
+        assert frac[("hash_x", "y")] >= 0.9
+        assert frac[("zorder", "x")] <= 0.5
+        assert frac[("zorder", "y")] <= 0.5
+
+    def test_zorder_files_partition_rows_exactly(self, spark):
+        """Both layouts assign every order to exactly one file."""
+        from feature_datalake_sl_mandic_spark.operators import layout as L
+        from feature_datalake_sl_mandic_spark.operators.relational import _t
+
+        (orders,) = _t(spark, SF_SMALL, "orders")
+        n_orders = orders.count()
+        rows = L.layout_zorder_files(spark, SF_SMALL).collect()
+        for layout in ("hash_x", "zorder"):
+            assert sum(r.n_rows for r in rows if r.layout == layout) == n_orders
+
+    def test_dsir_selects_target_language(self, spark):
+        """Importance resampling toward the English sub-corpus must surface
+        mostly-English docs at the top."""
+        from feature_datalake_sl_mandic_spark.operators import curation as C
+
+        from feature_datalake_sl_mandic_spark.operators.relational import _t
+        from pyspark.sql import functions as F
+
+        rows = C.corpus_dsir_importance(spark, SF_SMALL).collect()
+        assert rows
+        top = rows[: max(1, len(rows) // 2)]
+        en = sum(1 for r in top if r.lang == C.DSIR_TARGET_LANG)
+        (dc,) = _t(spark, SF_SMALL, "documents")
+        base = (
+            dc.agg(
+                F.avg((F.col("lang") == C.DSIR_TARGET_LANG).cast("double"))
+            ).collect()[0][0]
+        )
+        # selection must ENRICH the target language vs the corpus base rate
+        assert en / len(top) > base
+
+    def test_duplicate_spans_catch_exact_dups(self, spark):
+        """A doc whose text equals another doc's (the exact-dup pairs the
+        corpus contains) must have dup_frac == 1.0; fractions stay in [0,1]
+        and spans never exceed the doc's span count."""
+        from feature_datalake_sl_mandic_spark.operators import dedup as D
+        from feature_datalake_sl_mandic_spark.operators.relational import _t
+        from pyspark.sql import functions as F
+
+        (dc,) = _t(spark, SF_SMALL, "documents")
+        dup_ids = {
+            r.doc_id
+            for r in dc.groupBy("text")
+            .agg(F.collect_list("doc_id").alias("ids"))
+            .where(F.size("ids") >= 2)
+            .select(F.explode("ids").alias("doc_id"))
+            .collect()
+        }
+        rows = D.dedup_duplicate_ngram_spans(spark, SF_SMALL).collect()
+        by_id = {r.doc_id: r for r in rows}
+        for r in rows:
+            assert 0.0 <= r.dup_frac <= 1.0
+            assert r.n_dup_ngrams <= r.n_ngrams
+        # exact-dup docs (when the fixture SF contains any that are long
+        # enough to produce spans) must be fully covered by duplicated spans
+        for i in (i for i in dup_ids if i in by_id):
+            assert by_id[i].dup_frac == 1.0
+
+    def test_acf_lag_zero_equivalent_bounds(self, spark):
+        """ACF values are in [-1, 1] by Cauchy-Schwarz, and n_pairs shrinks
+        (weakly) as the lag grows within each series."""
+        from feature_datalake_sl_mandic_spark.operators import timeseries as T
+
+        rows = T.ts_autocorrelation(spark, SF_SMALL).collect()
+        assert rows
+        series = {}
+        for r in rows:
+            assert -1.0 - 1e-9 <= r.acf <= 1.0 + 1e-9
+            series.setdefault(r.event_type, []).append((r.lag, r.n_pairs))
+        for pairs in series.values():
+            pairs.sort()
+            counts = [n for _, n in pairs]
+            assert counts == sorted(counts, reverse=True)
