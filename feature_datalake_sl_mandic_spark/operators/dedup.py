@@ -14,7 +14,9 @@ Scale design (100 TB):
   document-frequency cap on shingles (``shingles_with_df_cap``, applied in
   the MinHash path) — the join shape is unchanged.
 - MinHash+LSH: candidates from equality on banded signatures — the classic
-  sub-quadratic path; signature computation is a single groupBy(min×k).
+  sub-quadratic path; signature computation is a single groupBy(min×k) over
+  ONE md5 per shingle with (a·x+c) mod p per-seed mixing, and every shuffle
+  after the explode carries 8-byte shingle hashes, never shingle text.
 - SimHash: per-doc 32-bit signature via one explode + sum aggregation.
 - embedding near-dup: blocked (label) pair join — swap the block key for an
   LSH bucket at scale (see operators/similarity.py ann_lsh_bucketed).
@@ -82,16 +84,44 @@ def shingles_with_df_cap(dc: DataFrame, max_df: int) -> DataFrame:
     return sh.join(keep, "s", "left_semi")
 
 
-def _minhash_col(seed: int, col: str = "s") -> Column:
-    """Deterministic 60-bit hash_j(shingle) = int(md5(j ':' s)[:15], 16),
-    built on the shared engine-portable helper (functions/hashing.py) so the
-    Spark and oracle forms cannot drift."""
-    return md5_int60_col(F.concat(F.lit(f"{seed}:"), F.col(col)))
+def hashed_shingles_with_df_cap(dc: DataFrame, max_df: int) -> DataFrame:
+    """``shingles_with_df_cap`` with the shingle string collapsed to its
+    60-bit md5 integer at the explode — every downstream shuffle (df cap,
+    signatures, intersection join) then moves 8-byte ints instead of shingle
+    text. The oracle hashes identically, so even a (cosmologically unlikely)
+    md5 collision cannot cause a parity mismatch — both engines would merge
+    the same pair of shingles."""
+    sh = _spark_shingles(dc).select("doc_id", md5_int60_col(F.col("s")).alias("h"))
+    keep = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("h")
+    )
+    return sh.join(keep, "h", "left_semi")
+
+
+# MinHash signature rows: ONE md5 per shingle, then k independent universal
+# hashes m_j = (a_j * h + c_j) mod P over the 31-bit reduction of the md5 —
+# the textbook (a*x+c) mod p family. Cuts per-shingle hashing cost 8x vs
+# md5-per-seed; products stay < 2^62, exact in BIGINT on both engines.
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+
+
+def _mix_params(j: int) -> tuple[int, int]:
+    a = (1103515245 * (2 * j + 1) + 12345) % MINHASH_PRIME
+    c = (69069 * (j + 1) + 54321) % MINHASH_PRIME
+    return (a or 1, c)
+
+
+def _minhash_col(seed: int, col: str = "h") -> Column:
+    a, c = _mix_params(seed)
+    return (F.lit(a) * (F.col(col) % MINHASH_PRIME) + F.lit(c)) % MINHASH_PRIME
 
 
 def _duck_minhash(seed: int) -> str:
-    seeded = f"'{seed}:' || s"
-    return f"min({md5_int60_sql(seeded)})"
+    a, c = _mix_params(seed)
+    return f"min(({a} * (h % {MINHASH_PRIME}) + {c}) % {MINHASH_PRIME})"
 
 
 # ---------------------------------------------------------------- operators
@@ -182,10 +212,11 @@ def _duck_minhash_lsh_sql() -> str:
         f"(sa.m{j} = sb.m{j})::INT" for j in range(MINHASH_K)
     )
     return f"""
-    WITH sh0 AS ({_DUCK_SHINGLES}),
+    WITH shs AS ({_DUCK_SHINGLES}),
+    sh0 AS (SELECT doc_id, {md5_int60_sql("s")} AS h FROM shs),
     sh AS (
-      SELECT doc_id, s FROM sh0
-      WHERE s IN (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= {MINHASH_MAX_DF})
+      SELECT doc_id, h FROM sh0
+      WHERE h IN (SELECT h FROM sh0 GROUP BY h HAVING count(*) <= {MINHASH_MAX_DF})
     ),
     sig_t AS (
       SELECT doc_id,
@@ -205,7 +236,7 @@ def _duck_minhash_lsh_sql() -> str:
       SELECT c.doc_a, c.doc_b, count(*) AS n_inter
       FROM cand c
       JOIN sh x ON x.doc_id = c.doc_a
-      JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+      JOIN sh y ON y.doc_id = c.doc_b AND y.h = x.h
       GROUP BY 1, 2
     )
     SELECT c.doc_a, c.doc_b,
@@ -246,7 +277,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode+df-cap subtree in all three plan branches (the bulk of this
     # query's former 36-shuffle plan), while eager lineage truncation
     # materializes it once.
-    sh = shingles_with_df_cap(dc, MINHASH_MAX_DF).localCheckpoint()
+    sh = hashed_shingles_with_df_cap(dc, MINHASH_MAX_DF).localCheckpoint()
 
     # One aggregation produces the signature AND the shingle-set size: the
     # size rides along instead of needing its own groupBy + two extra joins.
@@ -314,7 +345,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("doc_a", "doc_b")
         .alias("c")
         .join(x, F.col("x.doc_id") == F.col("c.doc_a"))
-        .join(y, (F.col("y.doc_id") == F.col("c.doc_b")) & (F.col("y.s") == F.col("x.s")))
+        .join(y, (F.col("y.doc_id") == F.col("c.doc_b")) & (F.col("y.h") == F.col("x.h")))
         .groupBy("c.doc_a", "c.doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

@@ -163,7 +163,9 @@ def layout_skipping_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-clustering by Z-order is the standard answer when a table serves
     selective queries on two keys. Everything after the bounded per-file
     aggregation is literal-sized arithmetic."""
-    files = _files_relation(spark, sf_dir)
+    # 2·N_FILES zone-map rows feed four probe subtrees — truncate lineage so
+    # the orders scan runs once, not per (dim, aggregate) subtree.
+    files = _files_relation(spark, sf_dir).localCheckpoint(eager=False)
     grid = 1 << Z_BITS
     probes = spark.range(grid).select(F.col("id").alias("p"))
     scans = None

@@ -585,10 +585,17 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     |event_type| × calendar), the per-series mean broadcasts back, and the
     lag pairing is an equi-join on (event_type, day+k) — no window over an
     unbounded series, no UDF."""
+    # The centered daily series feeds four subtrees (den, both join sides);
+    # it is bounded (|event_type| x calendar), so truncate lineage once
+    # instead of recomputing the events scan per subtree.
     daily = _daily_series(spark, sf_dir)
     mu = daily.groupBy("event_type").agg(F.avg("daily_value").alias("mu"))
-    cen = daily.join(F.broadcast(mu), "event_type").select(
-        "event_type", "day", (F.col("daily_value") - F.col("mu")).alias("c")
+    cen = (
+        daily.join(F.broadcast(mu), "event_type")
+        .select(
+            "event_type", "day", (F.col("daily_value") - F.col("mu")).alias("c")
+        )
+        .localCheckpoint(eager=False)
     )
     den = cen.groupBy("event_type").agg(F.sum(F.col("c") * F.col("c")).alias("den"))
     lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))

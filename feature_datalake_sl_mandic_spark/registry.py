@@ -157,7 +157,10 @@ _PRIORITY: list[str] = [
 # join_interval_overlap_campaigns, join_lateral_topn_customers,
 # join_null_safe_profiles, embedding_standardize_dims,
 # corpus_quality_weighted_sample, checksum_orders_content,
-# kanon_release_customers, plus new-in-round-3: ann_ivf_cells_nprobe2.
+# kanon_release_customers, plus new-in-round-3: ann_ivf_cells_nprobe2,
+# text_hybrid_rrf_search, eval_retrieval_metrics, corpus_dsir_importance,
+# dedup_duplicate_ngram_spans, ts_autocorrelation, layout_zorder_files,
+# layout_skipping_scorecard.
 # (multimodal_feature_extract stays out of every window by design: its codec
 # stubs make it permanently rows-only; multimodal_ppm_decode is the family's
 # hash-green representative.)
