@@ -747,3 +747,105 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("avg_llr", "desc"), ("doc_id", "asc")],
         DSIR_TOP,
     ).select("doc_id", "lang", "n_tokens", "avg_llr", "rnk")
+
+
+TEMP_ALPHA = 0.3  # mT5/XLM-R temperature exponent
+TEMP_BUDGET_PCT = 50  # sample budget: 50% of the corpus
+
+
+@register(
+    "corpus_temperature_resample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(n_docs) AS n FROM counts),
+    shares AS (
+      SELECT c.lang, c.n_docs,
+             c.n_docs * 1.0 / t.n AS p_raw,
+             pow(c.n_docs * 1.0 / t.n, {TEMP_ALPHA}) AS w
+      FROM counts c CROSS JOIN tot t
+    ),
+    wsum AS (SELECT sum(w) AS ws FROM shares),
+    targets AS (
+      SELECT s.lang, s.n_docs, s.p_raw, s.w / ws.ws AS p_temp,
+             CAST(floor(s.w / ws.ws
+                        * ((SELECT n FROM tot) * {TEMP_BUDGET_PCT} / 100)
+                        + 0.5) AS BIGINT) AS n_target
+      FROM shares s CROSS JOIN wsum ws
+    ),
+    ranked AS (
+      SELECT lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+      FROM documents
+    )
+    SELECT t.lang, t.n_docs,
+           round(t.p_raw, 6) AS share_raw,
+           round(t.p_temp, 6) AS share_temp,
+           t.n_target,
+           sum(CASE WHEN r.rn <= t.n_target THEN 1 ELSE 0 END)::BIGINT AS n_kept
+    FROM targets t JOIN ranked r USING (lang)
+    GROUP BY t.lang, t.n_docs, t.p_raw, t.p_temp, t.n_target
+    ORDER BY t.lang
+    """,
+    tags=("curation", "mixture", "temperature-sampling", "multilingual"),
+)
+def corpus_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (the mT5/XLM-R recipe): sample
+    languages proportionally to p_l^alpha (alpha = 0.3) instead of p_l, so
+    low-resource languages are up-weighted relative to their raw share
+    without exploding the budget. Emits per-language raw vs temperature
+    shares, the integer doc target under a 50%-of-corpus budget, and the
+    docs actually kept by stable md5 order (n_kept < n_target only when a
+    language is exhausted — the saturation case the temperature formula is
+    famous for handling badly, made visible here).
+
+    Scale shape: language statistics are a |langs|-row aggregate broadcast
+    back; per-language selection ranks inside lang partitions (no global
+    window). The md5-order rank is the same stable pseudo-random device as
+    ``corpus_domain_caps``; a mega-language serializing its window switches
+    to the two-level bucket rank (``corpus_pack_shards`` pattern)."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    counts = dc.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("n"))
+    shares = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        (F.col("n_docs") / F.col("n")).alias("p_raw"),
+        F.pow(F.col("n_docs") / F.col("n"), TEMP_ALPHA).alias("w"),
+        "n",
+    )
+    wsum = shares.agg(F.sum("w").alias("ws"))
+    budget = F.col("n") * TEMP_BUDGET_PCT / 100
+    targets = shares.crossJoin(F.broadcast(wsum)).select(
+        "lang",
+        "n_docs",
+        "p_raw",
+        (F.col("w") / F.col("ws")).alias("p_temp"),
+        F.floor(F.col("w") / F.col("ws") * budget + 0.5)
+        .cast("bigint")
+        .alias("n_target"),
+    )
+    w_lang = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = dc.select("lang", F.row_number().over(w_lang).alias("rn"))
+    return (
+        ranked.join(F.broadcast(targets), "lang")
+        .groupBy("lang", "n_docs", "p_raw", "p_temp", "n_target")
+        .agg(
+            F.sum(F.when(F.col("rn") <= F.col("n_target"), 1).otherwise(0)).alias(
+                "n_kept"
+            )
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.round("p_raw", 6).alias("share_raw"),
+            F.round("p_temp", 6).alias("share_temp"),
+            "n_target",
+            "n_kept",
+        )
+        .orderBy("lang")
+    )

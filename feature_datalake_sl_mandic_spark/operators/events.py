@@ -944,3 +944,49 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+HOP_WINDOW_H = 3  # hopping-window length (hours)
+HOP_SLIDE_H = 1  # slide (hours)
+
+
+@register(
+    "events_hopping_3h_1h",
+    oracle=f"""
+    SELECT ((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) - t.k) * 3600
+             AS window_start_epoch,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events CROSS JOIN range(0, {HOP_WINDOW_H // HOP_SLIDE_H}) t(k)
+    GROUP BY 1, 2
+    ORDER BY window_start_epoch, event_type
+    """,
+    tags=("events", "time-window", "hopping", "sliding", "streaming-twin"),
+)
+def events_hopping_3h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping 3-hour windows sliding every hour via ``F.window(ts, w, s)``
+    — each event contributes to w/s = 3 overlapping windows; the batch twin
+    of ``streaming/jobs.py::hopping_counts`` (availableNow equivalence in
+    ``tests/test_streaming.py``). The oracle spells out the window algebra
+    the built-in implements: window starts are the k = 0..2 preceding hour
+    boundaries of each event. One shuffle on (window, event_type); the 3x
+    row multiplier happens map-side inside the scan stage."""
+    (ev,) = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", f"{HOP_WINDOW_H} hours", f"{HOP_SLIDE_H} hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start_epoch", "event_type")
+    )

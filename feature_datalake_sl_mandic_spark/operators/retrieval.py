@@ -36,6 +36,7 @@ from feature_datalake_sl_mandic_spark.operators.relational import _t
 from feature_datalake_sl_mandic_spark.operators.similarity import (
     _DUCK_PAIR_COS,
     _dot,
+    N_QUERIES,
     TOP_K,
     ivf_topk,
     knn_cosine_topk,
@@ -213,3 +214,117 @@ def eval_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+MRL_DIMS = (8, 16, 32, 64)  # truncation budgets; 64 = full (sanity: recall 1)
+
+
+def _duck_sliced_knn(d: int) -> str:
+    cos = (
+        f"list_sum(list_transform(range(1, {d + 1}), i -> q.emb[i] * c.emb[i]))"
+        f" / (sqrt(list_sum(list_transform(range(1, {d + 1}), i -> q.emb[i] * q.emb[i])))"
+        f" * sqrt(list_sum(list_transform(range(1, {d + 1}), i -> c.emb[i] * c.emb[i]))))"
+    )
+    return f"""
+      SELECT {d} AS dim, query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY round({cos}, 6) DESC, c.vec_id)
+                 AS rank
+        FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+      ) WHERE rank <= {TOP_K}
+    """
+
+
+@register(
+    "eval_matryoshka_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+               FROM embeddings),
+    sys AS ({" UNION ALL ".join(_duck_sliced_knn(d) for d in MRL_DIMS)}),
+    gt AS (
+      SELECT query_id, neighbor_id FROM ({_KNN_ORACLE}) g
+    ),
+    hits AS (
+      SELECT s.dim, s.query_id, count(gt.neighbor_id) AS n_hits
+      FROM sys s LEFT JOIN gt
+        ON s.query_id = gt.query_id AND s.neighbor_id = gt.neighbor_id
+      GROUP BY s.dim, s.query_id
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, query_id, n_hits,
+           round(n_hits / {TOP_K}.0, 6) AS recall_at_k
+    FROM hits
+    ORDER BY dim, query_id
+    """,
+    tags=("retrieval", "evaluation", "matryoshka", "truncation", "recall"),
+)
+def eval_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation sweep (Kusupati et al. 2022): exact-kNN
+    recall@5 when the 64-dim embeddings are truncated to their first
+    8/16/32/64 dimensions, against full-dimension ground truth. This is the
+    dimension-budget dial: at 100 TB, halving stored dims halves the
+    scan/shuffle bytes of every similarity operator, and this scorecard says
+    what recall that buys. The d=64 rows must come back with recall 1.0 —
+    a built-in self-check that the sweep and the baseline agree.
+
+    Scale shape: one broadcast-query × corpus-scan pass per budget (the
+    slice pushes into the same scan projection), per-query top-k windows —
+    identical shape to ``knn_cosine_topk``, ×|MRL_DIMS| plans unioned."""
+    (em,) = _t(spark, sf_dir, "embeddings")
+    gt = knn_cosine_topk(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("gt_neighbor")
+    )
+    sys_parts = []
+    for d in MRL_DIMS:
+        e = em.select(
+            "vec_id",
+            F.slice(F.col("embedding").cast("array<double>"), 1, d).alias("emb"),
+        ).withColumn("norm", F.sqrt(_dot("emb", "emb")))
+        q = e.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qemb"),
+            F.col("norm").alias("qnorm"),
+        )
+        c = e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("emb").alias("cemb"),
+            F.col("norm").alias("cnorm"),
+        )
+        from pyspark.sql.window import Window
+
+        cos = _dot("qemb", "cemb") / (F.col("qnorm") * F.col("cnorm"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        sys_parts.append(
+            F.broadcast(q)
+            .join(c, F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                F.lit(d).cast("bigint").alias("dim"),
+                "query_id",
+                "neighbor_id",
+                F.round(cos, 6).alias("cosine"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOP_K)
+            .select("dim", "query_id", "neighbor_id")
+        )
+    sys_ = sys_parts[0]
+    for part in sys_parts[1:]:
+        sys_ = sys_.unionAll(part)
+    hits = (
+        sys_.join(
+            gt,
+            (sys_["query_id"] == gt["query_id"])
+            & (sys_["neighbor_id"] == gt["gt_neighbor"]),
+            "left",
+        )
+        .groupBy("dim", sys_["query_id"].alias("query_id"))
+        .agg(F.count("gt_neighbor").alias("n_hits"))
+    )
+    return hits.select(
+        "dim",
+        "query_id",
+        "n_hits",
+        F.round(F.col("n_hits") / float(TOP_K), 6).alias("recall_at_k"),
+    ).orderBy("dim", "query_id")

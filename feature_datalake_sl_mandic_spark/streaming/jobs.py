@@ -69,6 +69,34 @@ def windowed_counts(
     )
 
 
+def hopping_counts(
+    events: DataFrame,
+    window: str = "3 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Hopping (sliding) event-time windows: every event lands in
+    window/slide overlapping windows — the smoothing variant of
+    ``windowed_counts``; the streaming twin of the registered batch query
+    ``events_hopping_3h_1h``. State stays bounded by the watermark exactly
+    as with tumbling windows; the only cost of overlap is the window/slide
+    output multiplier, not extra shuffles."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup on event_id with watermark-bounded state —
     at-least-once sources become effectively-once within the lateness bound."""

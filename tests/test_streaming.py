@@ -134,3 +134,38 @@ def test_checkpoint_restart_is_idempotent(spark, events_dir, tmp_path):
     jobs.upsert_foreach_batch(stream2, target, ckpt)
     n2 = spark.read.parquet(target).count()
     assert n1 == n2 == spark.read.parquet(events_dir).count()
+
+
+def test_hopping_counts_matches_batch_operator(spark, events_dir, tmp_path):
+    """availableNow hopping-window stream == registered batch twin
+    (events_hopping_3h_1h), modulo the fixture path."""
+    from feature_datalake_sl_mandic_spark.operators.events import (
+        HOP_SLIDE_H,
+        HOP_WINDOW_H,
+    )
+
+    stream = jobs.read_events_stream(spark, events_dir)
+    rows = jobs.run_available_now(
+        jobs.hopping_counts(stream),
+        str(tmp_path / "ckpt_hop"),
+        output_mode="complete",
+    )
+    got = {
+        (r["window_start_epoch"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in rows
+    }
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(
+            F.window("ts", f"{HOP_WINDOW_H} hours", f"{HOP_SLIDE_H} hour").alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .select(F.unix_timestamp("w.start").alias("e"), "event_type", "n", "v")
+        .collect()
+    )
+    want = {(r["e"], r["event_type"]): (r["n"], r["v"]) for r in batch}
+    assert got == want
+    # every event lands in exactly window/slide windows
+    n_events = spark.read.parquet(events_dir).count()
+    assert sum(n for n, _ in got.values()) == n_events * (HOP_WINDOW_H // HOP_SLIDE_H)
