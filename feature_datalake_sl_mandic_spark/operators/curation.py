@@ -818,14 +818,21 @@ def corpus_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wsum = shares.agg(F.sum("w").alias("ws"))
     budget = F.col("n") * TEMP_BUDGET_PCT / 100
-    targets = shares.crossJoin(F.broadcast(wsum)).select(
-        "lang",
-        "n_docs",
-        "p_raw",
-        (F.col("w") / F.col("ws")).alias("p_temp"),
-        F.floor(F.col("w") / F.col("ws") * budget + 0.5)
-        .cast("bigint")
-        .alias("n_target"),
+    # |langs|-row statistics relation feeds the per-doc join below through
+    # several aggregate subtrees — truncate lineage so the documents scan
+    # behind counts/tot/wsum runs once, not per subtree.
+    targets = (
+        shares.crossJoin(F.broadcast(wsum))
+        .select(
+            "lang",
+            "n_docs",
+            "p_raw",
+            (F.col("w") / F.col("ws")).alias("p_temp"),
+            F.floor(F.col("w") / F.col("ws") * budget + 0.5)
+            .cast("bigint")
+            .alias("n_target"),
+        )
+        .localCheckpoint(eager=False)
     )
     w_lang = Window.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"

@@ -726,3 +726,133 @@ def dedup_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_inter,
+           round(n_inter * 1.0 / sa.n, 6) AS containment_a,
+           round(n_inter * 1.0 / sb.n, 6) AS containment_b
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE greatest(n_inter * 1.0 / sa.n, n_inter * 1.0 / sb.n)
+          >= {CONTAINMENT_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "near-dedup", "containment", "self-join"),
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: |A∩B| / |A| (Broder's containment
+    coefficient) instead of Jaccard — catches a short document EMBEDDED in a
+    longer one (quote farms, wrapper pages, chunk-level copies), which
+    Jaccard dilutes below threshold because the union is dominated by the
+    long side. Pairs where either direction's containment >= 0.8 are
+    flagged; both directions are emitted so the caller knows which doc is
+    the fragment. Same inverted-index candidate join as
+    ``dedup_ngram_jaccard`` — candidates only from shared shingles."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    dc.createOrReplaceTempView("documents")
+    sh = _spark_shingles(dc).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    ca = F.col("n_inter") / F.col("n_a")
+    cb = F.col("n_inter") / F.col("n_b")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(F.greatest(ca, cb) >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.round(ca, 6).alias("containment_a"),
+            F.round(cb, 6).alias("containment_b"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+INCR_BATCH_START = 400  # docs with doc_id >= this are the "newly arrived" batch
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH hist AS (
+      SELECT DISTINCT md5(text) AS h FROM documents
+      WHERE doc_id < {INCR_BATCH_START}
+    ),
+    batch AS (
+      SELECT doc_id, lang, source, md5(text) AS h FROM documents
+      WHERE doc_id >= {INCR_BATCH_START}
+    ),
+    flagged AS (
+      SELECT b.doc_id, b.lang, b.source,
+             (hist.h IS NOT NULL) AS dup_of_history
+      FROM batch b LEFT JOIN hist ON b.h = hist.h
+    )
+    SELECT lang, source,
+           count(*) AS n_batch,
+           sum(CASE WHEN dup_of_history THEN 1 ELSE 0 END)::BIGINT
+             AS n_dup_of_history,
+           sum(CASE WHEN dup_of_history THEN 0 ELSE 1 END)::BIGINT AS n_new
+    FROM flagged
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    tags=("dedup", "incremental", "exact-dedup", "ingest"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a newly-arrived batch against the historical
+    corpus: only the BATCH is hashed and joined against the history's
+    content-hash index (here: docs below/above a doc_id split stand in for
+    the stored corpus vs today's crawl). This is how dedup actually runs in
+    a daily pipeline — the full-corpus pass (``dedup_exact_documents``)
+    bootstraps the index once; every increment after that joins
+    |batch| << |corpus| rows against it.
+
+    Scale shape: the history side projects to its 16-byte hash only (at
+    100 TB that index is itself a table, maintained incrementally); the
+    left join keys on the hash, so the shuffle carries |batch| hashes and
+    the history index — never document bodies."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    hist = (
+        dc.where(F.col("doc_id") < INCR_BATCH_START)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .withColumn("in_hist", F.lit(True))
+    )
+    batch = dc.where(F.col("doc_id") >= INCR_BATCH_START).select(
+        "doc_id", "lang", "source", F.md5("text").alias("h")
+    )
+    flagged = batch.join(hist, "h", "left").select(
+        "lang", "source", F.coalesce("in_hist", F.lit(False)).alias("dup")
+    )
+    return (
+        flagged.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum(F.col("dup").cast("int")).alias("n_dup_of_history"),
+            F.sum((~F.col("dup")).cast("int")).alias("n_new"),
+        )
+        .orderBy("lang", "source")
+    )

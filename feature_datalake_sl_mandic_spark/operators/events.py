@@ -990,3 +990,82 @@ def events_hopping_3h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start_epoch", "event_type")
     )
+
+
+CONVERT_FROM = "signup"
+CONVERT_TO = "purchase"
+
+
+@register(
+    "events_time_to_convert",
+    oracle=f"""
+    WITH first_from AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t0
+      FROM events WHERE event_type = '{CONVERT_FROM}' GROUP BY user_id
+    ),
+    first_to AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t1
+      FROM events e JOIN first_from f
+        ON e.user_id = f.user_id
+       AND CAST(e.ts AS TIMESTAMP) >= f.t0
+      WHERE e.event_type = '{CONVERT_TO}'
+      GROUP BY e.user_id
+    ),
+    delays AS (
+      SELECT f.user_id,
+             (epoch_us(t.t1) - epoch_us(f.t0)) / 60000000.0 AS delay_min
+      FROM first_from f LEFT JOIN first_to t USING (user_id)
+    )
+    SELECT count(*) AS n_cohort,
+           count(delay_min) AS n_converted,
+           round(count(delay_min) * 1.0 / count(*), 6) AS conversion_rate,
+           round(min(delay_min), 4) AS min_delay_min,
+           round(quantile_cont(delay_min, 0.5), 4) AS p50_delay_min,
+           round(quantile_cont(delay_min, 0.9), 4) AS p90_delay_min,
+           round(max(delay_min), 4) AS max_delay_min
+    FROM delays
+    """,
+    tags=("events", "funnel", "conversion-delay", "percentiles"),
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-delay distribution: for every user's FIRST signup, the
+    delay to their first purchase at-or-after it — cohort size, conversion
+    rate, and min/p50/p90/max delay minutes. The percentile tail (p90) is
+    what funnel dashboards page on; exact interpolated percentiles
+    (``percentile``/``quantile_cont``) agree across engines.
+
+    Scale shape: two per-user min-aggregations (map-side combined) and a
+    user-keyed join — never an event-by-event pairing; the final percentile
+    aggregate sees one row per user. At much larger cohorts swap the exact
+    percentile for ``approx_percentile`` with a pinned error budget (the
+    ``agg_approx_sketches`` contract shows how to oracle that)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    first_from = (
+        ev.where(F.col("event_type") == CONVERT_FROM)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    first_to = (
+        ev.where(F.col("event_type") == CONVERT_TO)
+        .join(first_from, "user_id")
+        .where(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    delays = first_from.join(first_to, "user_id", "left").select(
+        "user_id",
+        (
+            (F.unix_micros("t1") - F.unix_micros("t0")) / 60000000.0
+        ).alias("delay_min"),
+    )
+    return delays.agg(
+        F.count(F.lit(1)).alias("n_cohort"),
+        F.count("delay_min").alias("n_converted"),
+        F.round(F.count("delay_min") / F.count(F.lit(1)), 6).alias(
+            "conversion_rate"
+        ),
+        F.round(F.min("delay_min"), 4).alias("min_delay_min"),
+        F.round(F.expr("percentile(delay_min, 0.5)"), 4).alias("p50_delay_min"),
+        F.round(F.expr("percentile(delay_min, 0.9)"), 4).alias("p90_delay_min"),
+        F.round(F.max("delay_min"), 4).alias("max_delay_min"),
+    )

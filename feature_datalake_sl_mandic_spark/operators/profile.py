@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from feature_datalake_sl_mandic_spark.functions.hashing import (
+    md5_bucket_col,
+    md5_bucket_sql,
     md5_int60_col,
     md5_int60_sql,
 )
@@ -368,3 +370,66 @@ def stats_gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("total") / 100.0, 2).alias("total_value"),
         F.round(gini, 6).alias("gini"),
     ).orderBy("seg")
+
+
+SKEW_N_BUCKETS = 32  # model partition count for the skew pre-flight
+
+
+@register(
+    "profile_partition_skew",
+    oracle=f"""
+    WITH buckets AS (
+      SELECT {md5_bucket_sql("user_id::VARCHAR", SKEW_N_BUCKETS)} AS bucket,
+             count(*) AS n_rows
+      FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT sum(n_rows) AS total, max(n_rows) AS mx,
+             sum(n_rows) * 1.0 / {SKEW_N_BUCKETS} AS avg_rows
+      FROM buckets
+    )
+    SELECT b.bucket, b.n_rows,
+           round(b.n_rows * 1.0 / s.total, 6) AS share,
+           round(s.mx / s.avg_rows, 4) AS skew_ratio
+    FROM buckets b CROSS JOIN stats s
+    ORDER BY b.bucket
+    """,
+    tags=("profile", "skew", "partitioning", "pre-flight"),
+)
+def profile_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew pre-flight: model how ``events`` would distribute over
+    {SKEW_N_BUCKETS} hash partitions of ``user_id`` — per-bucket row counts,
+    shares, and the max/avg skew ratio (the straggler multiplier a shuffle
+    on this key would pay). This is the diagnostic that decides between a
+    plain ``groupBy(user_id)`` and the salted variant
+    (``events_salted_user_totals``/``functions/skew.py``): ratio ~1 means
+    hash-partitioning balances, >>1 means a hot key owns a partition.
+
+    Scale shape: one map-side-combined aggregation to {SKEW_N_BUCKETS}
+    cells; the stats row broadcasts back. The md5 bucket stands in for
+    Spark's internal hash so the oracle computes the identical assignment."""
+    (ev,) = _t(spark, sf_dir, "events")
+    buckets = (
+        ev.select(
+            md5_bucket_col(F.col("user_id").cast("string"), SKEW_N_BUCKETS).alias(
+                "bucket"
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    stats = buckets.agg(
+        F.sum("n_rows").alias("total"),
+        F.max("n_rows").alias("mx"),
+        (F.sum("n_rows") / SKEW_N_BUCKETS).alias("avg_rows"),
+    )
+    return (
+        buckets.crossJoin(F.broadcast(stats))
+        .select(
+            "bucket",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("total"), 6).alias("share"),
+            F.round(F.col("mx") / F.col("avg_rows"), 4).alias("skew_ratio"),
+        )
+        .orderBy("bucket")
+    )

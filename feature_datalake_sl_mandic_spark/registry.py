@@ -160,7 +160,9 @@ _PRIORITY: list[str] = [
 # kanon_release_customers, plus new-in-round-3: ann_ivf_cells_nprobe2,
 # text_hybrid_rrf_search, eval_retrieval_metrics, corpus_dsir_importance,
 # dedup_duplicate_ngram_spans, ts_autocorrelation, layout_zorder_files,
-# layout_skipping_scorecard.
+# layout_skipping_scorecard, corpus_temperature_resample,
+# eval_matryoshka_recall, events_hopping_3h_1h, dedup_ngram_containment,
+# dedup_incremental_batch, events_time_to_convert, profile_partition_skew.
 # (multimodal_feature_extract stays out of every window by design: its codec
 # stubs make it permanently rows-only; multimodal_ppm_decode is the family's
 # hash-green representative.)
