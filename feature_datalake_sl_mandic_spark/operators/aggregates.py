@@ -436,3 +436,54 @@ def agg_winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_exact_mode_priority",
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                                   ORDER BY n DESC, o_orderpriority) AS rn
+      FROM counts
+    )
+    SELECT o_orderstatus,
+           o_orderpriority AS mode_priority,
+           n AS mode_count,
+           (SELECT sum(n) FROM counts c WHERE c.o_orderstatus = r.o_orderstatus)
+             AS group_total
+    FROM ranked r WHERE rn = 1
+    ORDER BY o_orderstatus
+    """,
+    tags=("aggregation", "mode", "argmax", "deterministic-ties"),
+)
+def agg_exact_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode with a DETERMINISTIC tie-break (highest count,
+    then lexicographically-first value) — the reproducibility contract
+    Spark's built-in ``mode()`` explicitly does not make for ties, which is
+    why pipelines that feed downstream joins re-derive it this way. Two
+    map-side-combined aggregations: value counts, then argmax-by-struct per
+    group (count descending encoded by negation, value ascending) — no
+    per-group window over raw rows.
+
+    Scale shape: first groupBy collapses to |status x priority| cells before
+    any shuffle; the argmax is ``min(struct(-n, value))`` over those cells."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    best = F.min(
+        F.struct((-F.col("n")).alias("neg_n"), F.col("o_orderpriority").alias("v"))
+    )
+    return (
+        counts.groupBy("o_orderstatus")
+        .agg(
+            best.getField("v").alias("mode_priority"),
+            (-best.getField("neg_n")).alias("mode_count"),
+            F.sum("n").alias("group_total"),
+        )
+        .orderBy("o_orderstatus")
+    )

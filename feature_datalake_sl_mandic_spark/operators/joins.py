@@ -354,3 +354,108 @@ def join_null_safe_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_a", "user_b", "attr")
         .orderBy("user_a", "user_b")
     )
+
+
+@register(
+    "join_asof_nearest_view",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+             last_value(CASE WHEN event_type = 'view'
+                             THEN epoch_us(CAST(ts AS TIMESTAMP)) END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_view_us,
+             first_value(CASE WHEN event_type = 'view'
+                              THEN epoch_us(CAST(ts AS TIMESTAMP)) END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_view_us
+      FROM events
+    )
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           CASE
+             WHEN prev_view_us IS NULL THEN next_view_us
+             WHEN next_view_us IS NULL THEN prev_view_us
+             WHEN epoch_us(ts) - prev_view_us <= next_view_us - epoch_us(ts)
+               THEN prev_view_us
+             ELSE next_view_us
+           END AS nearest_view_us,
+           CASE
+             WHEN prev_view_us IS NULL AND next_view_us IS NULL THEN NULL
+             WHEN prev_view_us IS NULL
+               OR (next_view_us IS NOT NULL
+                   AND next_view_us - epoch_us(ts) < epoch_us(ts) - prev_view_us)
+               THEN 'forward'
+             ELSE 'backward'
+           END AS direction
+    FROM tagged
+    WHERE event_type = 'purchase'
+    ORDER BY user_id, event_id
+    """,
+    tags=("join", "asof-join", "nearest", "window"),
+)
+def join_asof_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join (each purchase ↔ the closest view in
+    EITHER time direction, ties to backward) — the bidirectional variant of
+    ``join_asof_purchase_after_click`` that pandas calls
+    ``merge_asof(direction='nearest')``. One forward-looking and one
+    backward-looking IGNORE-NULLS window over the same unioned stream, then
+    a pure-projection argmin of the two candidate gaps — still ONE shuffle
+    on user_id, linear per partition; no per-user self-join ever forms."""
+    (ev,) = _t(spark, sf_dir, "events")
+    view_us = F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    ts_us = F.unix_micros("ts")
+    prev_v = F.last(view_us, ignorenulls=True).over(wb)
+    next_v = F.first(view_us, ignorenulls=True).over(wf)
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        prev_v.alias("prev_view_us"),
+        next_v.alias("next_view_us"),
+    )
+    back_gap = ts_us - F.col("prev_view_us")
+    fwd_gap = F.col("next_view_us") - ts_us
+    nearest = (
+        F.when(F.col("prev_view_us").isNull(), F.col("next_view_us"))
+        .when(F.col("next_view_us").isNull(), F.col("prev_view_us"))
+        .when(back_gap <= fwd_gap, F.col("prev_view_us"))
+        .otherwise(F.col("next_view_us"))
+    )
+    direction = (
+        F.when(
+            F.col("prev_view_us").isNull() & F.col("next_view_us").isNull(),
+            F.lit(None).cast("string"),
+        )
+        .when(
+            F.col("prev_view_us").isNull()
+            | (F.col("next_view_us").isNotNull() & (fwd_gap < back_gap)),
+            F.lit("forward"),
+        )
+        .otherwise(F.lit("backward"))
+    )
+    return (
+        tagged.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            ts_us.alias("ts_us"),
+            nearest.alias("nearest_view_us"),
+            direction.alias("direction"),
+        )
+        .orderBy("user_id", "event_id")
+    )

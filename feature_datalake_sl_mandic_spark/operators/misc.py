@@ -877,3 +877,103 @@ def maps_zipwith_type_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         rates.select("user_id", F.explode("mrate").alias("event_type", "avg_value"))
         .orderBy("user_id", "event_type")
     )
+
+
+# ------------------------------------------------------ RFM segmentation
+
+RFM_REF_DATE = "1998-12-31"  # recency anchor (end of the order calendar)
+RFM_Q = [0.2, 0.4, 0.6, 0.8]  # quintile cutoffs
+
+
+@register(
+    "customers_rfm_segments",
+    oracle=f"""
+    WITH rfm AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(max(o_orderdate) AS DATE),
+                       DATE '{RFM_REF_DATE}') AS recency_days,
+             count(*) AS frequency,
+             CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS monetary_c
+      FROM orders GROUP BY o_custkey
+    ),
+    cuts AS (
+      SELECT
+        {", ".join(f"quantile_cont(recency_days, {q}) AS r{i}" for i, q in enumerate(RFM_Q))},
+        {", ".join(f"quantile_cont(frequency, {q}) AS f{i}" for i, q in enumerate(RFM_Q))},
+        {", ".join(f"quantile_cont(monetary_c, {q}) AS m{i}" for i, q in enumerate(RFM_Q))}
+      FROM rfm
+    ),
+    scored AS (
+      SELECT o_custkey,
+             -- recency: LOWER days = better = higher score
+             5 - ((recency_days > r0)::INT + (recency_days > r1)::INT
+                  + (recency_days > r2)::INT + (recency_days > r3)::INT)
+               AS r_score,
+             1 + (frequency > f0)::INT + (frequency > f1)::INT
+               + (frequency > f2)::INT + (frequency > f3)::INT AS f_score,
+             1 + (monetary_c > m0)::INT + (monetary_c > m1)::INT
+               + (monetary_c > m2)::INT + (monetary_c > m3)::INT AS m_score,
+             monetary_c
+      FROM rfm CROSS JOIN cuts
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           count(*) AS n_customers,
+           sum(monetary_c)::BIGINT AS total_monetary_c
+    FROM scored
+    GROUP BY 1, 2, 3
+    ORDER BY r_score, f_score, m_score
+    """,
+    tags=("events", "rfm", "segmentation", "quantiles", "customer-analytics"),
+)
+def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation, the
+    classic CRM scoring: per customer, days since last order, order count
+    and lifetime cents; each metric scored 1–5 against exact interpolated
+    quintile cutoffs; emitted as the segment-level rollup (125 possible
+    cells). Monetary is kept in integer cents so segment totals are exact.
+
+    Scale shape: the per-customer rollup is one map-side-combined shuffle;
+    the quintile cutoffs are a SINGLE broadcast row (same
+    broadcast-the-cutoffs device as ``quality_decile_stats`` — customers
+    are never range-partitioned by score), and the final rollup is bounded
+    by the 125 segment cells."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(RFM_REF_DATE).cast("date"), F.max(F.to_date("o_orderdate"))
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice") * 100, 0).cast("bigint").alias("monetary_c"),
+    )
+    cuts = rfm.agg(
+        *[
+            F.expr(f"percentile({m}, {q})").alias(f"{m[0]}{i}")
+            for m in ("recency_days", "frequency", "monetary_c")
+            for i, q in enumerate(RFM_Q)
+        ]
+    )
+
+    def band(col: str, prefix: str) -> F.Column:
+        hits = sum(
+            (F.col(col) > F.col(f"{prefix}{i}")).cast("int")
+            for i in range(len(RFM_Q))
+        )
+        return hits
+
+    scored = rfm.crossJoin(F.broadcast(cuts)).select(
+        "o_custkey",
+        (5 - band("recency_days", "r")).cast("bigint").alias("r_score"),
+        (1 + band("frequency", "f")).cast("bigint").alias("f_score"),
+        (1 + band("monetary_c", "m")).cast("bigint").alias("m_score"),
+        "monetary_c",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary_c").alias("total_monetary_c"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -168,3 +168,83 @@ def kanon_release_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "nation")
     )
+
+
+# Benford first-digit expectation log10(1 + 1/d), d = 1..9, inlined as
+# literals so both engines compare against the identical constants.
+import math as _math
+
+_BENFORD = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+@register(
+    "validate_benford_order_values",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+      SELECT digit, count(*) AS n FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT sum(n) AS total FROM obs),
+    expected AS (
+      {" UNION ALL ".join(f"SELECT {d} AS digit, {_BENFORD[d]!r} AS p_benford" for d in range(1, 10))}
+    )
+    SELECT CAST(e.digit AS BIGINT) AS digit,
+           coalesce(o.n, 0) AS n_observed,
+           round(coalesce(o.n, 0) * 1.0 / t.total, 6) AS p_observed,
+           round(e.p_benford, 6) AS p_benford,
+           round(pow(coalesce(o.n, 0) - t.total * e.p_benford, 2)
+                 / (t.total * e.p_benford), 4) AS chi2_term
+    FROM expected e
+    LEFT JOIN obs o ON e.digit = o.digit
+    CROSS JOIN tot t
+    ORDER BY e.digit
+    """,
+    tags=("validation", "benford", "fraud-detection", "distribution"),
+)
+def validate_benford_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance audit of order values: observed
+    first-significant-digit shares vs log10(1+1/d), with per-digit chi-square
+    contributions — the classic anomaly/fraud screen for financial columns
+    (fabricated or systematically-generated amounts flunk it; the synthetic
+    fixture's uniform-ish prices visibly do, which is the point of emitting
+    per-digit terms instead of one p-value). All 9 digits are emitted even
+    at zero count so the audit provably covered the full support.
+
+    Scale shape: one map-side-combined aggregation to <= 9 cells; totals and
+    expectations broadcast. The digit extraction is string head of the
+    integer part — identical arithmetic both engines."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    obs = (
+        orders.where(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = obs.agg(F.sum("n").alias("total"))
+    expected = spark.createDataFrame(
+        [(d, _BENFORD[d]) for d in range(1, 10)], "digit bigint, p_benford double"
+    )
+    n_obs = F.coalesce(F.col("n"), F.lit(0))
+    return (
+        expected.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            n_obs.alias("n_observed"),
+            F.round(n_obs / F.col("total"), 6).alias("p_observed"),
+            F.round("p_benford", 6).alias("p_benford"),
+            F.round(
+                F.pow(n_obs - F.col("total") * F.col("p_benford"), 2)
+                / (F.col("total") * F.col("p_benford")),
+                4,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

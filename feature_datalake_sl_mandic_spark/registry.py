@@ -162,7 +162,10 @@ _PRIORITY: list[str] = [
 # dedup_duplicate_ngram_spans, ts_autocorrelation, layout_zorder_files,
 # layout_skipping_scorecard, corpus_temperature_resample,
 # eval_matryoshka_recall, events_hopping_3h_1h, dedup_ngram_containment,
-# dedup_incremental_batch, events_time_to_convert, profile_partition_skew.
+# dedup_incremental_batch, events_time_to_convert, profile_partition_skew,
+# graph_link_prediction_jaccard, customers_rfm_segments,
+# validate_benford_order_values, agg_exact_mode_priority,
+# join_asof_nearest_view.
 # (multimodal_feature_extract stays out of every window by design: its codec
 # stubs make it permanently rows-only; multimodal_ppm_decode is the family's
 # hash-green representative.)
