@@ -453,7 +453,8 @@ def agg_winsorized_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus,
            o_orderpriority AS mode_priority,
            n AS mode_count,
-           (SELECT sum(n) FROM counts c WHERE c.o_orderstatus = r.o_orderstatus)
+           CAST((SELECT sum(n) FROM counts c
+                 WHERE c.o_orderstatus = r.o_orderstatus) AS BIGINT)
              AS group_total
     FROM ranked r WHERE rn = 1
     ORDER BY o_orderstatus

@@ -1461,3 +1461,160 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("bm25", "desc"), ("doc_id", "asc")],
         BM25_TOP,
     )
+
+
+# ------------------------------------------- exact-k weighted reservoir sample
+
+RESERVOIR_K = 10  # docs kept per language stratum
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, lang, n_tokens,
+             round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                        % 1000000 + 0.5) / 1000000.0) / n_tokens, 12) AS es_key
+      FROM feats
+    ), ranked AS (
+      SELECT doc_id, lang, n_tokens,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY es_key DESC, doc_id) AS rank
+      FROM keyed
+    )
+    SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, n_tokens
+    FROM ranked WHERE rank <= {RESERVOIR_K}
+    ORDER BY lang, rank
+    """,
+    tags=("text", "curation", "weighted-sampling", "reservoir"),
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k weighted sampling per language stratum (Efraimidis–Spirakis):
+    each doc draws key = ln(u) / w with w = token count and a deterministic
+    md5 uniform u; the k largest keys per stratum are EXACTLY a weighted
+    sample without replacement. The exact-size companion to the Bernoulli
+    ``corpus_quality_weighted_sample`` — that one's output size is random,
+    this one's is k per stratum, which is what shard-balanced training-data
+    draws need. Keys are rounded to 12 decimals before ranking so the
+    ordering never hinges on a last-ulp ln() difference between engines.
+
+    Scale: one narrow projection computes the key inside the scan, then a
+    single per-stratum top-k — row_number over a window PARTITIONED BY lang
+    (each language ranks in parallel; k rows per stratum survive). At 100 TB
+    this is the map-side-heavy shape you want: the shuffle carries only
+    (lang, key, doc_id, w), not the text."""
+    from feature_datalake_sl_mandic_spark.functions.hashing import md5_int60_col
+    from pyspark.sql.window import Window as _W
+
+    (dc,) = _t(spark, sf_dir, "documents")
+    u = (
+        (md5_int60_col(F.col("doc_id").cast("string")) % 1_000_000) + F.lit(0.5)
+    ) / 1_000_000.0
+    keyed = dc.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    ).withColumn("es_key", F.round(F.log(u) / F.col("n_tokens"), 12))
+    w = _W.partitionBy("lang").orderBy(F.col("es_key").desc(), "doc_id")
+    return (
+        keyed.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= RESERVOIR_K)
+        .select("lang", "rank", "doc_id", "n_tokens")
+        .orderBy("lang", "rank")
+    )
+
+
+# ------------------------------------- source-pair Jensen-Shannon divergence
+
+
+@register(
+    "corpus_js_divergence_sources",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    tc AS (SELECT source, tok, count(*) AS k FROM toks GROUP BY 1, 2),
+    tot AS (SELECT source, sum(k) AS n FROM tc GROUP BY 1),
+    p AS (
+      SELECT tc.source, tc.tok, tc.k * 1.0 / tot.n AS p
+      FROM tc JOIN tot USING (source)
+    ),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_shared_tokens,
+             sum(a.p * ln(2 * a.p / (a.p + b.p))
+                 + b.p * ln(2 * b.p / (a.p + b.p))) AS core,
+             sum(a.p) AS pa_shared, sum(b.p) AS pb_shared
+      FROM p a JOIN p b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared_tokens,
+           round(0.5 * core
+                 + 0.5 * ln(2) * ((1 - pa_shared) + (1 - pb_shared)), 4) AS jsd
+    FROM shared
+    ORDER BY source_a, source_b
+    """,
+    tags=("text", "curation", "divergence", "mixture"),
+)
+def corpus_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the unigram token distributions of
+    every source pair — the distributional-shift companion to
+    ``source_overlap_jaccard`` (that one counts shared vocabulary, this one
+    weighs it): JSD near 0 means two crawls are near-duplicates of each
+    other at the corpus level; near ln(2) means disjoint. Used to pick
+    mixture weights and to detect a provider silently re-sending another
+    provider's crawl.
+
+    The pair sum only needs the INNER token join: tokens present in one
+    source only contribute p*ln(2) in closed form, folded in via
+    (1 - sum_shared p). So the plan is: per-source token counts (map-side
+    combined), per-source totals broadcast back, one equi-join on token
+    (fanout per token bounded by |sources|), one pair-keyed aggregation.
+    No full-outer join, no |vocab| x |pairs| blowup, no UDF."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    tc = (
+        dc.select("source", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    tot = tc.groupBy("source").agg(F.sum("k").alias("n"))
+    p = tc.join(F.broadcast(tot), "source").select(
+        "source", "tok", (F.col("k") / F.col("n")).alias("p")
+    )
+    a = p.select(
+        F.col("source").alias("source_a"), "tok", F.col("p").alias("pa")
+    )
+    b = p.select(
+        F.col("source").alias("source_b"), "tok", F.col("p").alias("pb")
+    )
+    shared = (
+        a.join(b, "tok")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_tokens"),
+            F.sum(
+                F.col("pa") * F.log(F.lit(2) * F.col("pa") / (F.col("pa") + F.col("pb")))
+                + F.col("pb") * F.log(F.lit(2) * F.col("pb") / (F.col("pa") + F.col("pb")))
+            ).alias("core"),
+            F.sum("pa").alias("pa_shared"),
+            F.sum("pb").alias("pb_shared"),
+        )
+    )
+    ln2 = float(__import__("math").log(2.0))
+    return shared.select(
+        "source_a",
+        "source_b",
+        "n_shared_tokens",
+        F.round(
+            F.lit(0.5) * F.col("core")
+            + F.lit(0.5)
+            * F.lit(ln2)
+            * ((F.lit(1) - F.col("pa_shared")) + (F.lit(1) - F.col("pb_shared"))),
+            4,
+        ).alias("jsd"),
+    ).orderBy("source_a", "source_b")

@@ -626,3 +626,129 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "lag")
     )
+
+
+XCORR_MAX_LAG = 3
+XCORR_MIN_PAIRS = 10
+
+
+@register(
+    "ts_cross_correlation_lags",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CTE}),
+    lags AS (SELECT unnest(range(0, {XCORR_MAX_LAG} + 1)) AS lag),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+             corr(a.daily_value, b.daily_value) AS r,
+             count(*) AS n_pairs,
+             stddev_samp(a.daily_value) AS sa,
+             stddev_samp(b.daily_value) AS sb
+      FROM daily a
+      CROSS JOIN lags l
+      JOIN daily b
+        ON b.day = a.day + CAST(l.lag AS INTEGER)
+       AND b.event_type <> a.event_type
+      GROUP BY 1, 2, 3
+    )
+    SELECT type_a, type_b, CAST(lag AS BIGINT) AS lag, n_pairs,
+           round(r, 4) AS xcorr
+    FROM pairs
+    WHERE n_pairs >= {XCORR_MIN_PAIRS} AND sa > 0 AND sb > 0
+    ORDER BY type_a, type_b, lag
+    """,
+    tags=("timeseries", "cross-correlation", "leading-indicator", "events"),
+)
+def ts_cross_correlation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the daily value series of every
+    ordered pair of event types: xcorr(a, b, k) = Pearson corr of a_t with
+    b_{t+k} over calendar-matched days, k = 0..XCORR_MAX_LAG. The
+    leading-indicator companion to ``ts_autocorrelation`` — a peak at k>0
+    for (view, purchase) means views lead purchases by k days. Ordered pairs
+    (a != b) cover both lead directions without negative lags.
+
+    Scale shape: identical to the ACF plan — everything runs on the daily
+    pre-aggregate (bounded by |event_type| x calendar), the lag table is a
+    broadcast literal, and pairing is an equi-join on the shifted day. The
+    per-day fanout is |event_type|^2 x lags, a constant; no window over the
+    raw series, no UDF. Zero-variance series are dropped on both sides
+    rather than risking engine-specific NaN-vs-NULL corr semantics."""
+    daily = _daily_series(spark, sf_dir)
+    lags = spark.range(0, XCORR_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = daily.crossJoin(F.broadcast(lags)).select(
+        F.col("event_type").alias("type_a"),
+        "lag",
+        F.col("daily_value").alias("va"),
+        F.date_add(F.col("day"), F.col("lag").cast("int")).alias("day_b"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"),
+        F.col("day").alias("day_b"),
+        F.col("daily_value").alias("vb"),
+    )
+    pairs = (
+        a.join(b, "day_b")
+        .where(F.col("type_a") != F.col("type_b"))
+        .groupBy("type_a", "type_b", "lag")
+        .agg(
+            F.corr("va", "vb").alias("r"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.stddev_samp("va").alias("sa"),
+            F.stddev_samp("vb").alias("sb"),
+        )
+    )
+    return (
+        pairs.where(
+            (F.col("n_pairs") >= XCORR_MIN_PAIRS) & (F.col("sa") > 0) & (F.col("sb") > 0)
+        )
+        .select(
+            "type_a", "type_b", "lag", "n_pairs", F.round("r", 4).alias("xcorr")
+        )
+        .orderBy("type_a", "type_b", "lag")
+    )
+
+
+@register(
+    "ts_seasonal_dow_index",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CTE}),
+    per_dow AS (
+      SELECT event_type, isodow(day) AS dow,
+             count(*) AS n_days, avg(daily_value) AS dow_mean
+      FROM daily GROUP BY 1, 2
+    ), per_type AS (
+      SELECT event_type, avg(daily_value) AS type_mean FROM daily GROUP BY 1
+    )
+    SELECT d.event_type, CAST(d.dow AS BIGINT) AS dow, d.n_days,
+           round(d.dow_mean, 4) AS dow_mean,
+           round(d.dow_mean / t.type_mean, 4) AS seasonal_index
+    FROM per_dow d JOIN per_type t USING (event_type)
+    ORDER BY event_type, dow
+    """,
+    tags=("timeseries", "seasonality", "decomposition", "events"),
+)
+def ts_seasonal_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal decomposition of the per-type daily value series:
+    seasonal_index(type, dow) = mean(daily_value | dow) / mean(daily_value).
+    ISO day numbering (1=Monday..7=Sunday) on both engines (Spark
+    ``weekday()+1`` == DuckDB ``isodow``). Deseasonalizing a series is then
+    a broadcast join on (event_type, dow) and one division — the index table
+    is |event_type| x 7 rows no matter the input size.
+
+    Scale shape: two partial-aggregating groupBys over the bounded daily
+    relation; the per-type mean broadcasts back. No window, no UDF."""
+    daily = _daily_series(spark, sf_dir)
+    per_dow = daily.groupBy(
+        "event_type", (F.weekday("day") + F.lit(1)).cast("bigint").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("n_days"), F.avg("daily_value").alias("dow_mean"))
+    per_type = daily.groupBy("event_type").agg(F.avg("daily_value").alias("type_mean"))
+    return (
+        per_dow.join(F.broadcast(per_type), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n_days",
+            F.round("dow_mean", 4).alias("dow_mean"),
+            F.round(F.col("dow_mean") / F.col("type_mean"), 4).alias("seasonal_index"),
+        )
+        .orderBy("event_type", "dow")
+    )

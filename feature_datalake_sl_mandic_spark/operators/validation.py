@@ -248,3 +248,59 @@ def validate_benford_order_values(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("digit")
     )
+
+
+DP_EPSILON = 1.0  # Laplace scale b = sensitivity / epsilon = 1.0 for counts
+_DP_U_RES = 1_000_000  # resolution of the deterministic uniform draw
+
+
+@register(
+    "privacy_dp_noisy_counts",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             count(*) AS true_n
+      FROM events GROUP BY 1, 2
+    ), drawn AS (
+      SELECT event_type, day, true_n,
+             ((('0x' || substr(md5(event_type || '|' || CAST(day AS VARCHAR)), 1, 15))::BIGINT
+               % {_DP_U_RES}) + 0.5) / {_DP_U_RES} AS u
+      FROM cells
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           round(true_n + (-1.0 / {DP_EPSILON}) * sign(u - 0.5)
+                 * ln(1 - 2 * abs(u - 0.5)), 4) AS noisy_count
+    FROM drawn
+    ORDER BY event_type, day
+    """,
+    tags=("validation", "privacy", "differential-privacy", "laplace"),
+)
+def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release: per-(event_type, day) event
+    counts with Laplace(b = 1/epsilon) noise, the standard mechanism for
+    count queries (sensitivity 1). The noise draw inverts the Laplace CDF at
+    a DETERMINISTIC uniform derived from md5 of the cell key — reproducible
+    across engines, so the release is hash-checkable while exercising the
+    exact production formula (swap the md5 uniform for a real RNG to deploy).
+    Complements ``kanon_release_customers``: suppression vs perturbation.
+
+    Scale: one partial-aggregating groupBy on a bounded key grid; the noise
+    is a pure projection over the aggregate — no second pass, no UDF."""
+    from feature_datalake_sl_mandic_spark.functions.hashing import md5_int60_col
+
+    (ev,) = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("true_n"))
+    key = F.concat_ws("|", F.col("event_type"), F.col("day").cast("string"))
+    u = ((md5_int60_col(key) % _DP_U_RES) + F.lit(0.5)) / F.lit(_DP_U_RES)
+    noise = (
+        F.lit(-1.0 / DP_EPSILON)
+        * F.signum(u - F.lit(0.5))
+        * F.log(F.lit(1) - F.lit(2) * F.abs(u - F.lit(0.5)))
+    )
+    return cells.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.round(F.col("true_n") + noise, 4).alias("noisy_count"),
+    ).orderBy("event_type", "day")

@@ -59,6 +59,7 @@ _QUERY_MODULES = [
     "feature_datalake_sl_mandic_spark.operators.validation",
     "feature_datalake_sl_mandic_spark.operators.curation",
     "feature_datalake_sl_mandic_spark.operators.layout",
+    "feature_datalake_sl_mandic_spark.operators.linkage",
     "feature_datalake_sl_mandic_spark.ingest.change_detection",
     "feature_datalake_sl_mandic_spark.ingest.scd",
     "feature_datalake_sl_mandic_spark.ingest.incremental",
@@ -165,7 +166,9 @@ _PRIORITY: list[str] = [
 # dedup_incremental_batch, events_time_to_convert, profile_partition_skew,
 # graph_link_prediction_jaccard, customers_rfm_segments,
 # validate_benford_order_values, agg_exact_mode_priority,
-# join_asof_nearest_view.
+# join_asof_nearest_view, ts_cross_correlation_lags, ts_seasonal_dow_index,
+# privacy_dp_noisy_counts, sample_weighted_reservoir,
+# corpus_js_divergence_sources, ann_two_stage_rerank, er_parts_scored_matches.
 # (multimodal_feature_extract stays out of every window by design: its codec
 # stubs make it permanently rows-only; multimodal_ppm_decode is the family's
 # hash-green representative.)
