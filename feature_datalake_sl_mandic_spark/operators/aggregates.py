@@ -356,15 +356,23 @@ def agg_histogram_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.col("o_totalprice") - HIST_LO) / step),
         F.lit(HIST_BUCKETS - 1),
     ).cast("bigint")
-    return (
+    counts = (
         od.select(bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # Share-of-total via a broadcast 1-row total instead of an unpartitioned
+    # window: the window form funnels the (already tiny) aggregate through a
+    # single-partition WindowExec; the broadcast form keeps every stage
+    # partition-parallel and AQE reuses the counts exchange for the total.
+    total = counts.agg(F.sum("n").alias("tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
         .select(
             "bucket",
             F.round(F.col("bucket") * step, 2).alias("lo_edge"),
             "n",
-            F.round(F.col("n") * 100.0 / F.sum("n").over(Window.partitionBy()), 4).alias("pct"),
+            F.round(F.col("n") * 100.0 / F.col("tot"), 4).alias("pct"),
         )
         .orderBy("bucket")
     )

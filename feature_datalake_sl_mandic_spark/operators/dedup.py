@@ -856,3 +856,67 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# ----------------------------------------- LSH candidate-generation scorecard
+
+from feature_datalake_sl_mandic_spark.registry import _REGISTRY as _REG
+
+
+@register(
+    "eval_dedup_lsh_recall",
+    oracle=f"""
+    WITH truth AS ({_REG["dedup_ngram_jaccard"].oracle}),
+    lsh AS ({_REG["dedup_minhash_lsh"].oracle}),
+    j AS (
+      SELECT coalesce(t.doc_a, l.doc_a) AS doc_a,
+             (t.doc_a IS NOT NULL)::INT AS in_truth,
+             (l.doc_a IS NOT NULL)::INT AS in_lsh
+      FROM truth t
+      FULL OUTER JOIN lsh l ON t.doc_a = l.doc_a AND t.doc_b = l.doc_b
+    )
+    SELECT CAST(sum(in_truth) AS BIGINT) AS n_truth,
+           CAST(sum(in_lsh) AS BIGINT) AS n_lsh,
+           CAST(sum(in_truth * in_lsh) AS BIGINT) AS n_common,
+           round(sum(in_truth * in_lsh) * 1.0 / sum(in_lsh), 4) AS precision_,
+           round(sum(in_truth * in_lsh) * 1.0 / sum(in_truth), 4) AS recall_,
+           round(2.0 * sum(in_truth * in_lsh)
+                 / (sum(in_truth) + sum(in_lsh)), 4) AS f1
+    FROM j
+    """,
+    tags=("dedup", "evaluation", "minhash", "lsh", "recall"),
+)
+def eval_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation scorecard for the MinHash+LSH pipeline: compares
+    ``dedup_minhash_lsh``'s verified pairs against the exhaustive
+    inverted-index ground truth (``dedup_ngram_jaccard``, uncapped shingles)
+    and emits precision / recall / F1 as ONE checked row. LSH's only
+    approximation is a true near-dup pair never colliding in any band (and,
+    rarely, a DF-capped shingle changing a borderline Jaccard) — this query
+    measures exactly that, the dedup analog of ``eval_retrieval_metrics``.
+    Tuning k/bands/rows against a sampled ground truth is how the LSH
+    parameters earn their values before a 100 TB run; at scale you run this
+    on a small stratified sample, never the full corpus.
+
+    Plan: both sub-pipelines already end in small pair relations; the
+    scorecard is a full-outer join on the pair key plus one global partial
+    aggregation to a single row."""
+    truth = dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_truth")
+    )
+    lsh = dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_lsh")
+    )
+    j = truth.join(lsh, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce(F.col("in_truth"), F.lit(0)).alias("in_truth"),
+        F.coalesce(F.col("in_lsh"), F.lit(0)).alias("in_lsh"),
+    )
+    common = F.sum(F.col("in_truth") * F.col("in_lsh"))
+    return j.agg(
+        F.sum("in_truth").cast("bigint").alias("n_truth"),
+        F.sum("in_lsh").cast("bigint").alias("n_lsh"),
+        common.cast("bigint").alias("n_common"),
+        F.round(common * 1.0 / F.sum("in_lsh"), 4).alias("precision_"),
+        F.round(common * 1.0 / F.sum("in_truth"), 4).alias("recall_"),
+        F.round(2.0 * common / (F.sum("in_truth") + F.sum("in_lsh")), 4).alias("f1"),
+    )

@@ -190,3 +190,284 @@ def bloom_prefilter_supplier_join(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("s_suppkey")
     )
+
+
+# --------------------------------------------------- HyperLogLog, hand-rolled
+
+HLL_M = 64  # 2^6 registers
+HLL_ALPHA = 0.709  # alpha_64 from the HLL paper's bias table
+_HLL_W_BITS = 32  # rho window: low 32 bits of the md5 integer above the bucket
+
+
+@register(
+    "sketch_hll_manual_users",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             {md5_int60_sql("CAST(user_id AS VARCHAR)")} AS hv
+      FROM events
+    ),
+    reg AS (
+      SELECT event_type, hv % {HLL_M} AS bucket,
+             (hv // {HLL_M}) % 4294967296 AS w
+      FROM h
+    ),
+    rho AS (
+      SELECT event_type, bucket,
+             max(CASE WHEN w = 0 THEN {_HLL_W_BITS + 1}
+                      ELSE {_HLL_W_BITS + 1} - length(bin(w)) END) AS m_j
+      FROM reg GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT event_type,
+             sum(pow(2.0, -m_j)) + ({HLL_M} - count(*)) AS denom,
+             {HLL_M} - count(*) AS n_zero
+      FROM rho GROUP BY 1
+    ),
+    raw AS (
+      SELECT event_type,
+             {HLL_ALPHA} * {HLL_M} * {HLL_M} / denom AS e_raw, n_zero
+      FROM est
+    ),
+    fixed AS (
+      SELECT event_type,
+             CASE WHEN e_raw <= 2.5 * {HLL_M} AND n_zero > 0
+                  THEN {HLL_M} * ln({HLL_M} * 1.0 / n_zero)
+                  ELSE e_raw END AS e, n_zero
+      FROM raw
+    ),
+    exact AS (
+      SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1
+    )
+    SELECT f.event_type, x.n_exact, CAST(f.n_zero AS BIGINT) AS n_zero,
+           round(f.e, 2) AS hll_estimate,
+           round(abs(f.e - x.n_exact) / x.n_exact, 4) AS rel_error
+    FROM fixed f JOIN exact x USING (event_type)
+    ORDER BY f.event_type
+    """,
+    tags=("sketch", "hyperloglog", "distinct-count", "mergeable"),
+)
+def sketch_hll_manual_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog from first principles — the register math Spark's own
+    ``approx_count_distinct`` hides, built from the cross-engine md5 hash so
+    the ESTIMATE ITSELF hash-matches the oracle (unlike
+    ``agg_approx_sketches``, which can only band-check Spark's native HLL++
+    against exact counts). 64 registers: bucket = low 6 hash bits, rho =
+    leading-zero rank of the next 32 bits (computed exactly via
+    ``length(bin(w))`` — a string op, no cross-engine log2 rounding risk),
+    register = max(rho), estimate = alpha·m²/Σ2^-M_j with the paper's
+    linear-counting small-range correction. Exact distinct + relative error
+    ride along per group, so the sketch's accuracy is part of the checked
+    output.
+
+    Scale shape: the register relation is |groups| x 64 rows REGARDLESS of
+    input size — built by one map-side-combined max-aggregation — and
+    registers merge by max, so per-partition partial sketches combine
+    without re-reading data (the mergeability that makes HLL the standard
+    distributed distinct-count sketch). The exact count here is the test
+    harness, not a production cost."""
+    (ev,) = _t(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type", md5_int60_col(F.col("user_id").cast("string")).alias("hv")
+    ).dropDuplicates(["event_type", "hv"])
+    reg = h.select(
+        "event_type",
+        (F.col("hv") % HLL_M).alias("bucket"),
+        ((F.col("hv") / HLL_M).cast("bigint") % F.lit(4294967296)).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(_HLL_W_BITS + 1)).otherwise(
+        F.lit(_HLL_W_BITS + 1) - F.length(F.bin(F.col("w")))
+    )
+    regs = reg.groupBy("event_type", "bucket").agg(F.max(rho).alias("m_j"))
+    est = regs.groupBy("event_type").agg(
+        (F.sum(F.pow(F.lit(2.0), -F.col("m_j"))) + (F.lit(HLL_M) - F.count(F.lit(1)))).alias(
+            "denom"
+        ),
+        (F.lit(HLL_M) - F.count(F.lit(1))).cast("bigint").alias("n_zero"),
+    )
+    e_raw = F.lit(HLL_ALPHA) * HLL_M * HLL_M / F.col("denom")
+    e = F.when(
+        (e_raw <= 2.5 * HLL_M) & (F.col("n_zero") > 0),
+        F.lit(HLL_M) * F.log(F.lit(HLL_M) / F.col("n_zero")),
+    ).otherwise(e_raw)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        est.select("event_type", "n_zero", e.alias("e"))
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            "n_zero",
+            F.round("e", 2).alias("hll_estimate"),
+            F.round(F.abs(F.col("e") - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+                "rel_error"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ------------------------------------------- KMV sketch with set algebra
+
+KMV_K = 32
+_KMV_SCALE = float(1 << 60)  # md5_int60 range, for normalizing hv to (0,1)
+
+
+@register(
+    "sketch_kmv_set_algebra_users",
+    oracle=f"""
+    WITH hvs AS (
+      SELECT DISTINCT event_type,
+             {md5_int60_sql("CAST(user_id AS VARCHAR)")} AS hv
+      FROM events
+    ),
+    sk AS (
+      SELECT event_type, hv FROM (
+        SELECT event_type, hv,
+               row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        FROM hvs
+      ) WHERE rn <= {KMV_K}
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM types a JOIN types b ON a.event_type < b.event_type
+    ),
+    per_hv AS (
+      SELECT p.ta, p.tb, s.hv, count(*) AS sides
+      FROM pairs p JOIN sk s ON s.event_type IN (p.ta, p.tb)
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY ta, tb ORDER BY hv) AS rn
+      FROM per_hv
+    ),
+    stats AS (
+      SELECT ta, tb, count(*) AS total,
+             max(CASE WHEN rn <= {KMV_K} THEN hv END) AS u_k,
+             sum(CASE WHEN rn <= {KMV_K} AND sides = 2 THEN 1 ELSE 0 END) AS n_both,
+             sum(CASE WHEN rn <= {KMV_K} THEN 1 ELSE 0 END) AS n_comb
+      FROM ranked GROUP BY 1, 2
+    ),
+    ests AS (
+      SELECT ta, tb,
+             CASE WHEN total <= {KMV_K} THEN total * 1.0
+                  ELSE ({KMV_K} - 1) / (u_k / {_KMV_SCALE}) END AS union_est,
+             n_both * 1.0 / n_comb AS jaccard_est
+      FROM stats
+    ),
+    eu AS (SELECT DISTINCT event_type, user_id FROM events),
+    per_user AS (
+      SELECT p.ta, p.tb, e.user_id, count(DISTINCT e.event_type) AS nt
+      FROM pairs p JOIN eu e ON e.event_type IN (p.ta, p.tb)
+      GROUP BY 1, 2, 3
+    ),
+    exact AS (
+      SELECT ta, tb, count(*) AS union_exact,
+             sum(CASE WHEN nt = 2 THEN 1 ELSE 0 END) AS inter_exact
+      FROM per_user GROUP BY 1, 2
+    )
+    SELECT x.ta AS type_a, x.tb AS type_b,
+           CAST(x.union_exact AS BIGINT) AS union_exact,
+           CAST(x.inter_exact AS BIGINT) AS inter_exact,
+           round(e.union_est, 2) AS union_est,
+           round(e.jaccard_est * e.union_est, 2) AS inter_est,
+           round(e.jaccard_est, 4) AS jaccard_est
+    FROM exact x JOIN ests e ON x.ta = e.ta AND x.tb = e.tb
+    ORDER BY type_a, type_b
+    """,
+    tags=("sketch", "kmv", "distinct-count", "set-algebra", "mergeable"),
+)
+def sketch_kmv_set_algebra_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) sketch with set algebra — the theta-sketch
+    workhorse: per event type keep the k=32 smallest md5 hash values of the
+    distinct user set; distinct-count = (k-1)/u_k where u_k is the k-th
+    value normalized to (0,1). Two sketches COMBINE by merging and re-taking
+    the k smallest — union cardinality from the merged sketch, Jaccard from
+    the fraction of merged-sketch members present in both inputs, and
+    intersection = jaccard x union (the inclusion-exclusion-free estimator).
+    Sketches smaller than k are exact and reported as such. Exact union /
+    intersection counts ride along so the estimator error is checked output,
+    not folklore.
+
+    Scale shape: sketch build is one per-type top-k (partitioned window over
+    the deduped hash relation); everything after operates on |types| x k
+    rows — the pair combine is a broadcast join over a relation whose size
+    is independent of the input. This is why KMV/theta sketches power
+    cross-segment overlap dashboards at warehouse scale: the expensive scan
+    happens once, set algebra happens on kilobytes. The md5-derived hash
+    makes every estimate deterministic, so even the approximations
+    hash-match the oracle."""
+    (ev,) = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as _W
+
+    hvs = ev.select(
+        "event_type", md5_int60_col(F.col("user_id").cast("string")).alias("hv")
+    ).dropDuplicates(["event_type", "hv"])
+    wk = _W.partitionBy("event_type").orderBy("hv")
+    sk = (
+        hvs.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= KMV_K)
+        .select("event_type", "hv")
+    )
+    types = ev.select("event_type").distinct()
+    pairs = (
+        types.alias("a")
+        .join(types.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
+        )
+    )
+    per_hv = (
+        F.broadcast(pairs)
+        .join(
+            sk,
+            (sk["event_type"] == F.col("ta")) | (sk["event_type"] == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "hv")
+        .agg(F.count(F.lit(1)).alias("sides"))
+    )
+    wp = _W.partitionBy("ta", "tb").orderBy("hv")
+    ranked = per_hv.withColumn("rn", F.row_number().over(wp))
+    in_k = F.col("rn") <= KMV_K
+    stats = ranked.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.max(F.when(in_k, F.col("hv"))).alias("u_k"),
+        F.sum(F.when(in_k & (F.col("sides") == 2), 1).otherwise(0)).alias("n_both"),
+        F.sum(F.when(in_k, 1).otherwise(0)).alias("n_comb"),
+    )
+    union_est = F.when(F.col("total") <= KMV_K, F.col("total") * 1.0).otherwise(
+        F.lit(KMV_K - 1) / (F.col("u_k") / F.lit(_KMV_SCALE))
+    )
+    jac_est = F.col("n_both") * 1.0 / F.col("n_comb")
+    ests = stats.select("ta", "tb", union_est.alias("union_est"), jac_est.alias("jaccard_est"))
+
+    eu = ev.select("event_type", "user_id").distinct()
+    per_user = (
+        F.broadcast(pairs)
+        .join(
+            eu,
+            (eu["event_type"] == F.col("ta")) | (eu["event_type"] == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "user_id")
+        .agg(F.countDistinct("event_type").alias("nt"))
+    )
+    exact = per_user.groupBy("ta", "tb").agg(
+        F.count(F.lit(1)).alias("union_exact"),
+        F.sum(F.when(F.col("nt") == 2, 1).otherwise(0)).alias("inter_exact"),
+    )
+    return (
+        exact.join(ests, ["ta", "tb"])
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            F.col("union_exact").cast("bigint").alias("union_exact"),
+            F.col("inter_exact").cast("bigint").alias("inter_exact"),
+            F.round("union_est", 2).alias("union_est"),
+            F.round(F.col("jaccard_est") * F.col("union_est"), 2).alias("inter_est"),
+            F.round("jaccard_est", 4).alias("jaccard_est"),
+        )
+        .orderBy("type_a", "type_b")
+    )
