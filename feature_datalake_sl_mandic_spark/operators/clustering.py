@@ -288,3 +288,88 @@ def semdedup_cluster_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+@register(
+    "drift_embedding_centroid_shift",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, vec_id % 2 AS half,
+                      list_transform(embedding, x -> x::DOUBLE) AS emb
+               FROM embeddings),
+    long AS (
+      SELECT label, half, t.i - 1 AS pos, emb[t.i] AS v
+      FROM e CROSS JOIN range(1, {DIM + 1}) t(i)
+    ),
+    cent AS (
+      SELECT label, half, pos, round(avg(v), 6) AS c, count(*) AS n
+      FROM long GROUP BY 1, 2, 3
+    ),
+    paired AS (
+      SELECT a.label, a.pos, a.c AS c0, b.c AS c1,
+             a.n AS n0, b.n AS n1
+      FROM cent a JOIN cent b
+        ON a.label = b.label AND a.pos = b.pos AND a.half = 0 AND b.half = 1
+    )
+    SELECT label,
+           CAST(max(n0) AS BIGINT) AS n_half0,
+           CAST(max(n1) AS BIGINT) AS n_half1,
+           round(sum(c0 * c1) / (sqrt(sum(c0 * c0)) * sqrt(sum(c1 * c1))), 6)
+             AS centroid_cosine,
+           round(sqrt(sum((c0 - c1) * (c0 - c1))), 6) AS l2_shift
+    FROM paired
+    GROUP BY label
+    ORDER BY label
+    """,
+    tags=("embeddings", "drift", "centroid", "monitoring"),
+)
+def drift_embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representation-drift monitor: split each label's vectors into two
+    cohorts (vec_id parity here; in production, before/after a model or
+    crawl change), compute per-cohort centroids, and report the cosine and
+    L2 distance between them per label. Centroid cosine near 1 means the
+    embedding space is stable; a drop flags that downstream ANN indexes and
+    similarity thresholds trained on cohort 0 are stale for cohort 1 — the
+    embedding-space analog of ``drift_psi_event_values``.
+
+    Scale shape: posexplode to (label, half, dim) long rows, ONE map-side-
+    combined aggregation to 2 x |labels| x d centroid cells, then a d-row
+    pair join per label — everything after the first shuffle is
+    O(|labels| x d), independent of corpus size. Per-dim centroids round to
+    6 before the distance math so distributed-sum ordering can't leak into
+    the checked output."""
+    (em,) = _t(spark, sf_dir, "embeddings")
+    long = em.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    cent = long.groupBy("label", "half", "pos").agg(
+        F.round(F.avg("v"), 6).alias("c"), F.count(F.lit(1)).alias("n")
+    )
+    a = cent.where(F.col("half") == 0).select(
+        "label", "pos", F.col("c").alias("c0"), F.col("n").alias("n0")
+    )
+    b = cent.where(F.col("half") == 1).select(
+        "label", "pos", F.col("c").alias("c1"), F.col("n").alias("n1")
+    )
+    paired = a.join(b, ["label", "pos"])
+    return (
+        paired.groupBy("label")
+        .agg(
+            F.max("n0").cast("bigint").alias("n_half0"),
+            F.max("n1").cast("bigint").alias("n_half1"),
+            F.round(
+                F.sum(F.col("c0") * F.col("c1"))
+                / (
+                    F.sqrt(F.sum(F.col("c0") * F.col("c0")))
+                    * F.sqrt(F.sum(F.col("c1") * F.col("c1")))
+                ),
+                6,
+            ).alias("centroid_cosine"),
+            F.round(
+                F.sqrt(F.sum((F.col("c0") - F.col("c1")) * (F.col("c0") - F.col("c1")))),
+                6,
+            ).alias("l2_shift"),
+        )
+        .orderBy("label")
+    )

@@ -752,3 +752,100 @@ def ts_seasonal_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+@register(
+    "ts_seasonal_adjusted_anomalies",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CTE}),
+    idx AS (
+      SELECT d.event_type, isodow(d.day) AS dow,
+             avg(d.daily_value) / t.type_mean AS seasonal_index
+      FROM daily d
+      JOIN (SELECT event_type, avg(daily_value) AS type_mean
+            FROM daily GROUP BY 1) t USING (event_type)
+      GROUP BY d.event_type, isodow(d.day), t.type_mean
+    ),
+    adj AS (
+      SELECT d.event_type, d.day, d.daily_value,
+             d.daily_value / i.seasonal_index AS adj_value
+      FROM daily d JOIN idx i
+        ON d.event_type = i.event_type AND isodow(d.day) = i.dow
+    ),
+    stats AS (
+      SELECT event_type, day, daily_value, adj_value,
+             avg(adj_value) OVER (PARTITION BY event_type ORDER BY day
+                                  ROWS BETWEEN {ZSCORE_WINDOW} PRECEDING AND 1 PRECEDING) AS base_mean,
+             stddev_samp(adj_value) OVER (PARTITION BY event_type ORDER BY day
+                                  ROWS BETWEEN {ZSCORE_WINDOW} PRECEDING AND 1 PRECEDING) AS base_std,
+             count(*) OVER (PARTITION BY event_type ORDER BY day
+                                  ROWS BETWEEN {ZSCORE_WINDOW} PRECEDING AND 1 PRECEDING) AS base_n
+      FROM adj
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day, daily_value,
+           round(adj_value, 4) AS adj_value,
+           round((adj_value - base_mean) / base_std, 4) AS zscore
+    FROM stats
+    WHERE base_n >= 3 AND base_std > 0
+      AND abs((adj_value - base_mean) / base_std) > {ZSCORE_THRESHOLD}
+    ORDER BY event_type, day
+    """,
+    tags=("timeseries", "anomaly", "seasonality", "zscore", "events"),
+)
+def ts_seasonal_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly detection — ``ts_zscore_anomalies`` run on
+    the DESEASONALIZED series (daily_value / day-of-week index from
+    ``ts_seasonal_dow_index``): a quiet-Sunday dip stops masquerading as an
+    anomaly and a weekday-sized spike on a weekend stops hiding. This is the
+    composition the two underlying operators exist for, registered so the
+    composed semantics are hash-checked end to end.
+
+    Scale shape: the index table is |event_type| x 7 rows (broadcast join
+    back onto the bounded daily relation); the z-score pass is the same
+    single partitioned window as the unadjusted detector."""
+    daily = _daily_series(spark, sf_dir)
+    dow = (F.weekday("day") + F.lit(1)).alias("dow")
+    per_type = daily.groupBy("event_type").agg(F.avg("daily_value").alias("type_mean"))
+    idx = (
+        daily.join(F.broadcast(per_type), "event_type")
+        .groupBy("event_type", dow)
+        .agg((F.avg("daily_value") / F.first("type_mean")).alias("seasonal_index"))
+    )
+    adj = daily.withColumn("dow", dow).join(
+        F.broadcast(idx), ["event_type", "dow"]
+    ).select(
+        "event_type",
+        "day",
+        "daily_value",
+        (F.col("daily_value") / F.col("seasonal_index")).alias("adj_value"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-ZSCORE_WINDOW, -1)
+    )
+    stats = adj.select(
+        "event_type",
+        "day",
+        "daily_value",
+        "adj_value",
+        F.avg("adj_value").over(w).alias("base_mean"),
+        F.stddev_samp("adj_value").over(w).alias("base_std"),
+        F.count(F.lit(1)).over(w).alias("base_n"),
+    )
+    z = (F.col("adj_value") - F.col("base_mean")) / F.col("base_std")
+    return (
+        stats.where(
+            (F.col("base_n") >= 3)
+            & (F.col("base_std") > 0)
+            & (F.abs(z) > ZSCORE_THRESHOLD)
+        )
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            "daily_value",
+            F.round("adj_value", 4).alias("adj_value"),
+            F.round(z, 4).alias("zscore"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -304,3 +304,72 @@ def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").cast("string").alias("day"),
         F.round(F.col("true_n") + noise, 4).alias("noisy_count"),
     ).orderBy("event_type", "day")
+
+
+_FK_EDGES = [
+    # (child table, fk col, parent table, pk col)
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+@register(
+    "validate_referential_integrity",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{child}.{fk} -> {parent}.{pk}' AS fk_edge,
+           CAST(count(*) AS BIGINT) AS n_child_rows,
+           CAST(sum(CASE WHEN {fk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_fk,
+           CAST(sum(CASE WHEN {fk} IS NOT NULL
+                          AND {fk} NOT IN (SELECT {pk} FROM {parent})
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+    FROM {child}"""
+        for child, fk, parent, pk in _FK_EDGES
+    )
+    + "\nORDER BY fk_edge",
+    tags=("validation", "referential-integrity", "anti-join", "audit"),
+)
+def validate_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across every foreign-key edge of the star
+    schema: per edge, total child rows, NULL foreign keys, and orphans
+    (non-NULL keys with no parent). The lake has no FK enforcement — this is
+    the post-load audit that catches a truncated parent load or an
+    out-of-order ingest before downstream joins silently drop rows. The
+    reference pipeline (SURVEY §0 census) ingests parent and child tables
+    independently and would land exactly this failure mode unflagged.
+
+    Scale shape: each edge is one left anti-style aggregation — the child
+    scan aggregates AFTER a broadcast (or shuffle for big parents) existence
+    join against the parent's distinct keys; edges are independent and union
+    their single summary rows. No window, no UDF, child tables scanned
+    once each per edge with only the key column read."""
+    frames = []
+    for child, fk, parent, pk in _FK_EDGES:
+        (c, p) = _t(spark, sf_dir, child, parent)
+        keys = p.select(F.col(pk).alias("__pk")).distinct()
+        joined = c.select(F.col(fk).alias("__fk")).join(
+            keys, F.col("__fk") == F.col("__pk"), "left"
+        )
+        frames.append(
+            joined.agg(
+                F.lit(f"{child}.{fk} -> {parent}.{pk}").alias("fk_edge"),
+                F.count(F.lit(1)).alias("n_child_rows"),
+                F.sum(F.when(F.col("__fk").isNull(), 1).otherwise(0)).alias(
+                    "n_null_fk"
+                ),
+                F.sum(
+                    F.when(
+                        F.col("__fk").isNotNull() & F.col("__pk").isNull(), 1
+                    ).otherwise(0)
+                ).alias("n_orphans"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionAll(fr)
+    return out.orderBy("fk_edge")

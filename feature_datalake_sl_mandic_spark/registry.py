@@ -169,7 +169,9 @@ _PRIORITY: list[str] = [
 # join_asof_nearest_view, ts_cross_correlation_lags, ts_seasonal_dow_index,
 # privacy_dp_noisy_counts, sample_weighted_reservoir,
 # corpus_js_divergence_sources, ann_two_stage_rerank, er_parts_scored_matches,
-# sketch_hll_manual_users, sketch_kmv_set_algebra_users, eval_dedup_lsh_recall.
+# sketch_hll_manual_users, sketch_kmv_set_algebra_users, eval_dedup_lsh_recall,
+# validate_referential_integrity, ts_seasonal_adjusted_anomalies,
+# drift_embedding_centroid_shift.
 # (multimodal_feature_extract stays out of every window by design: its codec
 # stubs make it permanently rows-only; multimodal_ppm_decode is the family's
 # hash-green representative.)
