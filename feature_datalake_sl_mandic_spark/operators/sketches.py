@@ -403,16 +403,22 @@ def sketch_kmv_set_algebra_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ev,) = _t(spark, sf_dir, "events")
     from pyspark.sql.window import Window as _W
 
-    hvs = ev.select(
-        "event_type", md5_int60_col(F.col("user_id").cast("string")).alias("hv")
-    ).dropDuplicates(["event_type", "hv"])
+    # The deduped hash relation feeds the sketch AND the type list; truncate
+    # its lineage so the events scan + dedup shuffle happen once.
+    hvs = (
+        ev.select(
+            "event_type", md5_int60_col(F.col("user_id").cast("string")).alias("hv")
+        )
+        .dropDuplicates(["event_type", "hv"])
+        .localCheckpoint(eager=False)
+    )
     wk = _W.partitionBy("event_type").orderBy("hv")
     sk = (
         hvs.withColumn("rn", F.row_number().over(wk))
         .where(F.col("rn") <= KMV_K)
         .select("event_type", "hv")
     )
-    types = ev.select("event_type").distinct()
+    types = hvs.select("event_type").distinct()
     pairs = (
         types.alias("a")
         .join(types.alias("b"), F.col("a.event_type") < F.col("b.event_type"))

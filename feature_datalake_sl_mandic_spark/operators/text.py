@@ -1582,8 +1582,13 @@ def corpus_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("k"))
     )
     tot = tc.groupBy("source").agg(F.sum("k").alias("n"))
-    p = tc.join(F.broadcast(tot), "source").select(
-        "source", "tok", (F.col("k") / F.col("n")).alias("p")
+    # p feeds BOTH sides of the pair join (and tc feeds tot); truncate the
+    # tokenize->count lineage once so the corpus is never re-tokenized —
+    # the same cut the sparse-cosine rewrite made (round-2 verdict #3).
+    p = (
+        tc.join(F.broadcast(tot), "source")
+        .select("source", "tok", (F.col("k") / F.col("n")).alias("p"))
+        .localCheckpoint(eager=False)
     )
     a = p.select(
         F.col("source").alias("source_a"), "tok", F.col("p").alias("pa")

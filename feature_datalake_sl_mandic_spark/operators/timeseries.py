@@ -803,7 +803,10 @@ def ts_seasonal_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFram
     Scale shape: the index table is |event_type| x 7 rows (broadcast join
     back onto the bounded daily relation); the z-score pass is the same
     single partitioned window as the unadjusted detector."""
-    daily = _daily_series(spark, sf_dir)
+    # The daily pre-aggregate feeds three subtrees (type mean, dow index,
+    # adjusted series) — truncate its lineage once instead of re-scanning
+    # events per subtree (same cut as the ACF plan).
+    daily = _daily_series(spark, sf_dir).localCheckpoint(eager=False)
     dow = (F.weekday("day") + F.lit(1)).alias("dow")
     per_type = daily.groupBy("event_type").agg(F.avg("daily_value").alias("type_mean"))
     idx = (
