@@ -351,12 +351,15 @@ _KMV_SCALE = float(1 << 60)  # md5_int60 range, for normalizing hv to (0,1)
              sum(CASE WHEN rn <= {KMV_K} THEN 1 ELSE 0 END) AS n_comb
       FROM ranked GROUP BY 1, 2
     ),
+    sksz AS (SELECT event_type, count(*) AS n FROM sk GROUP BY 1),
     ests AS (
-      SELECT ta, tb,
-             CASE WHEN total <= {KMV_K} THEN total * 1.0
-                  ELSE ({KMV_K} - 1) / (u_k / {_KMV_SCALE}) END AS union_est,
-             n_both * 1.0 / n_comb AS jaccard_est
-      FROM stats
+      SELECT s.ta, s.tb,
+             CASE WHEN sa.n < {KMV_K} AND sb.n < {KMV_K} THEN s.total * 1.0
+                  ELSE (s.n_comb - 1) / (s.u_k / {_KMV_SCALE}) END AS union_est,
+             s.n_both * 1.0 / s.n_comb AS jaccard_est
+      FROM stats s
+      JOIN sksz sa ON sa.event_type = s.ta
+      JOIN sksz sb ON sb.event_type = s.tb
     ),
     eu AS (SELECT DISTINCT event_type, user_id FROM events),
     per_user AS (
@@ -388,9 +391,12 @@ def sketch_kmv_set_algebra_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     the k smallest — union cardinality from the merged sketch, Jaccard from
     the fraction of merged-sketch members present in both inputs, and
     intersection = jaccard x union (the inclusion-exclusion-free estimator).
-    Sketches smaller than k are exact and reported as such. Exact union /
-    intersection counts ride along so the estimator error is checked output,
-    not folklore.
+    When BOTH input sketches are uncapped (fewer than k distinct values:
+    complete hash sets) the merged "sketch" is the true union and is
+    reported exactly — a small merged sketch alone proves nothing, since two
+    capped sketches over identical sets merge to k values regardless of the
+    true cardinality. Exact union / intersection counts ride along so the
+    estimator error is checked output, not folklore.
 
     Scale shape: sketch build is one per-type top-k (partitioned window over
     the deduped hash relation); everything after operates on |types| x k
@@ -444,11 +450,22 @@ def sketch_kmv_set_algebra_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(in_k & (F.col("sides") == 2), 1).otherwise(0)).alias("n_both"),
         F.sum(F.when(in_k, 1).otherwise(0)).alias("n_comb"),
     )
-    union_est = F.when(F.col("total") <= KMV_K, F.col("total") * 1.0).otherwise(
-        F.lit(KMV_K - 1) / (F.col("u_k") / F.lit(_KMV_SCALE))
-    )
+    sksz = sk.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    sa = sksz.select(F.col("event_type").alias("ta"), F.col("n").alias("na"))
+    sb = sksz.select(F.col("event_type").alias("tb"), F.col("n").alias("nb"))
+    # Exactness requires BOTH input sketches uncapped (complete hash sets):
+    # a merged sketch of <= k values says nothing by itself — two capped
+    # sketches over identical sets merge to exactly k values while the true
+    # union is unbounded. Otherwise the merged-threshold estimator applies
+    # (n_comb = min(k, merged size); = k whenever any side was capped).
+    stats2 = stats.join(F.broadcast(sa), "ta").join(F.broadcast(sb), "tb")
+    union_est = F.when(
+        (F.col("na") < KMV_K) & (F.col("nb") < KMV_K), F.col("total") * 1.0
+    ).otherwise((F.col("n_comb") - 1) / (F.col("u_k") / F.lit(_KMV_SCALE)))
     jac_est = F.col("n_both") * 1.0 / F.col("n_comb")
-    ests = stats.select("ta", "tb", union_est.alias("union_est"), jac_est.alias("jaccard_est"))
+    ests = stats2.select(
+        "ta", "tb", union_est.alias("union_est"), jac_est.alias("jaccard_est")
+    )
 
     eu = ev.select("event_type", "user_id").distinct()
     per_user = (
