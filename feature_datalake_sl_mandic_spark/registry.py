@@ -64,6 +64,7 @@ _QUERY_MODULES = [
     "feature_datalake_sl_mandic_spark.ingest.scd",
     "feature_datalake_sl_mandic_spark.ingest.incremental",
     "feature_datalake_sl_mandic_spark.multimodal.media",
+    "feature_datalake_sl_mandic_spark.sources.pyds",
 ]
 
 
@@ -171,7 +172,7 @@ _PRIORITY: list[str] = [
 # corpus_js_divergence_sources, ann_two_stage_rerank, er_parts_scored_matches,
 # sketch_hll_manual_users, sketch_kmv_set_algebra_users, eval_dedup_lsh_recall,
 # validate_referential_integrity, ts_seasonal_adjusted_anomalies,
-# drift_embedding_centroid_shift.
+# drift_embedding_centroid_shift, pyds_training_shards_roundtrip.
 # (multimodal_feature_extract stays out of every window by design: its codec
 # stubs make it permanently rows-only; multimodal_ppm_decode is the family's
 # hash-green representative.)
