@@ -119,6 +119,9 @@ class TrainingShardsDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return TrainingShardsReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return TrainingShardsStreamReader(self.options)
+
 
 def register_training_shards(spark) -> None:
     """Idempotently register the source with this session."""
@@ -183,3 +186,67 @@ def pyds_training_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("lang", "shard_id")
     )
+
+
+# ------------------------------------------------------- streaming replay
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+
+class TrainingShardsStreamReader(SimpleDataSourceStreamReader):
+    """Shard-arrival replay: each micro-batch delivers the next
+    ``maxShardsPerBatch`` shards from the manifest, in (lang, shard_id)
+    order — a deterministic stand-in for a feed where shard directories land
+    over time. Offsets are just the count of shards consumed, so restarts
+    resume exactly and ``readBetweenOffsets`` replays any committed batch
+    byte-identically (the exactly-once replay contract checkpoint recovery
+    needs).
+
+    Uses the SIMPLE stream-reader API (driver-side reads): right for
+    manifest-bounded micro-batches; a partition-parallel
+    ``DataSourceStreamReader`` is the upgrade path when single shards exceed
+    driver comfort."""
+
+    def __init__(self, options: dict):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("training_shards: option 'path' (export dir) required")
+        with open(os.path.join(self.root, "manifest.json")) as f:
+            manifest = json.load(f)
+        self.shards = sorted(
+            manifest["shards"], key=lambda s: (s["lang"], s["shard_id"])
+        )
+        self.per_batch = int(options.get("maxShardsPerBatch", "1"))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def _rows(self, lo: int, hi: int):
+        import pyarrow.parquet as pq
+
+        for s in self.shards[lo:hi]:
+            tbl = pq.read_table(s["path"], columns=["doc_id", "n_tokens", "text"])
+            for doc_id, n_tokens, text in zip(
+                tbl.column("doc_id").to_pylist(),
+                tbl.column("n_tokens").to_pylist(),
+                tbl.column("text").to_pylist(),
+            ):
+                yield (doc_id, n_tokens, text, s["lang"], int(s["shard_id"]))
+
+    def read(self, start: dict):
+        i = int(start["i"])
+        n = len(self.shards)
+        if i >= n:
+            return iter([]), {"i": i}
+        j = min(i + self.per_batch, n)
+        # a LIST iterator, not a generator: Spark's simple-reader wrapper
+        # both next()s the result and deep-copies it into the prefetch
+        # cache for checkpoint replay — generators aren't picklable,
+        # bare lists aren't iterators.
+        return iter(list(self._rows(i, j))), {"i": j}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(self._rows(int(start["i"]), int(end["i"]))))
+
+    def commit(self, end: dict) -> None:
+        pass  # manifest-backed source: nothing to clean up

@@ -109,3 +109,69 @@ class TestTrainingShardsSource:
         df = spark.read.format("training_shards").load(out)
         with pytest.raises(Exception):
             df.count()
+
+
+class TestTrainingShardsStream:
+    def test_streaming_replay_equals_batch(self, spark, tmp_path):
+        """availableNow over the shard-replay stream must deliver exactly the
+        batch-read rows, one micro-batch per shard (offset bookkeeping
+        checked by the row totals)."""
+        from pyspark.sql import functions as F
+
+        from feature_datalake_sl_mandic_spark.sources.pyds import (
+            register_training_shards,
+        )
+
+        out = str(tmp_path / "exp")
+        manifest = _export(spark, out)
+        register_training_shards(spark)
+
+        import time
+
+        sdf = spark.readStream.format("training_shards").load(out)
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("shard_replay")
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        # one shard per micro-batch (maxShardsPerBatch default 1): drain
+        # until every manifest row has been delivered, then stop.
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if (
+                spark.sql("SELECT count(*) AS n FROM shard_replay").first()["n"]
+                >= manifest["n_docs"]
+            ):
+                break
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(30)
+        got = spark.sql(
+            "SELECT lang, shard_id, count(*) AS n, sum(n_tokens) AS toks "
+            "FROM shard_replay GROUP BY lang, shard_id"
+        ).collect()
+        per = {(r["lang"], r["shard_id"]): (r["n"], r["toks"]) for r in got}
+        assert len(per) == manifest["n_shards"]
+        for s in manifest["shards"]:
+            assert per[(s["lang"], s["shard_id"])] == (
+                s["n_docs"],
+                s["total_tokens"],
+            )
+
+    def test_replay_between_offsets_deterministic(self, spark, tmp_path):
+        from feature_datalake_sl_mandic_spark.sources.pyds import (
+            TrainingShardsStreamReader,
+        )
+
+        out = str(tmp_path / "exp")
+        _export(spark, out)
+        r = TrainingShardsStreamReader({"path": out})
+        it, off1 = r.read(r.initialOffset())
+        batch1 = list(it)
+        assert off1 == {"i": 1}
+        # committed batch must replay identically
+        assert list(r.readBetweenOffsets({"i": 0}, off1)) == batch1
+        # rows carry the first shard's partition values
+        langs = {row[3] for row in batch1}
+        assert len(langs) == 1
