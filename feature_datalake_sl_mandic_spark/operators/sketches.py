@@ -494,3 +494,119 @@ def sketch_kmv_set_algebra_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "sketch_hll_daily_to_weekly_merge",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             user_id,
+             {md5_int60_sql("CAST(user_id AS VARCHAR)")} AS hv
+      FROM events
+    ),
+    reg AS (
+      SELECT event_type, day, hv % {HLL_M} AS bucket,
+             (hv // {HLL_M}) % 4294967296 AS w
+      FROM h
+    ),
+    daily AS (
+      SELECT event_type, day, bucket,
+             max(CASE WHEN w = 0 THEN {_HLL_W_BITS + 1}
+                      ELSE {_HLL_W_BITS + 1} - length(bin(w)) END) AS m_j
+      FROM reg GROUP BY 1, 2, 3
+    ),
+    weekly AS (
+      SELECT event_type, weekofyear(day) AS week, bucket, max(m_j) AS m_j
+      FROM daily GROUP BY 1, 2, 3
+    ),
+    est AS (
+      SELECT event_type, week,
+             sum(pow(2.0, -m_j)) + ({HLL_M} - count(*)) AS denom,
+             {HLL_M} - count(*) AS n_zero
+      FROM weekly GROUP BY 1, 2
+    ),
+    fixed AS (
+      SELECT event_type, week,
+             CASE WHEN {HLL_ALPHA} * {HLL_M} * {HLL_M} / denom <= 2.5 * {HLL_M}
+                       AND n_zero > 0
+                  THEN {HLL_M} * ln({HLL_M} * 1.0 / n_zero)
+                  ELSE {HLL_ALPHA} * {HLL_M} * {HLL_M} / denom END AS e
+      FROM est
+    ),
+    exact AS (
+      SELECT event_type, weekofyear(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS week,
+             count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1, 2
+    )
+    SELECT f.event_type, CAST(f.week AS BIGINT) AS week, x.n_exact,
+           round(f.e, 2) AS hll_estimate,
+           round(abs(f.e - x.n_exact) / x.n_exact, 4) AS rel_error
+    FROM fixed f JOIN exact x ON f.event_type = x.event_type AND f.week = x.week
+    ORDER BY f.event_type, f.week
+    """,
+    tags=("sketch", "hyperloglog", "mergeable", "rollup", "events"),
+)
+def sketch_hll_daily_to_weekly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reason HLL wins at warehouse scale, demonstrated: persist DAILY
+    register sets (|types| x |days| x 64 tiny rows), answer WEEKLY distinct
+    users by merging registers with max() — no rescan of raw events, and
+    max-of-max makes the merged sketch IDENTICAL to one built from the raw
+    week (associativity), so accuracy never degrades with rollup depth.
+    This is the distinct-count analog of ``incremental_agg_refresh``:
+    count(DISTINCT) doesn't decompose over partial aggregates, HLL registers
+    do. Exact weekly distincts ride along as the error harness.
+
+    Scale shape: one map-side-combined aggregation to daily registers, one
+    O(|types| x |weeks| x 64) merge, one tiny estimate projection. The
+    weekly exact count (the test harness) is the ONLY part that touches raw
+    events twice."""
+    (ev,) = _t(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        md5_int60_col(F.col("user_id").cast("string")).alias("hv"),
+    ).dropDuplicates(["event_type", "day", "hv"])
+    reg = h.select(
+        "event_type",
+        "day",
+        (F.col("hv") % HLL_M).alias("bucket"),
+        ((F.col("hv") / HLL_M).cast("bigint") % F.lit(4294967296)).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(_HLL_W_BITS + 1)).otherwise(
+        F.lit(_HLL_W_BITS + 1) - F.length(F.bin(F.col("w")))
+    )
+    daily = reg.groupBy("event_type", "day", "bucket").agg(F.max(rho).alias("m_j"))
+    weekly = daily.groupBy(
+        "event_type", F.weekofyear("day").cast("bigint").alias("week"), "bucket"
+    ).agg(F.max("m_j").alias("m_j"))
+    est = weekly.groupBy("event_type", "week").agg(
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("m_j")))
+            + (F.lit(HLL_M) - F.count(F.lit(1)))
+        ).alias("denom"),
+        (F.lit(HLL_M) - F.count(F.lit(1))).alias("n_zero"),
+    )
+    e_raw = F.lit(HLL_ALPHA) * HLL_M * HLL_M / F.col("denom")
+    e = F.when(
+        (e_raw <= 2.5 * HLL_M) & (F.col("n_zero") > 0),
+        F.lit(HLL_M) * F.log(F.lit(HLL_M) / F.col("n_zero")),
+    ).otherwise(e_raw)
+    exact = ev.groupBy(
+        "event_type", F.weekofyear(F.to_date("ts")).cast("bigint").alias("week")
+    ).agg(F.countDistinct("user_id").alias("n_exact"))
+    return (
+        est.select("event_type", "week", e.alias("e"))
+        .join(exact, ["event_type", "week"])
+        .select(
+            "event_type",
+            "week",
+            "n_exact",
+            F.round("e", 2).alias("hll_estimate"),
+            F.round(F.abs(F.col("e") - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+                "rel_error"
+            ),
+        )
+        .orderBy("event_type", "week")
+    )
