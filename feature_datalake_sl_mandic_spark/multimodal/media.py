@@ -380,3 +380,177 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+# ----------------------------------------------------- real WAV (PCM16) codec
+
+# Deterministic PCM sample law, exact in integer math on both engines:
+#   s(i, t) = ((1 + 7919*i + 104729*t) mod 65536) - 32768
+_WAV_A, _WAV_B = 7919, 104729
+
+
+def encode_wav(n_samples: int, sample_rate: int, seed: int) -> bytes:
+    """Real RIFF/WAVE container around PCM16 mono samples from the closed
+    form above. Includes a junk LIST chunk before ``data`` on odd seeds so
+    the decoder's chunk-walking (not just a fixed 44-byte offset) is
+    exercised."""
+    import struct
+
+    import numpy as np
+
+    t = np.arange(n_samples, dtype=np.int64)
+    s = ((1 + _WAV_A * seed + _WAV_B * t) % 65536 - 32768).astype("<i2")
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = [b"fmt " + struct.pack("<I", len(fmt)) + fmt]
+    if seed % 2 == 1:
+        junk = b"junkdata"
+        chunks.append(b"LIST" + struct.pack("<I", len(junk)) + junk)
+    chunks.append(b"data" + struct.pack("<I", len(data)) + data)
+    body = b"WAVE" + b"".join(chunks)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes):
+    """Real RIFF parse -> (sample_rate, int16 numpy array). Walks chunks,
+    validates PCM16 mono; raises ValueError on anything else."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, bits, channels, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if audio_fmt != 1:
+                raise ValueError("only PCM supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    if bits != 16 or channels != 1:
+        raise ValueError("only 16-bit mono supported")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+_WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("n_samples", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def make_wav_media(spark: SparkSession, n: int = 12, partitions: int = 3) -> DataFrame:
+    """Audio table whose payloads are REAL RIFF/WAVE PCM16 bytes."""
+    rows = []
+    for i in range(n):
+        n_samples = 256 + (i % 4) * 128
+        rate = 8000 if i % 2 == 0 else 16000
+        rows.append(
+            (
+                i,
+                encode_wav(n_samples, rate, seed=i),
+                {"format": "wav", "sample_rate": rate, "n_samples": n_samples},
+            )
+        )
+    return spark.createDataFrame(rows, _WAV_SCHEMA).repartition(partitions)
+
+
+_WAV_N = 12
+
+
+@register(
+    "multimodal_wav_decode",
+    oracle=f"""
+    WITH clips AS (
+      SELECT i AS media_id,
+             256 + (i % 4) * 128 AS n_samples,
+             CASE WHEN i % 2 = 0 THEN 8000 ELSE 16000 END AS sample_rate
+      FROM range(0, {_WAV_N}) t(i)
+    ),
+    samples AS (
+      SELECT c.media_id, c.n_samples, c.sample_rate, s.t,
+             ((1 + {_WAV_A} * c.media_id + {_WAV_B} * s.t) % 65536) - 32768 AS v
+      FROM clips c CROSS JOIN range(0, 1024) s(t)
+      WHERE s.t < c.n_samples
+    ),
+    feats AS (
+      SELECT media_id, n_samples, sample_rate,
+             sum(abs(v)) AS abs_sum,
+             sum(CASE WHEN t > 0 AND v * lag_v < 0 THEN 1 ELSE 0 END) AS n_zero_cross
+      FROM (SELECT *, lag(v) OVER (PARTITION BY media_id ORDER BY t) AS lag_v
+            FROM samples)
+      GROUP BY 1, 2, 3
+    )
+    SELECT media_id, CAST(n_samples AS BIGINT) AS n_samples,
+           CAST(sample_rate AS BIGINT) AS sample_rate,
+           CAST(n_samples * 1000 / sample_rate AS BIGINT) AS duration_ms,
+           CAST(abs_sum AS BIGINT) AS abs_sum,
+           CAST(n_zero_cross AS BIGINT) AS n_zero_cross
+    FROM feats
+    ORDER BY media_id
+    """,
+    tags=("multimodal", "binary", "audio", "codec", "mapInPandas"),
+)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second REAL codec path (audio): binary RIFF/WAVE PCM16 payloads
+    decoded with a hand-rolled chunk-walking parser + numpy, per-clip
+    integer features (abs-amplitude sum, strict zero crossings, duration).
+    Like ``multimodal_ppm_decode``, the oracle reconstructs the same samples
+    from the generator's closed form in pure SQL — two independent
+    implementations of the ground truth, hash-compared, junk chunks and all.
+    (sf_dir unused — payloads are deterministic synthetic media.)
+
+    Scale shape: decode is Arrow-batched ``mapInPandas``; per clip the
+    features are integer reductions over the sample buffer, so the shuffle
+    carries five longs per clip, never audio bytes."""
+    df = make_wav_media(spark, n=_WAV_N, partitions=3)
+    out_schema = (
+        "media_id long, n_samples long, sample_rate long, duration_ms long, "
+        "abs_sum long, n_zero_cross long"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {
+                k: []
+                for k in (
+                    "media_id",
+                    "n_samples",
+                    "sample_rate",
+                    "duration_ms",
+                    "abs_sum",
+                    "n_zero_cross",
+                )
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, s = decode_wav(bytes(payload))
+                v = s.astype("int64")
+                out["media_id"].append(int(mid))
+                out["n_samples"].append(len(v))
+                out["sample_rate"].append(int(rate))
+                out["duration_ms"].append(len(v) * 1000 // rate)
+                out["abs_sum"].append(int(np.abs(v).sum()))
+                out["n_zero_cross"].append(int(((v[1:] * v[:-1]) < 0).sum()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=out_schema).orderBy("media_id")

@@ -122,3 +122,58 @@ def test_resize_media_schema_and_dims(spark):
     # meta struct updated in the same pass: pruning stays truthful
     metas = resized.select("meta.width", "meta.height").collect()
     assert all(max(r["width"], r["height"]) <= 16 for r in metas)
+
+
+class TestRealWavCodec:
+    def test_encode_decode_roundtrip(self):
+        import numpy as np
+
+        from feature_datalake_sl_mandic_spark.multimodal import media as mm
+
+        for seed in (0, 1, 5):
+            n, rate = 256 + (seed % 4) * 128, 8000 if seed % 2 == 0 else 16000
+            rate_out, s = mm.decode_wav(mm.encode_wav(n, rate, seed))
+            assert rate_out == rate
+            assert len(s) == n
+            t = np.arange(n, dtype=np.int64)
+            want = (1 + mm._WAV_A * seed + mm._WAV_B * t) % 65536 - 32768
+            assert (s.astype(np.int64) == want).all()
+
+    def test_junk_chunk_walked_not_assumed(self):
+        from feature_datalake_sl_mandic_spark.multimodal import media as mm
+
+        # odd seeds embed a LIST chunk before data; decode must skip it
+        payload = mm.encode_wav(256, 16000, seed=1)
+        assert b"LIST" in payload
+        rate, s = mm.decode_wav(payload)
+        assert rate == 16000 and len(s) == 256
+
+    def test_rejects_garbage_and_non_pcm(self):
+        import struct
+
+        import pytest as _pytest
+
+        from feature_datalake_sl_mandic_spark.multimodal import media as mm
+
+        with _pytest.raises(ValueError):
+            mm.decode_wav(b"not a wav at all")
+        # PCM float format id (3) must be refused
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        bad = b"RIFF" + struct.pack("<I", len(body)) + body
+        with _pytest.raises(ValueError):
+            mm.decode_wav(bad)
+
+    def test_registered_query_features_exact(self, spark):
+        import numpy as np
+
+        from feature_datalake_sl_mandic_spark.multimodal import media as mm
+
+        rows = mm.multimodal_wav_decode(spark, "unused").collect()
+        assert len(rows) == mm._WAV_N
+        for r in rows:
+            t = np.arange(r["n_samples"], dtype=np.int64)
+            v = (1 + mm._WAV_A * r["media_id"] + mm._WAV_B * t) % 65536 - 32768
+            assert r["abs_sum"] == int(np.abs(v).sum())
+            assert r["n_zero_cross"] == int(((v[1:] * v[:-1]) < 0).sum())
+            assert r["duration_ms"] == r["n_samples"] * 1000 // r["sample_rate"]
