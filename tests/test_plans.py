@@ -190,3 +190,73 @@ class TestRound3GlobalWindowRemoval:
 
         # 44 before round 3 (tokenization re-derived ~4x); now 14.
         assert plans.count_shuffles(text_sparse_cosine_pairs(spark, SF_SMALL)) <= 20
+
+
+class TestRound3WaveFourPlans:
+    """Plan-shape contracts for the wave-4 operators: blocking joins stay
+    equi-joins (no cartesian), share-of-total stays window-free, and the
+    checkpointed shared subtrees keep their reduced shuffle counts."""
+
+    def test_er_blocking_is_equi_join_not_cartesian(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.linkage import (
+            er_parts_scored_matches,
+        )
+
+        plan = plans.formatted_plan(er_parts_scored_matches(spark, SF_SMALL))
+        assert "Cartesian" not in plan and "NestedLoop" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+    def test_histogram_share_of_total_window_free(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.aggregates import (
+            agg_histogram_order_value,
+        )
+
+        assert "Window" not in plans.formatted_plan(
+            agg_histogram_order_value(spark, SF_SMALL)
+        )
+
+    def test_df_cap_single_shingle_subtree(self, spark):
+        """The count-over-window DF cap must evaluate the explode+md5
+        shingle subtree ONCE (one Generate) and shuffle it once."""
+        from feature_datalake_sl_mandic_spark.operators.dedup import (
+            MINHASH_MAX_DF,
+            hashed_shingles_with_df_cap,
+        )
+        from feature_datalake_sl_mandic_spark.catalog import load_table
+
+        dc = load_table(spark, SF_SMALL, "documents")
+        import re
+
+        df = hashed_shingles_with_df_cap(dc, MINHASH_MAX_DF)
+        plan = plans.formatted_plan(df)
+        # one Generate NODE (each node appears once in the tree and once in
+        # the numbered detail section)
+        assert len(re.findall(r"\(\d+\) Generate", plan)) == 1
+        assert plans.count_shuffles(df) <= 2
+
+    def test_jsd_tokenizes_once(self, spark):
+        """After the checkpoint, the pair join's plan must not re-derive the
+        tokenize->count relation per subtree (shuffle count stays low)."""
+        from feature_datalake_sl_mandic_spark.operators.text import (
+            corpus_js_divergence_sources,
+        )
+
+        assert plans.count_shuffles(
+            corpus_js_divergence_sources(spark, SF_SMALL)
+        ) <= 10
+
+    def test_weighted_reservoir_pushes_scan_to_three_columns(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.text import (
+            sample_weighted_reservoir,
+        )
+
+        rs = plans.read_schemas(sample_weighted_reservoir(spark, SF_SMALL))
+        assert rs and all(s.count(":") <= 3 for s in rs)
+
+    def test_two_stage_rerank_broadcasts_shortlist_side(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.similarity import (
+            ann_two_stage_rerank,
+        )
+
+        df = ann_two_stage_rerank(spark, SF_SMALL)
+        assert plans.count_broadcast_joins(df) >= 2  # query side + shortlist
