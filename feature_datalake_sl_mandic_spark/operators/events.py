@@ -1069,3 +1069,102 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(delay_min, 0.9)"), 4).alias("p90_delay_min"),
         F.round(F.max("delay_min"), 4).alias("max_delay_min"),
     )
+
+
+# ---------------------------------------------- clamped running balance
+
+BALANCE_USER_CAP = 40  # users included (bounds the recursive oracle's depth)
+
+
+@register(
+    "events_capped_running_balance",
+    oracle=f"""
+    WITH RECURSIVE deltas AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE -CAST(round(value * 100) AS BIGINT) END AS delta_cents
+      FROM events
+      WHERE event_type IN ('purchase', 'error') AND user_id < {BALANCE_USER_CAP}
+    ),
+    bal AS (
+      SELECT user_id, rn, delta_cents,
+             greatest(CAST(0 AS BIGINT), delta_cents) AS bal_cents
+      FROM deltas WHERE rn = 1
+      UNION ALL
+      SELECT d.user_id, d.rn, d.delta_cents,
+             greatest(CAST(0 AS BIGINT), b.bal_cents + d.delta_cents)
+      FROM bal b
+      JOIN deltas d ON d.user_id = b.user_id AND d.rn = b.rn + 1
+    )
+    SELECT user_id, CAST(rn AS BIGINT) AS rn,
+           round(delta_cents / 100.0, 2) AS delta,
+           round(bal_cents / 100.0, 2) AS balance
+    FROM bal
+    ORDER BY user_id, rn
+    """,
+    tags=("events", "stateful", "applyInPandas", "recursive", "clamp"),
+)
+def events_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running balance clamped at zero — credits (purchases) add value,
+    debits (errors) subtract it, and the balance floors at 0 instead of
+    going negative: b_t = max(0, b_{{t-1}} + delta_t). The clamp makes this
+    NON-decomposable: unlike a plain running sum, no window frame or prefix
+    trick expresses it (each step depends on the clamped previous state), so
+    it's the canonical case for a per-key sequential kernel. Implemented as
+    ``applyInPandas``: one shuffle on user_id, then an integer-cents loop
+    per group — EXACT arithmetic, so it hash-matches the oracle's recursive
+    CTE (the SQL spelling of the same recurrence) with zero float-order
+    slack. Inventory with stockouts, credit ledgers, token buckets, and
+    battery state-of-charge all reduce to this shape.
+
+    Scale: the shuffle carries (user, ts, cents); each group is one pandas
+    frame bounded by per-user event counts. The user_id cap only bounds the
+    ORACLE's recursion depth at sf0.1+ — the Spark side is cap-free in
+    structure."""
+    import numpy as np
+    import pandas as pd
+
+    (ev,) = _t(spark, sf_dir, "events")
+    base = ev.where(
+        F.col("event_type").isin("purchase", "error")
+        & (F.col("user_id") < BALANCE_USER_CAP)
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100).cast("bigint"),
+        )
+        .otherwise(-F.round(F.col("value") * 100).cast("bigint"))
+        .alias("delta_cents"),
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        deltas = pdf["delta_cents"].to_numpy(dtype="int64")
+        bal = np.empty(len(deltas), dtype="int64")
+        acc = 0
+        for i, d in enumerate(deltas):
+            acc = max(0, acc + int(d))
+            bal[i] = acc
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(dtype="int64"),
+                "rn": np.arange(1, len(deltas) + 1, dtype="int64"),
+                "delta": deltas / 100.0,
+                "balance": bal / 100.0,
+            }
+        )
+
+    return (
+        base.groupBy("user_id")
+        .applyInPandas(run, schema="user_id long, rn long, delta double, balance double")
+        .select(
+            "user_id", "rn", F.round("delta", 2).alias("delta"), F.round("balance", 2).alias("balance")
+        )
+        .orderBy("user_id", "rn")
+    )

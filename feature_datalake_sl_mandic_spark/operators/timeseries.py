@@ -852,3 +852,73 @@ def ts_seasonal_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type", "day")
     )
+
+
+FORECAST_SEASON = 7  # seasonal-naive lag (days)
+BACKTEST_DAYS = 28  # trailing window scored per series
+
+
+@register(
+    "ts_seasonal_naive_backtest",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CTE}),
+    horizon AS (
+      SELECT event_type, max(day) AS last_day FROM daily GROUP BY 1
+    ),
+    joined AS (
+      SELECT a.event_type, a.day, a.daily_value,
+             f.daily_value AS forecast
+      FROM daily a
+      JOIN daily f ON f.event_type = a.event_type
+                  AND f.day = a.day - {FORECAST_SEASON}
+      JOIN horizon h ON h.event_type = a.event_type
+      WHERE a.day > h.last_day - {BACKTEST_DAYS}
+        AND a.daily_value <> 0
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           round(avg(abs(daily_value - forecast) / abs(daily_value)), 4)
+             AS mape,
+           round(avg(abs(daily_value - forecast)), 4) AS mae
+    FROM joined
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("timeseries", "forecast", "backtest", "seasonal-naive", "events"),
+)
+def ts_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's value as the
+    value one season (7 days) earlier and score MAPE / MAE over the trailing
+    28 days per series — the baseline every fancier forecaster must beat,
+    and the accuracy floor a monitoring pipeline alarms against. The
+    forecast 'join' is the same shifted-calendar equi-join as the ACF/xcorr
+    plans; gaps drop scored days rather than misaligning them.
+
+    Scale shape: runs entirely on the bounded daily pre-aggregate — one
+    equi-join on (event_type, day - 7), one per-series aggregation. Zero
+    windows, zero UDFs."""
+    daily = _daily_series(spark, sf_dir).localCheckpoint(eager=False)
+    horizon = daily.groupBy("event_type").agg(F.max("day").alias("last_day"))
+    f_side = daily.select(
+        "event_type",
+        F.date_add(F.col("day"), FORECAST_SEASON).alias("day"),
+        F.col("daily_value").alias("forecast"),
+    )
+    joined = (
+        daily.join(f_side, ["event_type", "day"])
+        .join(F.broadcast(horizon), "event_type")
+        .where(
+            (F.col("day") > F.date_sub(F.col("last_day"), BACKTEST_DAYS))
+            & (F.col("daily_value") != 0)
+        )
+    )
+    err = F.abs(F.col("daily_value") - F.col("forecast"))
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.round(F.avg(err / F.abs(F.col("daily_value"))), 4).alias("mape"),
+            F.round(F.avg(err), 4).alias("mae"),
+        )
+        .orderBy("event_type")
+    )

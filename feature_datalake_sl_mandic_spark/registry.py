@@ -173,7 +173,8 @@ _PRIORITY: list[str] = [
 # sketch_hll_manual_users, sketch_kmv_set_algebra_users, eval_dedup_lsh_recall,
 # validate_referential_integrity, ts_seasonal_adjusted_anomalies,
 # drift_embedding_centroid_shift, pyds_training_shards_roundtrip,
-# sketch_hll_daily_to_weekly_merge, multimodal_wav_decode.
+# sketch_hll_daily_to_weekly_merge, multimodal_wav_decode,
+# ts_seasonal_naive_backtest, events_capped_running_balance.
 # (multimodal_feature_extract stays out of every window by design: its codec
 # stubs make it permanently rows-only; multimodal_ppm_decode is the family's
 # hash-green representative.)
