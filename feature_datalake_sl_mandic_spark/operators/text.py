@@ -1623,3 +1623,84 @@ def corpus_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("jsd"),
     ).orderBy("source_a", "source_b")
+
+
+# ----------------------------------------------------- Zipf power-law fit
+
+ZIPF_TOP = 50  # tokens per language entering the log-log fit
+
+
+@register(
+    "corpus_zipf_fit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ),
+    tc AS (SELECT lang, tok, count(*) AS freq FROM toks GROUP BY 1, 2),
+    ranked AS (
+      SELECT lang, tok, freq,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY freq DESC, tok) AS rnk
+      FROM tc
+    ),
+    pts AS (
+      SELECT lang, ln(rnk) AS x, ln(freq) AS y
+      FROM ranked WHERE rnk <= {ZIPF_TOP}
+    ),
+    fit AS (
+      SELECT lang, count(*) AS n_points,
+             regr_slope(y, x) AS slope,
+             regr_intercept(y, x) AS intercept,
+             regr_r2(y, x) AS r2
+      FROM pts GROUP BY lang
+    )
+    SELECT lang, CAST(n_points AS BIGINT) AS n_points,
+           round(-slope, 4) AS zipf_alpha,
+           round(intercept, 4) AS log_c,
+           round(r2, 4) AS r2
+    FROM fit
+    ORDER BY lang
+    """,
+    tags=("text", "statistics", "zipf", "power-law", "corpus-profile"),
+)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language: OLS of log(frequency) on log(rank) over
+    each language's top-50 tokens — alpha near 1 with high R² says the
+    corpus has natural-language token statistics; a flat or kinked fit flags
+    synthetic, templated, or boilerplate-heavy text (the corpus-level
+    companion to the per-document repetition/entropy gates). The fitted
+    alpha also calibrates the CMS/head-vocabulary skew assumptions the
+    LM-scoring plans document.
+
+    Scale shape: token counts collapse map-side; the rank is a window
+    PARTITIONED BY lang over the per-lang vocabulary (never raw tokens) and
+    only top-50 rows survive into the regression, which both engines
+    compute with the same closed-form sufficient statistics
+    (regr_slope/intercept/r2)."""
+    from pyspark.sql.window import Window as _W
+
+    (dc,) = _t(spark, sf_dir, "documents")
+    tc = (
+        dc.select("lang", F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = _W.partitionBy("lang").orderBy(F.col("freq").desc(), "tok")
+    pts = (
+        tc.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= ZIPF_TOP)
+        .select(
+            "lang", F.log(F.col("rnk")).alias("x"), F.log(F.col("freq")).alias("y")
+        )
+    )
+    return (
+        pts.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(-F.expr("regr_slope(y, x)"), 4).alias("zipf_alpha"),
+            F.round(F.expr("regr_intercept(y, x)"), 4).alias("log_c"),
+            F.round(F.expr("regr_r2(y, x)"), 4).alias("r2"),
+        )
+        .orderBy("lang")
+    )
