@@ -184,6 +184,10 @@ def graph_pagerank_cosupply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed = e.select("u", "v").unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = ed.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
     n = deg.count()  # bounded: node count of the capped edge list
+    if n == 0:  # empty graph: no vertices, no ranks — not a division crash
+        return deg.select(
+            F.col("node").alias("s_suppkey"), F.lit(0.0).alias("pagerank")
+        ).orderBy("s_suppkey")
     pr = deg.select("node", "d", F.round(F.lit(1.0) / n, 6).alias("pr"))
     for _ in range(2):
         contrib = ed.join(pr, ed["u"] == pr["node"]).select(

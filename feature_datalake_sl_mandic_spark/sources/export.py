@@ -52,20 +52,26 @@ def export_training_shards(packed: DataFrame, out_dir: str) -> dict:
     # Stats come from reading back the WRITTEN files, not from re-executing
     # ``packed``'s lineage: two actions over a nondeterministic input would
     # otherwise publish a manifest describing data that was never written,
-    # silently voiding the self-validation contract.
-    written = packed.sparkSession.read.parquet(data_dir)
-    stats = (
-        written.select("lang", "shard_id", "n_tokens", h.alias("h"))
-        .groupBy("lang", "shard_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("total_tokens"),
-            F.bit_xor("h").alias("content_xor"),
-            F.sum(F.col("h") % CHECKSUM_MOD).alias("content_sum_mod"),
+    # silently voiding the self-validation contract. An empty corpus writes
+    # no partition files at all (so the read-back would fail schema
+    # inference) — publish a valid zero-shard manifest instead.
+    if len(packed.take(1)) == 0:
+        os.makedirs(data_dir, exist_ok=True)
+        stats = []
+    else:
+        written = packed.sparkSession.read.parquet(data_dir)
+        stats = (
+            written.select("lang", "shard_id", "n_tokens", h.alias("h"))
+            .groupBy("lang", "shard_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("total_tokens"),
+                F.bit_xor("h").alias("content_xor"),
+                F.sum(F.col("h") % CHECKSUM_MOD).alias("content_sum_mod"),
+            )
+            .orderBy("lang", "shard_id")
+            .collect()  # bounded: one row per shard
         )
-        .orderBy("lang", "shard_id")
-        .collect()  # bounded: one row per shard
-    )
     manifest = {
         "shards": [
             {

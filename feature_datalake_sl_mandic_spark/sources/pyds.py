@@ -78,6 +78,8 @@ class TrainingShardsReader(DataSourceReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        if part is None:  # zero-shard manifest: Spark still issues one read
+            return
         tbl = pq.read_table(part.path, columns=["doc_id", "n_tokens", "text"])
         if self.validate:
             xor, summod = 0, 0
