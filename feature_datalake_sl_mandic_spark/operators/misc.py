@@ -451,6 +451,12 @@ def groupmap_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         ev.select("user_id", "ts", "event_id", "value")
+        # null keys/ts/values carry no fit signal and would NaN the kernel
+        .where(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+        )
         .groupBy("user_id")
         .applyInPandas(
             fit,
@@ -807,6 +813,8 @@ def arrow_batch_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         em.select("vec_id", "embedding")
+        # a NULL embedding has no norm; drop before the Arrow kernel
+        .where(F.col("embedding").isNotNull())
         .mapInArrow(norms, "vec_id BIGINT, dim BIGINT, l2_norm DOUBLE")
         .orderBy("vec_id")
     )
@@ -841,7 +849,10 @@ def maps_zipwith_type_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted collect_lists so construction order is deterministic, and sums
     are exact integer cents so no engine can flip a rounding boundary."""
     (ev,) = _t(spark, sf_dir, "events")
-    per_type = ev.groupBy("user_id", "event_type").agg(
+    # a NULL event_type cannot be a map key (NULL_MAP_KEY)
+    per_type = ev.where(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    ).groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("c"),
         F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("s100"),
     )

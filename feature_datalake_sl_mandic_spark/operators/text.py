@@ -625,6 +625,8 @@ def corpus_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, doc_id: int, text: str):
             import hashlib
 
+            if text is None:  # null docs chunk to nothing, not a crash
+                return
             toks = text.split(" ")
             for k, start in enumerate(range(0, len(toks), CHUNK_STRIDE)):
                 chunk = toks[start : start + CHUNK_SIZE]
@@ -639,6 +641,7 @@ def corpus_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT c.doc_id, c.chunk_id, c.chunk_tokens, c.chunk_md5
         FROM documents d, LATERAL chunk_doc(d.doc_id, d.text) c
+        WHERE d.text IS NOT NULL
         ORDER BY doc_id, chunk_id
         """
     )

@@ -170,7 +170,11 @@ def pyds_training_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     from feature_datalake_sl_mandic_spark.operators.text import pack_shard_assignments
     from feature_datalake_sl_mandic_spark.sources.export import export_training_shards
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").where(
+        # shards partition by (lang, shard_id) and checksum over text:
+        # null-keyed rows have no shard home and are excluded up front
+        F.col("lang").isNotNull() & F.col("text").isNotNull()
+    )
     packed = pack_shard_assignments(docs).join(docs.select("doc_id", "text"), "doc_id")
     out = tempfile.mkdtemp(prefix="pyds_shards_")
     export_training_shards(packed, out)
