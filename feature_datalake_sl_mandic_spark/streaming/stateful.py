@@ -69,3 +69,60 @@ def user_profiles(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ------------------------------------------- clamped running balance (stream)
+
+BALANCE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("balance_cents", T.LongType()),
+        T.StructField("n_applied", T.LongType()),
+    ]
+)
+
+BALANCE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("bal", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _update_balance(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    bal, n = state.get if state.exists else (0, 0)
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    # deltas within a micro-batch apply in event-time order; order ACROSS
+    # micro-batches is the source's ordering contract (see docstring)
+    batch = batch.sort_values(["ts", "event_id"])
+    for d in batch["delta_cents"].astype("int64"):
+        bal = max(0, bal + int(d))
+        n += 1
+    state.update((int(bal), int(n)))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "balance_cents": [int(bal)], "n_applied": [int(n)]}
+    )
+
+
+def clamped_balances(deltas: DataFrame) -> DataFrame:
+    """Streaming twin of ``events_capped_running_balance``: the zero-clamped
+    ledger b_t = max(0, b_{t-1} + delta_t) carried ACROSS micro-batches as
+    per-user state — the op is non-decomposable (no window rewrite exists),
+    so custom state is the only streaming form. Input: a stream of
+    (user_id, ts, event_id, delta_cents). Emits each user's post-batch
+    balance and applied-count per micro-batch in which the user appears;
+    integer-cents state means stream == batch EXACTLY when micro-batches
+    respect event-time order per user (file sources replaying time-ordered
+    files satisfy this; see tests/test_stateful_streaming.py).
+
+    Scale: state is two longs per user, sharded with the user_id shuffle;
+    each micro-batch touches only the users present in it."""
+    return deltas.groupBy("user_id").applyInPandasWithState(
+        _update_balance,
+        outputStructType=BALANCE_SCHEMA,
+        stateStructType=BALANCE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
