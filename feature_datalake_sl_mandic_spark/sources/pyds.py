@@ -256,3 +256,98 @@ class TrainingShardsStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # manifest-backed source: nothing to clean up
+
+
+# --------------------------------------------------- custom writer (sink side)
+
+from dataclasses import dataclass  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _ShardCommit(WriterCommitMessage):
+    path: str
+    n_rows: int
+    n_chars: int
+
+
+class JsonlShardsWriter(DataSourceWriter):
+    """Task side: each partition writes ONE JSONL shard to a temp name and
+    reports (path, rows, chars) in its commit message. Driver side: commit()
+    atomically publishes `_manifest.json` from the collected messages — the
+    same two-phase pattern real table formats use (tasks stage files, the
+    driver's single commit makes them visible). abort() leaves no manifest,
+    so failed jobs are invisible to readers by construction."""
+
+    def __init__(self, options: dict):
+        self.root = options.get("path")
+        if not self.root:
+            raise ValueError("jsonl_shards: option 'path' required")
+
+    def write(self, iterator) -> _ShardCommit:
+        import json as _json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.root, exist_ok=True)
+        path = os.path.join(self.root, f"shard-{pid:05d}-{uuid.uuid4().hex}.jsonl")
+        n_rows = n_chars = 0
+        with open(path, "w") as f:
+            for row in iterator:
+                line = _json.dumps(row.asDict(), sort_keys=True, default=str)
+                f.write(line + "\n")
+                n_rows += 1
+                n_chars += len(line)
+        return _ShardCommit(path=path, n_rows=n_rows, n_chars=n_chars)
+
+    def commit(self, messages) -> None:
+        import json as _json
+        import os
+
+        manifest = {
+            "shards": [
+                {"path": m.path, "n_rows": m.n_rows, "n_chars": m.n_chars}
+                for m in messages
+                if m is not None
+            ],
+            "n_rows": sum(m.n_rows for m in messages if m is not None),
+        }
+        tmp = os.path.join(self.root, "_manifest.json.tmp")
+        with open(tmp, "w") as f:
+            _json.dump(manifest, f, indent=2, sort_keys=True)
+        os.replace(tmp, os.path.join(self.root, "_manifest.json"))
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonlShardsDataSource(DataSource):
+    """``df.write.format("jsonl_shards").option("path", d).mode("append").save()``
+    — the WRITE side of the Python DataSource API: per-task staged JSONL
+    shards published atomically by a driver-side manifest commit."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_shards"
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return JsonlShardsWriter(self.options)
+
+
+def register_jsonl_shards(spark) -> None:
+    """Idempotently register the sink with this session."""
+    try:
+        spark.dataSource.register(JsonlShardsDataSource)
+    except Exception:
+        pass

@@ -175,3 +175,50 @@ class TestTrainingShardsStream:
         # rows carry the first shard's partition values
         langs = {row[3] for row in batch1}
         assert len(langs) == 1
+
+
+class TestJsonlShardsWriter:
+    def test_write_publishes_manifest_and_roundtrips(self, spark, tmp_path):
+        import json
+
+        from feature_datalake_sl_mandic_spark.catalog import load_table
+        from feature_datalake_sl_mandic_spark.sources.pyds import (
+            register_jsonl_shards,
+        )
+
+        docs = load_table(spark, SF_SMALL, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        out = str(tmp_path / "jsonl")
+        register_jsonl_shards(spark)
+        docs.repartition(3).write.format("jsonl_shards").option("path", out).mode(
+            "append"
+        ).save()
+
+        with open(f"{out}/_manifest.json") as f:
+            manifest = json.load(f)
+        assert manifest["n_rows"] == docs.count()
+        assert len(manifest["shards"]) == 3
+        for s in manifest["shards"]:
+            assert s["n_rows"] > 0
+
+        back = spark.read.json(f"{out}/*.jsonl")
+        assert back.count() == docs.count()
+        want = {(r.doc_id, r.lang, r.n_chars) for r in docs.collect()}
+        got = {(r.doc_id, r.lang, r.n_chars) for r in back.collect()}
+        assert got == want
+
+    def test_empty_frame_commits_empty_manifest(self, spark, tmp_path):
+        import json
+
+        from feature_datalake_sl_mandic_spark.catalog import load_table
+        from feature_datalake_sl_mandic_spark.sources.pyds import (
+            register_jsonl_shards,
+        )
+
+        docs = load_table(spark, SF_SMALL, "documents").limit(0).select("doc_id")
+        out = str(tmp_path / "jsonl_empty")
+        register_jsonl_shards(spark)
+        docs.write.format("jsonl_shards").option("path", out).mode("append").save()
+        with open(f"{out}/_manifest.json") as f:
+            assert json.load(f)["n_rows"] == 0
