@@ -209,7 +209,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_minhash_lsh_sql() -> str:
+def _duck_minhash_lsh_sql(batch_min: int | None = None) -> str:
+    batch_pred = f"AND b.doc_id >= {batch_min}" if batch_min is not None else ""
     mins = ",\n           ".join(
         f"{_duck_minhash(j)} AS m{j}" for j in range(MINHASH_K)
     )
@@ -239,6 +240,7 @@ def _duck_minhash_lsh_sql() -> str:
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+           {batch_pred}
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
@@ -270,13 +272,20 @@ def _duck_minhash_lsh_sql() -> str:
     oracle=_duck_minhash_lsh_sql(),
     tags=("dedup", "near-dedup", "minhash", "lsh"),
 )
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, batch_min: int | None = None
+) -> DataFrame:
     """MinHash(k=8) + LSH(4 bands × 2 rows) near-dup: sub-quadratic candidate
     generation by equality on banded signatures, then exact-Jaccard verify.
 
     The hash family is md5-derived and identical in the oracle, so the full
     pipeline — signatures, banding, candidates, verification — hash-matches
-    DuckDB exactly rather than being spot-checked."""
+    DuckDB exactly rather than being spot-checked.
+
+    ``batch_min`` restricts the RIGHT side of the band join to doc_id >=
+    batch_min: with a.doc_id < b.doc_id this keeps index x batch and
+    batch x batch collisions while excluding index x index entirely — the
+    incremental-maintenance form (see ``dedup_incremental_minhash``)."""
     (dc,) = _t(spark, sf_dir, "documents")
     dc.createOrReplaceTempView("documents")
     # DF-capped shingles: boilerplate shingles shared by > MINHASH_MAX_DF
@@ -328,13 +337,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical in every carried column, so dropDuplicates on the pair key is
     # deterministic in content (one shuffle — same price the old .distinct()
     # paid, but now it also dedups the carried signatures).
+    band_cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.sig") == F.col("b.sig"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    if batch_min is not None:
+        band_cond = band_cond & (F.col("b.doc_id") >= batch_min)
     cand = (
-        ba.join(
-            bb,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        ba.join(bb, band_cond)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -929,3 +940,27 @@ def eval_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(common * 1.0 / F.sum("in_truth"), 4).alias("recall_"),
         F.round(2.0 * common / (F.sum("in_truth") + F.sum("in_lsh")), 4).alias("f1"),
     )
+
+
+# ------------------------------------- incremental MinHash index maintenance
+
+INCR_MINHASH_BATCH_MIN = 400  # same batch boundary as dedup_incremental_batch
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=_duck_minhash_lsh_sql(batch_min=INCR_MINHASH_BATCH_MIN),
+    tags=("dedup", "near-dedup", "minhash", "lsh", "incremental"),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH index maintenance — the daily-pipeline form of
+    ``dedup_minhash_lsh``: signatures exist for the whole corpus (in
+    production the index side's signatures are STORED, not recomputed), and
+    the band join restricts its right side to the newly-arrived batch
+    (doc_id >= 400, the same boundary as ``dedup_incremental_batch``). With
+    a.doc_id < b.doc_id that admits index x batch and batch x batch
+    collisions while generating ZERO index x index pairs — yesterday's
+    corpus never re-compares against itself, so daily cost scales with the
+    batch, not the archive. The exact-hash incremental op catches identical
+    re-sends; this one catches NEAR-duplicates of archived documents."""
+    return dedup_minhash_lsh(spark, sf_dir, batch_min=INCR_MINHASH_BATCH_MIN)

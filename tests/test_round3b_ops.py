@@ -262,3 +262,25 @@ class TestPqLloydRefinement:
             per_q.setdefault(r.query_id, []).append(r.rank)
         for q, ranks in per_q.items():
             assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+
+
+class TestIncrementalMinhash:
+    def test_incremental_is_exact_restriction_of_full(self, spark):
+        """The incremental band join must produce EXACTLY the full result
+        restricted to pairs whose right side is in the new batch — no
+        index x index pair, nothing from the batch lost."""
+        from feature_datalake_sl_mandic_spark.operators import dedup as D
+
+        full = {
+            (r.doc_a, r.doc_b)
+            for r in D.dedup_minhash_lsh(spark, SF_MID).collect()
+        }
+        incr = {
+            (r.doc_a, r.doc_b)
+            for r in D.dedup_incremental_minhash(spark, SF_MID).collect()
+        }
+        want = {
+            (a, b) for a, b in full if b >= D.INCR_MINHASH_BATCH_MIN
+        }
+        assert incr == want
+        assert all(b >= D.INCR_MINHASH_BATCH_MIN for _, b in incr)
