@@ -610,3 +610,134 @@ def sketch_hll_daily_to_weekly_merge(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("event_type", "week")
     )
+
+
+# ------------------------------------------------ DDSketch quantile sketch
+
+DD_ALPHA = 0.01  # relative-accuracy guarantee
+DD_GAMMA = (1 + DD_ALPHA) / (1 - DD_ALPHA)
+_DD_QS = (0.5, 0.95, 0.99)
+
+
+@register(
+    "sketch_ddsketch_order_quantiles",
+    oracle=f"""
+    WITH b AS (
+      SELECT o_orderstatus,
+             CAST(ceil(ln(o_totalprice) / ln({DD_GAMMA!r})) AS BIGINT) AS idx
+      FROM orders WHERE o_totalprice > 0
+    ),
+    buckets AS (
+      SELECT o_orderstatus, idx, count(*) AS c FROM b GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT o_orderstatus, idx, c,
+             sum(c) OVER (PARTITION BY o_orderstatus ORDER BY idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(c) OVER (PARTITION BY o_orderstatus) AS n
+      FROM buckets
+    ),
+    qs AS (SELECT unnest([{", ".join(str(q) for q in _DD_QS)}]) AS q),
+    hit AS (
+      SELECT o_orderstatus, q, min(idx) AS idx
+      FROM cum CROSS JOIN qs
+      WHERE cum >= ceil(q * n)
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT o_orderstatus, 0.5 AS q,
+             quantile_cont(o_totalprice, 0.5) AS exact_q
+      FROM orders WHERE o_totalprice > 0 GROUP BY 1
+      UNION ALL
+      SELECT o_orderstatus, 0.95 AS q,
+             quantile_cont(o_totalprice, 0.95) AS exact_q
+      FROM orders WHERE o_totalprice > 0 GROUP BY 1
+      UNION ALL
+      SELECT o_orderstatus, 0.99 AS q,
+             quantile_cont(o_totalprice, 0.99) AS exact_q
+      FROM orders WHERE o_totalprice > 0 GROUP BY 1
+    )
+    SELECT h.o_orderstatus AS o_orderstatus, h.q AS q,
+           round(2 * pow({DD_GAMMA!r}, h.idx) / ({DD_GAMMA!r} + 1), 4)
+             AS dd_estimate,
+           round(x.exact_q, 4) AS exact_q,
+           round(abs(2 * pow({DD_GAMMA!r}, h.idx) / ({DD_GAMMA!r} + 1) - x.exact_q)
+                 / x.exact_q, 4) AS rel_error
+    FROM hit h JOIN exact x
+      ON x.o_orderstatus = h.o_orderstatus AND x.q = h.q
+    ORDER BY 1, 2
+    """,
+    tags=("sketch", "ddsketch", "quantile", "mergeable", "relative-error"),
+)
+def sketch_ddsketch_order_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch (relative-error quantile sketch, the Datadog/OpenTelemetry
+    histogram): values land in log-spaced buckets idx = ceil(log_gamma(x))
+    with gamma = (1+a)/(1-a), a = 1%; any quantile is answered from the
+    cumulative bucket counts with RELATIVE error <= a — the guarantee
+    percentile-of-latency monitoring needs, where absolute-error sketches
+    waste all their resolution on the tail. Buckets MERGE by adding counts
+    (like the HLL registers), so per-partition/per-day sketches roll up
+    losslessly. Exact quantiles ride along; the rel_error column shows the
+    guarantee holding (pinned in tests/test_round3b_ops.py).
+
+    Scale shape: one map-side-combined count per (group, bucket) — state is
+    O(groups x log_gamma(max/min)) ~ a few hundred cells per group
+    regardless of input size; the quantile walk is a window over those
+    cells. The exact side is the test harness, not a production cost."""
+    (od,) = _t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window as _W
+
+    pos = od.where(F.col("o_totalprice") > 0)
+    idx = F.ceil(F.log(F.col("o_totalprice")) / F.lit(float(__import__("math").log(DD_GAMMA)))).cast(
+        "bigint"
+    )
+    buckets = pos.select("o_orderstatus", idx.alias("idx")).groupBy(
+        "o_orderstatus", "idx"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wcum = _W.partitionBy("o_orderstatus").orderBy("idx").rowsBetween(
+        _W.unboundedPreceding, _W.currentRow
+    )
+    wall = _W.partitionBy("o_orderstatus")
+    cum = buckets.select(
+        "o_orderstatus",
+        "idx",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    qs = spark.createDataFrame([(q,) for q in _DD_QS], "q double")
+    hit = (
+        cum.crossJoin(F.broadcast(qs))
+        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("o_orderstatus", "q")
+        .agg(F.min("idx").alias("idx"))
+    )
+    q_arr = ", ".join(str(q) for q in _DD_QS)
+    exact = (
+        pos.groupBy("o_orderstatus")
+        .agg(F.expr(f"percentile(o_totalprice, array({q_arr}))").alias("arr"))
+        .select(
+            "o_orderstatus",
+            F.posexplode("arr").alias("qi", "exact_q"),
+        )
+        .select(
+            "o_orderstatus",
+            F.element_at(
+                F.array(*[F.lit(q) for q in _DD_QS]), F.col("qi") + 1
+            ).alias("q"),
+            "exact_q",
+        )
+    )
+    est = F.lit(2.0) * F.pow(F.lit(DD_GAMMA), F.col("idx")) / F.lit(DD_GAMMA + 1)
+    return (
+        hit.join(exact, ["o_orderstatus", "q"])
+        .select(
+            "o_orderstatus",
+            "q",
+            F.round(est, 4).alias("dd_estimate"),
+            F.round("exact_q", 4).alias("exact_q"),
+            F.round(F.abs(est - F.col("exact_q")) / F.col("exact_q"), 4).alias(
+                "rel_error"
+            ),
+        )
+        .orderBy("o_orderstatus", "q")
+    )

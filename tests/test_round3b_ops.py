@@ -284,3 +284,20 @@ class TestIncrementalMinhash:
         }
         assert incr == want
         assert all(b >= D.INCR_MINHASH_BATCH_MIN for _, b in incr)
+
+
+class TestDdSketch:
+    def test_relative_error_within_guarantee(self, spark):
+        """DDSketch promises relative error <= alpha against the true
+        quantile; allow 2x slack for the rank-vs-interpolation convention
+        difference at fixture sizes."""
+        from feature_datalake_sl_mandic_spark.operators import sketches as S
+
+        rows = S.sketch_ddsketch_order_quantiles(spark, SF_MID).collect()
+        assert len(rows) >= 6  # statuses x quantiles
+        for r in rows:
+            assert r.rel_error <= 2 * S.DD_ALPHA + 1e-9, (
+                r.o_orderstatus,
+                r.q,
+                r.rel_error,
+            )
