@@ -922,3 +922,145 @@ def ts_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+CUSUM_DRIFT_K = 0.5  # drift allowance, in per-series stddev units
+CUSUM_THRESHOLD_H = 4.0  # alarm threshold, in per-series stddev units
+
+
+@register(
+    "ts_cusum_mean_shift",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CTE}),
+    st AS (
+      SELECT event_type, avg(daily_value) AS mu,
+             stddev_samp(daily_value) AS sigma
+      FROM daily GROUP BY 1
+    ),
+    cum AS (
+      SELECT d.event_type, d.day, d.daily_value,
+             sum((d.daily_value - s.mu) / s.sigma - {CUSUM_DRIFT_K})
+               OVER (PARTITION BY d.event_type ORDER BY d.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM daily d JOIN st s USING (event_type)
+      WHERE s.sigma > 0
+    ),
+    scored AS (
+      SELECT event_type, day, daily_value,
+             c - min(c) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cusum_score
+      FROM cum
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day, daily_value,
+           round(cusum_score, 4) AS cusum_score
+    FROM scored
+    WHERE cusum_score > {CUSUM_THRESHOLD_H}
+    ORDER BY event_type, day
+    """,
+    tags=("timeseries", "changepoint", "cusum", "window", "events"),
+)
+def ts_cusum_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point detection (Page's test): standardized
+    deviations accumulate with a drift allowance k, and the classic
+    recursive score S_t = max(0, S_{{t-1}} + z_t - k) is rewritten in CLOSED
+    FORM as C_t - min_{{i<=t}} C_i over the plain cumulative sum C — two
+    running windows, no recursion, no UDF. Days where the score exceeds h
+    flag a sustained UPWARD mean shift (a persistent level change the
+    spike-oriented z-score detector deliberately ignores, and the
+    seasonally-adjusted detector only sees day-by-day).
+
+    Scale shape: same as every detector in this module — the bounded daily
+    pre-aggregate, per-series broadcast stats, one partitioned ordered
+    window. The rewrite is exact: max(0, .) folding and prefix-min differ
+    by algebra, not approximation."""
+    daily = _daily_series(spark, sf_dir).localCheckpoint(eager=False)
+    st = daily.groupBy("event_type").agg(
+        F.avg("daily_value").alias("mu"),
+        F.stddev_samp("daily_value").alias("sigma"),
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    z_drift = (F.col("daily_value") - F.col("mu")) / F.col("sigma") - F.lit(
+        CUSUM_DRIFT_K
+    )
+    cum = (
+        daily.join(F.broadcast(st), "event_type")
+        .where(F.col("sigma") > 0)
+        .withColumn("c", F.sum(z_drift).over(w_run))
+    )
+    score = F.col("c") - F.min("c").over(w_run)
+    return (
+        cum.withColumn("cusum_score", score)
+        .where(F.col("cusum_score") > CUSUM_THRESHOLD_H)
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("day"),
+            "daily_value",
+            F.round("cusum_score", 4).alias("cusum_score"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "ts_theilsen_trend",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CTE}),
+    idx AS (
+      SELECT event_type, day, daily_value,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+      FROM daily
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             (b.daily_value - a.daily_value) * 1.0 / (b.i - a.i) AS s
+      FROM idx a JOIN idx b
+        ON a.event_type = b.event_type AND b.i > a.i
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(s, 0.5), 4) AS theilsen_slope
+    FROM slopes
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("timeseries", "robust-regression", "theil-sen", "events"),
+)
+def ts_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend: the MEDIAN of all pairwise slopes per series —
+    a 29%-breakdown-point alternative to the OLS slope of
+    ``ts_linear_trend_daily``, immune to the outlier days that drag a
+    least-squares fit (compare the two on a series with one bad day and OLS
+    moves, Theil-Sen doesn't). Slopes are taken over the observation index,
+    matching the OLS op's x-axis.
+
+    Scale shape: the pair join is per-series over the BOUNDED daily
+    relation (|calendar|^2 pairs per series at worst — thousands, not
+    data-sized); at an unbounded series length you'd sample pairs
+    (repeated-median variants), same plan shape. Exact median via
+    percentile on both engines, rounded at 4."""
+    daily = _daily_series(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.withColumn("i", F.row_number().over(w)).localCheckpoint(eager=False)
+    a = idx.select("event_type", F.col("i").alias("ia"), F.col("daily_value").alias("va"))
+    b = idx.select("event_type", F.col("i").alias("ib"), F.col("daily_value").alias("vb"))
+    slopes = (
+        a.join(b, "event_type")
+        .where(F.col("ib") > F.col("ia"))
+        .select(
+            "event_type",
+            ((F.col("vb") - F.col("va")) / (F.col("ib") - F.col("ia"))).alias("s"),
+        )
+    )
+    return (
+        slopes.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.expr("percentile(s, 0.5)"), 4).alias("theilsen_slope"),
+        )
+        .orderBy("event_type")
+    )
