@@ -1064,3 +1064,193 @@ def ts_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ts_mann_kendall_test",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CTE}),
+    idx AS (
+      SELECT event_type, daily_value,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+      FROM daily
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             sum(sign(b.daily_value - a.daily_value)) AS s
+      FROM idx a JOIN idx b
+        ON a.event_type = b.event_type AND b.i > a.i
+      GROUP BY 1
+    ),
+    ties AS (
+      SELECT event_type, sum(t * (t - 1) * (2 * t + 5)) AS tie_term
+      FROM (SELECT event_type, daily_value, count(*) AS t
+            FROM daily GROUP BY 1, 2)
+      GROUP BY 1
+    ),
+    n_t AS (SELECT event_type, count(*) AS n FROM daily GROUP BY 1)
+    SELECT p.event_type, CAST(n.n AS BIGINT) AS n,
+           CAST(p.s AS BIGINT) AS s,
+           round((n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_term) / 18.0, 4)
+             AS var_s,
+           round((p.s - sign(p.s))
+                 / sqrt((n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_term) / 18.0),
+                 4) AS z,
+           abs((p.s - sign(p.s))
+               / sqrt((n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_term) / 18.0))
+             > 1.96 AS significant_95
+    FROM pairs p
+    JOIN n_t n USING (event_type)
+    JOIN ties t USING (event_type)
+    ORDER BY p.event_type
+    """,
+    tags=("timeseries", "trend-test", "mann-kendall", "nonparametric"),
+)
+def ts_mann_kendall_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall nonparametric trend TEST — the hypothesis-test companion
+    to the Theil-Sen slope ESTIMATE (the two are standard together):
+    S = sum over ordered pairs of sign(x_j - x_i), variance with the exact
+    tie correction, z via the continuity-corrected normal approximation,
+    significance at 95%. Sign-based, so a single outlier day moves S by at
+    most n-1 — the robustness OLS's t-test lacks.
+
+    Scale shape: the same bounded per-series pair join as Theil-Sen (and
+    you'd sample pairs identically at unbounded lengths); ties and counts
+    are one aggregation each over the daily relation."""
+    daily = _daily_series(spark, sf_dir).localCheckpoint(eager=False)
+    w = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.withColumn("i", F.row_number().over(w))
+    a = idx.select("event_type", F.col("i").alias("ia"), F.col("daily_value").alias("va"))
+    b = idx.select("event_type", F.col("i").alias("ib"), F.col("daily_value").alias("vb"))
+    pairs = (
+        a.join(b, "event_type")
+        .where(F.col("ib") > F.col("ia"))
+        .groupBy("event_type")
+        .agg(F.sum(F.signum(F.col("vb") - F.col("va"))).alias("s"))
+    )
+    ties = (
+        daily.groupBy("event_type", "daily_value")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    n_t = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    var_s = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+    ) / 18.0
+    z = (F.col("s") - F.signum(F.col("s"))) / F.sqrt(var_s)
+    return (
+        pairs.join(n_t, "event_type")
+        .join(ties, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("s").cast("bigint").alias("s"),
+            F.round(var_s, 4).alias("var_s"),
+            F.round(z, 4).alias("z"),
+            (F.abs(z) > 1.96).alias("significant_95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+KS_SPLIT_DAY = "2024-01-16"  # same reference/current boundary as the PSI op
+KS_ALPHA_C = 1.358  # c(alpha) for alpha = 0.05
+
+
+@register(
+    "ts_ks_two_sample_drift",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT event_type, value,
+             CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '{KS_SPLIT_DAY}'
+                  THEN 0 ELSE 1 END AS side
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type, value,
+             sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS c0,
+             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c1
+      FROM tagged GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, value,
+             sum(c0) OVER (PARTITION BY event_type ORDER BY value
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f0,
+             sum(c1) OVER (PARTITION BY event_type ORDER BY value
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+             sum(c0) OVER (PARTITION BY event_type) AS n0,
+             sum(c1) OVER (PARTITION BY event_type) AS n1
+      FROM counts
+    )
+    SELECT event_type,
+           CAST(max(n0) AS BIGINT) AS n_ref,
+           CAST(max(n1) AS BIGINT) AS n_cur,
+           round(max(abs(f0 * 1.0 / n0 - f1 * 1.0 / n1)), 6) AS ks_stat,
+           round({KS_ALPHA_C} * sqrt((max(n0) + max(n1)) * 1.0
+                                     / (max(n0) * max(n1))), 6) AS critical_05,
+           max(abs(f0 * 1.0 / n0 - f1 * 1.0 / n1))
+             > {KS_ALPHA_C} * sqrt((max(n0) + max(n1)) * 1.0
+                                   / (max(n0) * max(n1))) AS reject_05
+    FROM cum
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("timeseries", "drift", "ks-test", "nonparametric", "events"),
+)
+def ts_ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test per event type: D = the
+    maximum gap between the reference (before KS_SPLIT_DAY) and current
+    empirical CDFs of ``value``, against the large-sample critical value at
+    alpha = 0.05. The binning-free companion to ``drift_psi_event_values``:
+    PSI localizes WHICH deciles moved, KS tests WHETHER the distributions
+    differ at all, with no bucket choices to defend.
+
+    Scale shape: both CDFs come from ONE pass — per-(type, value) side
+    counts, then running sums over the value order within each type (the
+    same partitioned-window shape as every detector here); D is a plain max
+    aggregation. No sort of raw rows, no UDF, no quantile approximation."""
+    (ev,) = _t(spark, sf_dir, "events")
+    side = (F.col("ts").cast("timestamp") >= F.lit(KS_SPLIT_DAY).cast("timestamp")).cast(
+        "int"
+    )
+    counts = (
+        ev.select("event_type", "value", side.alias("side"))
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("c0"),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("c1"),
+        )
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = counts.select(
+        "event_type",
+        F.sum("c0").over(w_run).alias("f0"),
+        F.sum("c1").over(w_run).alias("f1"),
+        F.sum("c0").over(w_all).alias("n0"),
+        F.sum("c1").over(w_all).alias("n1"),
+    )
+    gap = F.abs(F.col("f0") / F.col("n0") - F.col("f1") / F.col("n1"))
+    crit = F.lit(KS_ALPHA_C) * F.sqrt(
+        (F.max("n0") + F.max("n1")) * 1.0 / (F.max("n0") * F.max("n1"))
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("n0").cast("bigint").alias("n_ref"),
+            F.max("n1").cast("bigint").alias("n_cur"),
+            F.round(F.max(gap), 6).alias("ks_stat"),
+            F.round(crit, 6).alias("critical_05"),
+            (F.max(gap) > crit).alias("reject_05"),
+        )
+        .orderBy("event_type")
+    )
