@@ -554,3 +554,187 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(batches, schema=out_schema).orderBy("media_id")
+
+
+# ------------------------------------------------- real video container codec
+# A minimal-but-real video container ("PVID"): a fixed header
+# (magic, version, n_frames, fps) followed by n_frames CONCATENATED P6 PPM
+# frames, each self-describing. This is the MJPEG shape — independent
+# intra-coded frames — so frame sampling can walk headers and skip the pixel
+# blocks of unsampled frames without decoding them, which is exactly the
+# access pattern a real frame sampler wants (decode cost proportional to
+# frames KEPT, not frames stored).
+
+_PVID_MAGIC = b"PVID"
+_VIDEO_SEED_A, _VIDEO_SEED_B = 31, 5  # frame f of video i: PPM seed = 31*i + 5*f
+
+
+def encode_video(media_id: int, width: int, height: int, n_frames: int, fps: int = 4) -> bytes:
+    """Real PVID container: header + concatenated deterministic P6 frames."""
+    header = _PVID_MAGIC + struct.pack("<BII", 1, n_frames, fps)
+    frames = [
+        encode_ppm(width, height, seed=_VIDEO_SEED_A * media_id + _VIDEO_SEED_B * f)
+        for f in range(n_frames)
+    ]
+    return header + b"".join(frames)
+
+
+def _ppm_header_end(payload: bytes, pos: int):
+    """Parse one P6 header starting at ``pos``; return (width, height,
+    pixel_data_start). Mirrors decode_ppm's grammar without decoding."""
+    if payload[pos : pos + 2] != b"P6":
+        raise ValueError("PVID frame is not a P6 PPM")
+    p, fields = pos + 2, []
+    while len(fields) < 3:
+        while payload[p : p + 1].isspace():
+            p += 1
+        if payload[p : p + 1] == b"#":
+            while payload[p : p + 1] != b"\n":
+                p += 1
+            continue
+        start = p
+        while not payload[p : p + 1].isspace():
+            p += 1
+        fields.append(int(payload[start:p]))
+    return fields[0], fields[1], p + 1
+
+
+def sample_video_frames(payload: bytes, stride: int = 1):
+    """Real frame sampling over a PVID payload: walks every frame's header
+    but decodes pixels ONLY for frame indices divisible by ``stride``.
+    Yields (frame_index, width, height, HxWx3 uint8 array)."""
+    import numpy as np
+
+    if payload[:4] != _PVID_MAGIC:
+        raise ValueError("not a PVID payload")
+    version, n_frames, _fps = struct.unpack_from("<BII", payload, 4)
+    if version != 1:
+        raise ValueError(f"unsupported PVID version {version}")
+    pos = 4 + 9
+    for f in range(n_frames):
+        w, h, data_start = _ppm_header_end(payload, pos)
+        n = w * h * 3
+        if f % stride == 0:
+            px = np.frombuffer(payload, dtype=np.uint8, count=n, offset=data_start)
+            yield f, w, h, px.reshape(h, w, 3)
+        pos = data_start + n
+
+
+def video_frame_count(payload: bytes) -> int:
+    if payload[:4] != _PVID_MAGIC:
+        raise ValueError("not a PVID payload")
+    return struct.unpack_from("<BII", payload, 4)[1]
+
+
+_VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                    T.StructField("fps", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+_VIDEO_N = 12
+_VIDEO_STRIDE = 3
+
+
+def make_video_media(spark: SparkSession, n: int = _VIDEO_N, partitions: int = 3) -> DataFrame:
+    """Video table whose payloads are REAL PVID containers of P6 frames."""
+    rows = []
+    for i in range(n):
+        w, h = 8 + (i % 4) * 4, 8 + (i % 3) * 4
+        fr = 2 + (i % 5) * 2
+        rows.append(
+            (
+                i,
+                encode_video(i, w, h, fr),
+                {"format": "pvid", "width": w, "height": h, "n_frames": fr, "fps": 4},
+            )
+        )
+    return spark.createDataFrame(rows, _VIDEO_SCHEMA).repartition(partitions)
+
+
+@register(
+    "multimodal_video_frame_sample",
+    oracle=f"""
+    WITH vids AS (
+      SELECT i AS media_id,
+             CAST(8 + (i % 4) * 4 AS BIGINT) AS width,
+             CAST(8 + (i % 3) * 4 AS BIGINT) AS height,
+             CAST(2 + (i % 5) * 2 AS BIGINT) AS n_frames
+      FROM range({_VIDEO_N}) t(i)
+    ),
+    sampled AS (
+      SELECT v.*, f.f
+      FROM vids v CROSS JOIN range(10) f(f)
+      WHERE f.f < v.n_frames AND f.f % {_VIDEO_STRIDE} = 0
+    ),
+    xs AS (SELECT media_id, width, height, n_frames, f,
+                  unnest(range(width)) AS x FROM sampled),
+    cells AS (SELECT media_id, width, height, n_frames, f, x,
+                     unnest(range(height)) AS y FROM xs)
+    SELECT media_id, width, height, n_frames,
+           CAST((n_frames + {_VIDEO_STRIDE} - 1) // {_VIDEO_STRIDE} AS BIGINT)
+             AS sampled_frames,
+           CAST(sum(
+               299 * ((3*x + 7*y + {_VIDEO_SEED_A}*media_id + {_VIDEO_SEED_B}*f) % 256)
+             + 587 * ((3*x + 7*y + 11 + {_VIDEO_SEED_A}*media_id + {_VIDEO_SEED_B}*f) % 256)
+             + 114 * ((3*x + 7*y + 22 + {_VIDEO_SEED_A}*media_id + {_VIDEO_SEED_B}*f) % 256)
+           ) AS BIGINT) AS lum_sum_milli
+    FROM cells
+    GROUP BY media_id, width, height, n_frames
+    ORDER BY media_id
+    """,
+    tags=("multimodal", "binary", "video", "codec", "frame-sampling", "mapInPandas"),
+)
+def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third REAL codec path (video): PVID containers of concatenated P6
+    frames, frame-sampled at stride 3 inside an Arrow-batched
+    ``mapInPandas`` — the sampler walks every frame header but decodes pixels
+    only for kept frames, so decode cost scales with frames KEPT. Per video:
+    exact integer luminance sum over the sampled frames (Rec.601 ×1000). The
+    oracle reconstructs the same sampled pixels from the generator's closed
+    form in pure SQL — two independent implementations, hash-compared.
+    (sf_dir unused — payloads are deterministic synthetic media.)
+
+    Scale shape: stride lives in the decoder, so the shuffle carries six
+    longs per video, never frames; ``meta.n_frames`` supports metadata-first
+    pruning before any payload byte is touched."""
+    df = make_video_media(spark, n=_VIDEO_N, partitions=3)
+    out_schema = (
+        "media_id long, width long, height long, n_frames long, "
+        "sampled_frames long, lum_sum_milli long"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("media_id", "width", "height", "n_frames", "sampled_frames", "lum_sum_milli")
+        for pdf in it:
+            out = {k: [] for k in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                lum, kept, w, h = 0, 0, 0, 0
+                for _f, fw, fh, px in sample_video_frames(payload, stride=_VIDEO_STRIDE):
+                    p = px.astype("int64")
+                    lum += int((299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]).sum())
+                    kept += 1
+                    w, h = fw, fh
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(video_frame_count(payload))
+                out["sampled_frames"].append(kept)
+                out["lum_sum_milli"].append(lum)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=out_schema).orderBy("media_id")

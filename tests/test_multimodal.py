@@ -177,3 +177,63 @@ class TestRealWavCodec:
             assert r["abs_sum"] == int(np.abs(v).sum())
             assert r["n_zero_cross"] == int(((v[1:] * v[:-1]) < 0).sum())
             assert r["duration_ms"] == r["n_samples"] * 1000 // r["sample_rate"]
+
+
+class TestRealVideoCodec:
+    def test_container_roundtrip_all_frames(self):
+        import numpy as np
+
+        from feature_datalake_sl_mandic_spark.multimodal import media as mm
+
+        payload = mm.encode_video(3, width=8, height=4, n_frames=5)
+        frames = list(mm.sample_video_frames(payload, stride=1))
+        assert [f for f, *_ in frames] == [0, 1, 2, 3, 4]
+        for f, w, h, px in frames:
+            assert (w, h) == (8, 4)
+            y, x, c = np.mgrid[0:h, 0:w, 0:3]
+            expect = (3 * x + 7 * y + 11 * c + mm._VIDEO_SEED_A * 3 + mm._VIDEO_SEED_B * f) % 256
+            assert (px == expect.astype(np.uint8)).all()
+
+    def test_stride_keeps_every_kth_frame(self):
+        from feature_datalake_sl_mandic_spark.multimodal import media as mm
+
+        payload = mm.encode_video(0, width=4, height=4, n_frames=10)
+        assert [f for f, *_ in mm.sample_video_frames(payload, stride=3)] == [0, 3, 6, 9]
+        assert [f for f, *_ in mm.sample_video_frames(payload, stride=4)] == [0, 4, 8]
+        assert mm.video_frame_count(payload) == 10
+
+    def test_rejects_garbage(self):
+        import pytest as _pytest
+
+        from feature_datalake_sl_mandic_spark.multimodal import media as mm
+
+        with _pytest.raises(ValueError):
+            list(mm.sample_video_frames(b"not a video", stride=1))
+        # wrong version byte
+        bad = mm._PVID_MAGIC + b"\x02" + b"\x00" * 8
+        with _pytest.raises(ValueError):
+            list(mm.sample_video_frames(bad, stride=1))
+
+    def test_registered_query_matches_full_decode(self, spark):
+        """Sampled luminance from the registered query == independently
+        recomputed luminance over the SAME sampled frames via stride=1
+        decode + Python-side filtering."""
+        from feature_datalake_sl_mandic_spark.multimodal import media as mm
+
+        rows = {r["media_id"]: r for r in mm.multimodal_video_frame_sample(spark, "unused").collect()}
+        assert len(rows) == mm._VIDEO_N
+        for i in range(mm._VIDEO_N):
+            payload = mm.encode_video(
+                i, 8 + (i % 4) * 4, 8 + (i % 3) * 4, 2 + (i % 5) * 2
+            )
+            lum = 0
+            kept = 0
+            for f, w, h, px in mm.sample_video_frames(payload, stride=1):
+                if f % mm._VIDEO_STRIDE:
+                    continue
+                p = px.astype("int64")
+                lum += int((299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]).sum())
+                kept += 1
+            r = rows[i]
+            assert (r["lum_sum_milli"], r["sampled_frames"]) == (lum, kept)
+            assert r["n_frames"] == 2 + (i % 5) * 2
