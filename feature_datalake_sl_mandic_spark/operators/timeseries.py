@@ -1254,3 +1254,79 @@ def ts_ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------- Brown's double exponential smoothing
+
+BROWN_ALPHA = 0.3
+
+
+@register(
+    "ts_brown_double_smoothing",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CTE}),
+    pos AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS i
+      FROM daily
+    ), s1 AS (
+      SELECT event_type, day, daily_value, i,
+             sum(daily_value * pow(1.0 / (1.0 - {BROWN_ALPHA}), i))
+               OVER w / sum(pow(1.0 / (1.0 - {BROWN_ALPHA}), i)) OVER w AS s1
+      FROM pos
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s2 AS (
+      SELECT event_type, day, daily_value, s1,
+             sum(s1 * pow(1.0 / (1.0 - {BROWN_ALPHA}), i))
+               OVER w / sum(pow(1.0 / (1.0 - {BROWN_ALPHA}), i)) OVER w AS s2
+      FROM s1
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day, daily_value,
+           round(2 * s1 - s2, 4) AS level,
+           round({BROWN_ALPHA} / (1.0 - {BROWN_ALPHA}) * (s1 - s2), 4) AS trend,
+           round(2 * s1 - s2 + {BROWN_ALPHA} / (1.0 - {BROWN_ALPHA}) * (s1 - s2), 4)
+             AS forecast_next
+    FROM s2
+    ORDER BY event_type, day
+    """,
+    tags=("timeseries", "ewma", "forecast", "window", "events"),
+)
+def ts_brown_double_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown's double exponential smoothing (level + trend) of the daily
+    event-value series: S1 = EWMA(x), S2 = EWMA(S1) — both in the same
+    closed-form power-sum ratio as ``ts_ewma_daily_value`` (adjust=True
+    weighting, stated in the output contract) — then Brown's estimates
+    level = 2*S1 - S2, trend = a/(1-a) * (S1 - S2) and the one-step-ahead
+    forecast level + trend.
+
+    Scale shape: two chained ordered-frame window passes over the SAME
+    partitioning (event_type) — Spark plans one Exchange then two Window
+    operators over the sorted runs; nothing leaves codegen, no recursion,
+    no UDF. Oracle computes the identical IEEE-double expressions in DuckDB.
+    """
+    daily = _daily_series(spark, sf_dir)
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    a = BROWN_ALPHA
+    r = 1.0 / (1.0 - a)
+    pos = daily.withColumn("i", F.row_number().over(w_ord) - F.lit(1)).withColumn(
+        "wt", F.pow(F.lit(r), F.col("i"))
+    )
+    s1 = pos.withColumn(
+        "s1", F.sum(F.col("daily_value") * F.col("wt")).over(w_run) / F.sum("wt").over(w_run)
+    )
+    s2 = s1.withColumn(
+        "s2", F.sum(F.col("s1") * F.col("wt")).over(w_run) / F.sum("wt").over(w_run)
+    )
+    level = 2 * F.col("s1") - F.col("s2")
+    trend = F.lit(a / (1.0 - a)) * (F.col("s1") - F.col("s2"))
+    return s2.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "daily_value",
+        F.round(level, 4).alias("level"),
+        F.round(trend, 4).alias("trend"),
+        F.round(level + trend, 4).alias("forecast_next"),
+    ).orderBy("event_type", "day")
