@@ -433,3 +433,98 @@ def profile_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ------------------------------------------------------- Welch's t-test
+
+WELCH_T_CRIT_05 = 1.96  # large-sample two-sided 5% critical value, fixed
+
+
+@register(
+    "stats_welch_ttest_priority",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT o_orderstatus AS status,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'hi'
+                  WHEN o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW') THEN 'lo'
+             END AS grp,
+             o_totalprice AS v
+      FROM orders
+      WHERE o_orderpriority NOT IN ('3-MEDIUM')
+    ), sidewise AS (
+      SELECT status,
+             count(*) FILTER (grp = 'hi') AS n_hi,
+             count(*) FILTER (grp = 'lo') AS n_lo,
+             avg(v) FILTER (grp = 'hi') AS m_hi,
+             avg(v) FILTER (grp = 'lo') AS m_lo,
+             var_samp(v) FILTER (grp = 'hi') AS v_hi,
+             var_samp(v) FILTER (grp = 'lo') AS v_lo
+      FROM labeled GROUP BY status
+    )
+    SELECT status,
+           CAST(n_hi AS BIGINT) AS n_hi, CAST(n_lo AS BIGINT) AS n_lo,
+           round(m_hi, 4) AS mean_hi, round(m_lo, 4) AS mean_lo,
+           round((m_hi - m_lo) / sqrt(v_hi / n_hi + v_lo / n_lo), 4) AS t_stat,
+           round(pow(v_hi / n_hi + v_lo / n_lo, 2)
+                 / (pow(v_hi / n_hi, 2) / (n_hi - 1)
+                    + pow(v_lo / n_lo, 2) / (n_lo - 1)), 2) AS welch_dof,
+           abs((m_hi - m_lo) / sqrt(v_hi / n_hi + v_lo / n_lo))
+             > {WELCH_T_CRIT_05} AS reject_05
+    FROM sidewise
+    WHERE n_hi >= 2 AND n_lo >= 2
+    ORDER BY status
+    """,
+    tags=("statistics", "hypothesis-test", "welch", "groupby-agg"),
+)
+def stats_welch_ttest_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test per order status: does mean order
+    value differ between high-priority (1-URGENT/2-HIGH) and low-priority
+    (4-NOT SPECIFIED/5-LOW) orders? Emits the t statistic, the
+    Welch–Satterthwaite effective degrees of freedom, and a reject flag at
+    the fixed large-sample 5% critical value (same fixed-critical-value
+    contract as the KS and Mann-Kendall tests — no t CDF needed).
+
+    Scale shape: one conditional aggregation pass per status (FILTER-style
+    conditional aggregates, map-side combined) — counts, means and sample
+    variances for both arms in a single shuffle; the test statistic is
+    closed-form arithmetic over the six aggregates."""
+    (od,) = _t(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lo = F.col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW")
+    labeled = od.where(F.col("o_orderpriority") != "3-MEDIUM").select(
+        F.col("o_orderstatus").alias("status"),
+        F.when(hi, "hi").when(lo, "lo").alias("grp"),
+        F.col("o_totalprice").alias("v"),
+    )
+
+    def _arm(agg, arm):
+        return agg(F.when(F.col("grp") == arm, F.col("v")))
+
+    side = labeled.groupBy("status").agg(
+        F.count(F.when(F.col("grp") == "hi", 1)).alias("n_hi"),
+        F.count(F.when(F.col("grp") == "lo", 1)).alias("n_lo"),
+        _arm(F.avg, "hi").alias("m_hi"),
+        _arm(F.avg, "lo").alias("m_lo"),
+        _arm(F.var_samp, "hi").alias("v_hi"),
+        _arm(F.var_samp, "lo").alias("v_lo"),
+    )
+    se2 = F.col("v_hi") / F.col("n_hi") + F.col("v_lo") / F.col("n_lo")
+    t = (F.col("m_hi") - F.col("m_lo")) / F.sqrt(se2)
+    dof = F.pow(se2, 2) / (
+        F.pow(F.col("v_hi") / F.col("n_hi"), 2) / (F.col("n_hi") - 1)
+        + F.pow(F.col("v_lo") / F.col("n_lo"), 2) / (F.col("n_lo") - 1)
+    )
+    return (
+        side.where((F.col("n_hi") >= 2) & (F.col("n_lo") >= 2))
+        .select(
+            "status",
+            F.col("n_hi").cast("bigint").alias("n_hi"),
+            F.col("n_lo").cast("bigint").alias("n_lo"),
+            F.round("m_hi", 4).alias("mean_hi"),
+            F.round("m_lo", 4).alias("mean_lo"),
+            F.round(t, 4).alias("t_stat"),
+            F.round(dof, 2).alias("welch_dof"),
+            (F.abs(t) > WELCH_T_CRIT_05).alias("reject_05"),
+        )
+        .orderBy("status")
+    )

@@ -1707,3 +1707,63 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------- BPE-style pair-merge statistics
+
+BPE_TOP_K = 20
+
+
+@register(
+    "text_bpe_pair_stats",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ), clean AS (
+      SELECT w FROM words WHERE regexp_full_match(w, '[a-z]{{2,}}')
+    ), pairs AS (
+      SELECT substr(w, CAST(i AS INT), 2) AS pair
+      FROM clean, unnest(generate_series(1, length(w) - 1)) t(i)
+    ), counts AS (
+      SELECT pair, count(*) AS pair_count FROM pairs GROUP BY 1
+    ), tot AS (SELECT sum(pair_count) AS t FROM counts)
+    SELECT pair, CAST(pair_count AS BIGINT) AS pair_count,
+           round(pair_count * 1.0 / t, 6) AS share
+    FROM counts, tot
+    ORDER BY pair_count DESC, pair
+    LIMIT {BPE_TOP_K}
+    """,
+    tags=("llm", "text", "tokenizer", "bpe", "topk"),
+)
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary induction, step one: corpus-wide adjacent
+    symbol-pair frequencies over character-level words — the statistic the
+    first BPE merge maximizes. Emits the top-{k} pairs with their share of
+    all pair occurrences (deterministic tie-break on the pair itself).
+
+    Scale shape: explode(word -> length-1 bigram substrings) then ONE
+    map-side-combining groupBy on a key space of at most 26^2 pairs — the
+    aggregate state is tiny no matter the corpus size. The grand total is
+    an aggregate OVER the 676-row counts relation broadcast back (no second
+    corpus pass, no global window), and top-k plans as TakeOrdered."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    words = dc.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).where(F.col("w").rlike("^[a-z]{2,}$"))
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("pair_count"))
+    total = counts.agg(F.sum("pair_count").alias("t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "pair",
+            F.col("pair_count").cast("bigint").alias("pair_count"),
+            F.round(F.col("pair_count") * 1.0 / F.col("t"), 6).alias("share"),
+        )
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(BPE_TOP_K)
+    )
