@@ -528,3 +528,81 @@ def stats_welch_ttest_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# ------------------------------------------------------ one-way ANOVA F-test
+
+ANOVA_F_CRIT_05 = 2.37  # upper 5% critical value of F(dof1=4, dof2=inf), fixed
+
+
+@register(
+    "stats_anova_order_priority",
+    oracle=f"""
+    WITH g AS (
+      SELECT o_orderpriority AS grp, count(*) AS n, avg(o_totalprice) AS m,
+             sum(o_totalprice) AS s, sum(o_totalprice * o_totalprice) AS ss
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT sum(n) AS n_all, sum(s) / sum(n) AS grand_mean,
+             count(*) AS k FROM g
+    ), parts AS (
+      SELECT sum(n * (m - grand_mean) * (m - grand_mean)) AS ss_between,
+             sum(ss - n * m * m) AS ss_within,
+             max(k) AS k, max(n_all) AS n_all
+      FROM g, tot
+    )
+    SELECT CAST(k AS BIGINT) AS n_groups,
+           CAST(n_all AS BIGINT) AS n_rows,
+           round(ss_between / (k - 1), 4) AS ms_between,
+           round(ss_within / (n_all - k), 4) AS ms_within,
+           round((ss_between / (k - 1)) / (ss_within / (n_all - k)), 4) AS f_stat,
+           (ss_between / (k - 1)) / (ss_within / (n_all - k))
+             > {ANOVA_F_CRIT_05} AS reject_05
+    FROM parts
+    """,
+    tags=("statistics", "hypothesis-test", "anova", "groupby-agg"),
+)
+def stats_anova_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA: does mean order value differ across the five order
+    priorities? F = MS_between / MS_within from per-group sufficient
+    statistics (n, sum, sum-of-squares) — the same fixed-critical-value
+    contract as the Welch/KS/Mann-Kendall tests (dof1=4, large-sample dof2).
+
+    Scale shape: ONE map-side-combining aggregation collapses the fact table
+    to one row per group (5 rows); grand totals and both sums of squares are
+    arithmetic over that tiny relation — a second corpus pass never happens,
+    and sum/sum-of-squares make SS_within computable without re-touching
+    rows (Koenig-Huygens decomposition)."""
+    (od,) = _t(spark, sf_dir, "orders")
+    g = od.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("o_totalprice").alias("m"),
+        F.sum("o_totalprice").alias("s"),
+        F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("n_all"),
+        (F.sum("s") / F.sum("n")).alias("grand_mean"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    parts = (
+        g.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.col("n") * (F.col("m") - F.col("grand_mean")) * (F.col("m") - F.col("grand_mean"))
+            ).alias("ss_between"),
+            F.sum(F.col("ss") - F.col("n") * F.col("m") * F.col("m")).alias("ss_within"),
+            F.max("k").alias("k"),
+            F.max("n_all").alias("n_all"),
+        )
+    )
+    ms_between = F.col("ss_between") / (F.col("k") - 1)
+    ms_within = F.col("ss_within") / (F.col("n_all") - F.col("k"))
+    return parts.select(
+        F.col("k").cast("bigint").alias("n_groups"),
+        F.col("n_all").cast("bigint").alias("n_rows"),
+        F.round(ms_between, 4).alias("ms_between"),
+        F.round(ms_within, 4).alias("ms_within"),
+        F.round(ms_between / ms_within, 4).alias("f_stat"),
+        (ms_between / ms_within > ANOVA_F_CRIT_05).alias("reject_05"),
+    )

@@ -178,7 +178,8 @@ _PRIORITY: list[str] = [
 # corpus_zipf_fit, ann_pq_lloyd_refined, dedup_incremental_minhash,
 # sketch_ddsketch_order_quantiles, ts_cusum_mean_shift, ts_theilsen_trend,
 # ts_mann_kendall_test, ts_ks_two_sample_drift, multimodal_video_frame_sample,
-# ts_brown_double_smoothing, text_bpe_pair_stats, stats_welch_ttest_priority.
+# ts_brown_double_smoothing, text_bpe_pair_stats, stats_welch_ttest_priority,
+# stats_anova_order_priority.
 # (multimodal_feature_extract stays out of every window by design: its codec
 # stubs make it permanently rows-only; multimodal_ppm_decode is the family's
 # hash-green representative.)
