@@ -574,11 +574,17 @@ def stats_anova_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     and sum/sum-of-squares make SS_within computable without re-touching
     rows (Koenig-Huygens decomposition)."""
     (od,) = _t(spark, sf_dir, "orders")
-    g = od.groupBy(F.col("o_orderpriority").alias("grp")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg("o_totalprice").alias("m"),
-        F.sum("o_totalprice").alias("s"),
-        F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias("ss"),
+    # localCheckpoint so the fact scan runs once: g (5 rows) feeds both the
+    # grand totals and the sums of squares.
+    g = (
+        od.groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("o_totalprice").alias("m"),
+            F.sum("o_totalprice").alias("s"),
+            F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias("ss"),
+        )
+        .localCheckpoint()
     )
     tot = g.agg(
         F.sum("n").alias("n_all"),

@@ -1755,7 +1755,11 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
         ).alias("pair")
     )
-    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("pair_count"))
+    # localCheckpoint so the corpus explode+count runs once: counts (<=676
+    # rows) feeds both the output rows and the grand total.
+    counts = (
+        pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("pair_count")).localCheckpoint()
+    )
     total = counts.agg(F.sum("pair_count").alias("t"))
     return (
         counts.crossJoin(F.broadcast(total))
