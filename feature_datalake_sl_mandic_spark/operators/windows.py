@@ -192,29 +192,62 @@ def window_range_frame_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame
     — the frame is defined by a VALUE interval, not a row count, so gaps in
     the calendar shrink the window instead of silently reaching further back
     (the bug row-frames have on sparse time series). Sums stay DECIMAL inside
-    the frame so re-aggregation order cannot drift between engines; one
-    shuffle for the daily rollup, one global ordered pass for the frame (at
-    scale: partition the frame by entity key)."""
+    the frame so re-aggregation order cannot drift between engines.
+
+    Scale shape: NO unpartitioned window anywhere. Because the frame's
+    lookback is bounded (6 days), the series splits into fixed 32-day epoch
+    buckets and the window partitions by bucket; rows in the last 6 days of
+    each bucket are additionally copied into the NEXT bucket as
+    frame-context-only rows (``borrowed``) and filtered back out after the
+    window — every frame sees exactly the rows the global window would, but
+    the sort is per-bucket and parallel. The oracle states the semantics as
+    the plain global RANGE window."""
+    _BUCKET_DAYS, _LOOKBACK = 32, 6
     (ev,) = _t(spark, sf_dir, "events")
-    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
-        F.sum(F.col("value").cast("decimal(18,2)"))
-        .cast("decimal(18,2)")
-        .alias("rev"),
-        F.count(F.lit(1)).alias("n"),
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        # rangeBetween needs an orderable numeric: days since epoch. Daily is
+        # tiny (one row per calendar day); checkpoint so the rollup feeding
+        # both the native and the borrowed side runs once.
+        .withColumn("epoch", F.datediff("d", F.lit("1970-01-01")))
+        .localCheckpoint()
     )
-    # rangeBetween needs an orderable numeric: days since epoch
+    native = daily.withColumn(
+        "bucket", F.floor(F.col("epoch") / _BUCKET_DAYS)
+    ).withColumn("borrowed", F.lit(False))
+    spill = (
+        daily.where(F.col("epoch") % _BUCKET_DAYS >= _BUCKET_DAYS - _LOOKBACK)
+        .withColumn("bucket", F.floor(F.col("epoch") / _BUCKET_DAYS) + 1)
+        .withColumn("borrowed", F.lit(True))
+    )
     w = (
-        Window.orderBy(F.datediff("d", F.lit("1970-01-01")))
-        .rangeBetween(-6, Window.currentRow)
+        Window.partitionBy("bucket")
+        .orderBy("epoch")
+        .rangeBetween(-_LOOKBACK, Window.currentRow)
     )
     return (
-        daily.select(
+        native.unionByName(spill)
+        .select(
+            "d",
+            "rev",
+            "borrowed",
+            F.sum("rev").over(w).alias("rev_7d"),
+            F.sum("n").over(w).alias("n_7d"),
+        )
+        .where(~F.col("borrowed"))
+        .select(
             F.date_format("d", "yyyy-MM-dd").alias("day"),
             F.col("rev").cast("double").alias("day_revenue"),
-            F.round(
-                F.sum("rev").over(w).cast("double") / F.sum("n").over(w), 6
-            ).alias("avg_per_event_7d"),
-            F.sum("n").over(w).cast("bigint").alias("events_7d"),
+            F.round(F.col("rev_7d").cast("double") / F.col("n_7d"), 6).alias(
+                "avg_per_event_7d"
+            ),
+            F.col("n_7d").cast("bigint").alias("events_7d"),
         )
         .orderBy("day")
     )

@@ -107,3 +107,53 @@ def test_topk_with_rank_three_key_order_and_plan(spark):
         plan = plan_df._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan
     assert "TakeOrdered" in topk(df, order, 5)._jdf.queryExecution().executedPlan().toString()
+
+
+class TestBucketSplitRangeFrame:
+    """The bucket-partitioned + boundary-spillover rewrite of the 7-day RANGE
+    frame must agree exactly with the plain global RANGE window, including on
+    gap-heavy calendars where frames straddle bucket boundaries."""
+
+    @given(
+        epochs=st.lists(st.integers(0, 130), min_size=1, max_size=50, unique=True)
+    )
+    @settings(**PROP_SETTINGS)
+    def test_matches_global_range_window(self, spark, epochs):
+        rows = [(e, float(e % 7 + 1), e % 5 + 1) for e in sorted(epochs)]
+        df = spark.createDataFrame(rows, "epoch int, rev double, n int")
+
+        w_global = Window.orderBy("epoch").rangeBetween(-6, Window.currentRow)
+        expect = {
+            (r["epoch"], round(r["s"], 6), r["c"])
+            for r in df.select(
+                "epoch",
+                F.sum("rev").over(w_global).alias("s"),
+                F.sum("n").over(w_global).alias("c"),
+            ).collect()
+        }
+
+        B, L = 32, 6
+        native = df.withColumn("bucket", F.floor(F.col("epoch") / B)).withColumn(
+            "borrowed", F.lit(False)
+        )
+        spill = (
+            df.where(F.col("epoch") % B >= B - L)
+            .withColumn("bucket", F.floor(F.col("epoch") / B) + 1)
+            .withColumn("borrowed", F.lit(True))
+        )
+        w_b = Window.partitionBy("bucket").orderBy("epoch").rangeBetween(
+            -L, Window.currentRow
+        )
+        got = {
+            (r["epoch"], round(r["s"], 6), r["c"])
+            for r in native.unionByName(spill)
+            .select(
+                "epoch",
+                "borrowed",
+                F.sum("rev").over(w_b).alias("s"),
+                F.sum("n").over(w_b).alias("c"),
+            )
+            .where(~F.col("borrowed"))
+            .collect()
+        }
+        assert got == expect
