@@ -273,7 +273,10 @@ def sketch_hll_manual_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = h.select(
         "event_type",
         (F.col("hv") % HLL_M).alias("bucket"),
-        ((F.col("hv") / HLL_M).cast("bigint") % F.lit(4294967296)).alias("w"),
+        # Integer division (shiftright by log2(m)), NOT float division: the
+        # 60-bit hash exceeds float64's exact-integer range (2^53), so
+        # `hv / 64` would round and disagree with the oracle's exact `hv // 64`.
+        (F.shiftright(F.col("hv"), 6) % F.lit(4294967296)).alias("w"),
     )
     rho = F.when(F.col("w") == 0, F.lit(_HLL_W_BITS + 1)).otherwise(
         F.lit(_HLL_W_BITS + 1) - F.length(F.bin(F.col("w")))
@@ -572,7 +575,10 @@ def sketch_hll_daily_to_weekly_merge(spark: SparkSession, sf_dir: str) -> DataFr
         "event_type",
         "day",
         (F.col("hv") % HLL_M).alias("bucket"),
-        ((F.col("hv") / HLL_M).cast("bigint") % F.lit(4294967296)).alias("w"),
+        # Integer division (shiftright by log2(m)), NOT float division: the
+        # 60-bit hash exceeds float64's exact-integer range (2^53), so
+        # `hv / 64` would round and disagree with the oracle's exact `hv // 64`.
+        (F.shiftright(F.col("hv"), 6) % F.lit(4294967296)).alias("w"),
     )
     rho = F.when(F.col("w") == 0, F.lit(_HLL_W_BITS + 1)).otherwise(
         F.lit(_HLL_W_BITS + 1) - F.length(F.bin(F.col("w")))

@@ -1170,6 +1170,7 @@ KS_ALPHA_C = 1.358  # c(alpha) for alpha = 0.05
              CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '{KS_SPLIT_DAY}'
                   THEN 0 ELSE 1 END AS side
       FROM events
+      WHERE value IS NOT NULL
     ),
     counts AS (
       SELECT event_type, value,
@@ -1218,8 +1219,12 @@ def ts_ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     side = (F.col("ts").cast("timestamp") >= F.lit(KS_SPLIT_DAY).cast("timestamp")).cast(
         "int"
     )
+    # NULL values are excluded explicitly: Spark windows order NULLS FIRST
+    # ascending, DuckDB NULLS LAST — an unfiltered NULL row would shift both
+    # CDFs differently per engine (and a NULL has no place in an ECDF anyway).
     counts = (
-        ev.select("event_type", "value", side.alias("side"))
+        ev.where(F.col("value").isNotNull())
+        .select("event_type", "value", side.alias("side"))
         .groupBy("event_type", "value")
         .agg(
             F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("c0"),

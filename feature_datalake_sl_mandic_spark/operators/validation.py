@@ -263,7 +263,8 @@ _DP_U_RES = 1_000_000  # resolution of the deterministic uniform draw
       FROM events GROUP BY 1, 2
     ), drawn AS (
       SELECT event_type, day, true_n,
-             ((('0x' || substr(md5(event_type || '|' || CAST(day AS VARCHAR)), 1, 15))::BIGINT
+             ((('0x' || substr(md5(coalesce(event_type, '__null__') || '|'
+                 || coalesce(CAST(day AS VARCHAR), '__null__')), 1, 15))::BIGINT
                % {_DP_U_RES}) + 0.5) / {_DP_U_RES} AS u
       FROM cells
     )
@@ -292,7 +293,15 @@ def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("true_n"))
-    key = F.concat_ws("|", F.col("event_type"), F.col("day").cast("string"))
+    # coalesce each key part to an explicit sentinel: concat_ws silently DROPS
+    # a NULL part (key degenerates to just the day) while the oracle's `||`
+    # would null the whole key — the sentinel makes both engines agree on
+    # null-keyed cells.
+    key = F.concat_ws(
+        "|",
+        F.coalesce(F.col("event_type"), F.lit("__null__")),
+        F.coalesce(F.col("day").cast("string"), F.lit("__null__")),
+    )
     u = ((md5_int60_col(key) % _DP_U_RES) + F.lit(0.5)) / F.lit(_DP_U_RES)
     noise = (
         F.lit(-1.0 / DP_EPSILON)
@@ -320,15 +329,21 @@ _FK_EDGES = [
 @register(
     "validate_referential_integrity",
     oracle="\nUNION ALL\n".join(
+        # NOT EXISTS, not NOT IN: a NULL parent pk would turn NOT IN into
+        # NULL (orphans silently count as 0) while the Spark side's
+        # left-join + __pk IS NULL counts them — EXISTS matches the
+        # anti-join semantics on dirty parents, which is exactly the data
+        # this audit targets.
         f"""
     SELECT '{child}.{fk} -> {parent}.{pk}' AS fk_edge,
            CAST(count(*) AS BIGINT) AS n_child_rows,
-           CAST(sum(CASE WHEN {fk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(sum(CASE WHEN ch.{fk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_null_fk,
-           CAST(sum(CASE WHEN {fk} IS NOT NULL
-                          AND {fk} NOT IN (SELECT {pk} FROM {parent})
+           CAST(sum(CASE WHEN ch.{fk} IS NOT NULL
+                          AND NOT EXISTS (SELECT 1 FROM {parent} par
+                                          WHERE par.{pk} = ch.{fk})
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
-    FROM {child}"""
+    FROM {child} ch"""
         for child, fk, parent, pk in _FK_EDGES
     )
     + "\nORDER BY fk_edge",
@@ -343,28 +358,48 @@ def validate_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFram
     reference pipeline (SURVEY §0 census) ingests parent and child tables
     independently and would land exactly this failure mode unflagged.
 
-    Scale shape: each edge is one left anti-style aggregation — the child
-    scan aggregates AFTER a broadcast (or shuffle for big parents) existence
-    join against the parent's distinct keys; edges are independent and union
-    their single summary rows. No window, no UDF, child tables scanned
-    once each per edge with only the key column read."""
+    Scale shape: per edge the child collapses FIRST to (fk, count) via one
+    map-side-combined aggregation — the existence join then runs over
+    |distinct fk| rows, not |child| rows, and because both the fk-count agg
+    and the parent-keys distinct leave their outputs hash-partitioned on the
+    join key, the left join adds NO new exchange (Catalyst's
+    EnsureRequirements reuses the child partitioning). Parent key sets are
+    built once and ``localCheckpoint``-ed so parents appearing in several
+    edges (nation twice; orders/customer as both parent and child) are
+    scanned and shuffled once. ~3 exchanges per edge, down from 6 in the
+    row-level formulation (was 36 total, see PLANS.md)."""
+    tables = sorted({t for e in _FK_EDGES for t in (e[0], e[2])})
+    dfs = dict(zip(tables, _t(spark, sf_dir, *tables)))
+    # one checkpointed distinct-key relation per parent table (nation serves
+    # two edges; the checkpoint also truncates lineage so the 6-branch union
+    # doesn't re-derive any parent scan)
+    parent_keys: dict[tuple[str, str], DataFrame] = {}
+    for _, _, parent, pk in _FK_EDGES:
+        if (parent, pk) not in parent_keys:
+            parent_keys[(parent, pk)] = (
+                dfs[parent].select(F.col(pk).alias("__pk")).distinct().localCheckpoint(eager=False)
+            )
     frames = []
     for child, fk, parent, pk in _FK_EDGES:
-        (c, p) = _t(spark, sf_dir, child, parent)
-        keys = p.select(F.col(pk).alias("__pk")).distinct()
-        joined = c.select(F.col(fk).alias("__fk")).join(
-            keys, F.col("__fk") == F.col("__pk"), "left"
+        cnt = (
+            dfs[child]
+            .groupBy(F.col(fk).alias("__fk"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        joined = cnt.join(
+            parent_keys[(parent, pk)], F.col("__fk") == F.col("__pk"), "left"
         )
         frames.append(
             joined.agg(
                 F.lit(f"{child}.{fk} -> {parent}.{pk}").alias("fk_edge"),
-                F.count(F.lit(1)).alias("n_child_rows"),
-                F.sum(F.when(F.col("__fk").isNull(), 1).otherwise(0)).alias(
+                F.sum("__n").alias("n_child_rows"),
+                F.sum(F.when(F.col("__fk").isNull(), F.col("__n")).otherwise(0)).alias(
                     "n_null_fk"
                 ),
                 F.sum(
                     F.when(
-                        F.col("__fk").isNotNull() & F.col("__pk").isNull(), 1
+                        F.col("__fk").isNotNull() & F.col("__pk").isNull(),
+                        F.col("__n"),
                     ).otherwise(0)
                 ).alias("n_orphans"),
             )

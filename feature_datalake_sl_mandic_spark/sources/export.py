@@ -52,10 +52,17 @@ def export_training_shards(packed: DataFrame, out_dir: str) -> dict:
     # Stats come from reading back the WRITTEN files, not from re-executing
     # ``packed``'s lineage: two actions over a nondeterministic input would
     # otherwise publish a manifest describing data that was never written,
-    # silently voiding the self-validation contract. An empty corpus writes
-    # no partition files at all (so the read-back would fail schema
-    # inference) — publish a valid zero-shard manifest instead.
-    if len(packed.take(1)) == 0:
+    # silently voiding the self-validation contract. Emptiness is likewise
+    # decided from the WRITTEN output (an empty corpus writes no parquet part
+    # files, only _SUCCESS, so the partitioned read-back would fail schema
+    # inference) — probing ``packed`` again would be a second action over the
+    # very lineage this read-back exists to avoid re-running.
+    has_parts = any(
+        name.endswith(".parquet")
+        for _root, _dirs, files in os.walk(data_dir)
+        for name in files
+    )
+    if not has_parts:
         os.makedirs(data_dir, exist_ok=True)
         stats = []
     else:
