@@ -422,10 +422,16 @@ def sketch_kmv_set_algebra_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     wk = _W.partitionBy("event_type").orderBy("hv")
+    # The sketch (|types| x k rows) feeds the pair combine AND the per-type
+    # size relation; the pair grid (|types|^2 rows) feeds the sketch combine
+    # AND the exact-count branch. Both are bounded and reused — checkpoint
+    # them so each branch reads kilobytes instead of re-running the window /
+    # self-join (this plan was the repo's heaviest at 38 shuffles before).
     sk = (
         hvs.withColumn("rn", F.row_number().over(wk))
         .where(F.col("rn") <= KMV_K)
         .select("event_type", "hv")
+        .localCheckpoint(eager=False)
     )
     types = hvs.select("event_type").distinct()
     pairs = (
@@ -434,6 +440,7 @@ def sketch_kmv_set_algebra_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
         )
+        .localCheckpoint(eager=False)
     )
     per_hv = (
         F.broadcast(pairs)
