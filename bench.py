@@ -100,8 +100,26 @@ HEAVY = [
     "dedup_minhash_lsh",
     "text_sparse_cosine_pairs",
     "ann_ivf_pq",
+    "ann_ivf_pq_packed",
     "corpus_curation_end_to_end",
 ]
+
+
+def _run_queries(spark, specs, names, sf_dir, n_runs):
+    """Best-of-n wall clock per query (dict name -> seconds)."""
+    from feature_datalake_sl_mandic_spark.session import release_cached
+
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for run in range(n_runs):
+        for name in names:
+            t0 = time.perf_counter()
+            df = specs[name].fn(spark, sf_dir)
+            rows[name] = df.count()  # force full execution
+            t = round(time.perf_counter() - t0, 4)
+            times[name] = min(times.get(name, t), t)
+        release_cached(spark)
+    return times, rows
 
 
 def main() -> None:
@@ -109,10 +127,10 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     from feature_datalake_sl_mandic_spark import registry
-    from feature_datalake_sl_mandic_spark.session import get_spark
+    from feature_datalake_sl_mandic_spark.session import get_spark, release_cached
 
     spark = get_spark("bench")
-    sf_dir = prepare_bench_dir(spark, sf_dir)
+    bench_dir = prepare_bench_dir(spark, sf_dir)
     specs = registry.load_all()
     headline = [n for n in HEADLINE if n in specs] or sorted(specs)
     heavy = [n for n in HEAVY if n in specs]
@@ -122,23 +140,35 @@ def main() -> None:
     # one cheap scan probe, then one full join-heavy query. Without the full
     # warm iteration the first shuffle query pays ~3s of one-time whole-stage
     # codegen compilation that has nothing to do with the query itself.
-    specs[names[0]].fn(spark, sf_dir).limit(1).count()
+    specs[names[0]].fn(spark, bench_dir).limit(1).count()
     warm = "q3_shipping_priority" if "q3_shipping_priority" in specs else names[0]
-    specs[warm].fn(spark, sf_dir).count()
+    specs[warm].fn(spark, bench_dir).count()
 
     # Best-of-3 per query: co-tenant machine load adds 50-100% run-to-run
     # noise; the min of three runs measures the engine, not the neighbors.
     N_RUNS = 3
-    times: dict[str, float] = {}
-    for run in range(N_RUNS):
+    times, rows = _run_queries(spark, specs, names, bench_dir, N_RUNS)
+    for name in names:
+        print(f"# {name}: {times[name]:.3f}s ({rows[name]} rows)", file=sys.stderr)
+
+    # Scale-ratio evidence: the same queries at sf0.01 (10x less data).
+    # wall(sf0.1)/wall(sf0.01) per query empirically backs the linear-scaling
+    # design claims — a super-linear plan shows up as ratio >> 10 (fixed
+    # per-query overhead pushes honest ratios well BELOW 10 at these sizes,
+    # so anything near or above the data ratio deserves a plan audit).
+    scale: dict[str, dict[str, float]] = {}
+    small_src = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    if os.path.isdir(small_src) and os.path.abspath(small_src) != os.path.abspath(
+        sf_dir
+    ):
+        small_dir = prepare_bench_dir(spark, small_src)
+        t_small, _ = _run_queries(spark, specs, names, small_dir, 2)
         for name in names:
-            t0 = time.perf_counter()
-            df = specs[name].fn(spark, sf_dir)
-            n = df.count()  # force full execution
-            t = round(time.perf_counter() - t0, 4)
-            times[name] = min(times.get(name, t), t)
-            if run == N_RUNS - 1:
-                print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+            scale[name] = {
+                "sf001": t_small[name],
+                "sf01": times[name],
+                "ratio": round(times[name] / max(t_small[name], 1e-6), 2),
+            }
 
     total = round(sum(times.values()), 4)
     print(
@@ -152,6 +182,7 @@ def main() -> None:
                     "headline_12": round(sum(times[n] for n in headline), 4),
                     "heavy_llm": round(sum(times[n] for n in heavy), 4),
                 },
+                "scale_ratio": scale,
                 "runs_per_query": N_RUNS,
                 "agg": "min",
                 "sf": sf,

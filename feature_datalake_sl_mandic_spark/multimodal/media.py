@@ -357,17 +357,18 @@ def multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.mapInPandas(batches, schema=out_schema).orderBy("media_id")
 
 
-@register(
-    "multimodal_feature_extract",
-    oracle=None,  # binary decode via mapInPandas: not SQL-expressible
-    tags=("multimodal", "binary", "mapInPandas", "pandas-udf"),
-)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal pipeline on the synthetic media table:
     metadata-prune -> Arrow-batched decode -> per-kind feature aggregate.
     (Deterministic synthetic payloads; sf_dir unused — media isn't part of
-    the fixture lake. Rows-only driver check; exact checks in
-    tests/test_multimodal.py.)"""
+    the fixture lake.)
+
+    Deliberately NOT registered as a driver query: its JPEG/PNG decode stubs
+    make it permanently rows-only, and the registry guarantees every entry
+    is hash-checkable against an oracle. The family's hash-green
+    representatives are ``multimodal_ppm_decode`` / ``multimodal_wav_decode``
+    / ``multimodal_video_frame_sample``; this chain is pinned exactly by
+    tests/test_multimodal.py instead."""
     media = make_synthetic_media(spark, n=256, partitions=8)
     feats = extract_features(media)
     return (

@@ -25,6 +25,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from feature_datalake_sl_mandic_spark.functions.hashing import (
+    md5_int60_col,
+    md5_int60_sql,
+)
 from feature_datalake_sl_mandic_spark.operators.relational import _t
 from feature_datalake_sl_mandic_spark.registry import register
 
@@ -1153,6 +1157,107 @@ def ts_mann_kendall_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(var_s, 4).alias("var_s"),
             F.round(z, 4).alias("z"),
             (F.abs(z) > 1.96).alias("significant_95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+TS_ANCHOR_K = 8  # sampled-pair variant: anchors per series
+
+
+@register(
+    "ts_trend_pair_sampled",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CTE}),
+    idx AS (
+      SELECT event_type, day, daily_value,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+      FROM daily
+    ),
+    anch AS (
+      SELECT event_type, i, daily_value FROM (
+        SELECT idx.*,
+               row_number() OVER (
+                 PARTITION BY event_type
+                 ORDER BY {{h}}, day
+               ) AS rn
+        FROM idx
+      ) WHERE rn <= {TS_ANCHOR_K}
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             (b.daily_value - a.daily_value) * 1.0 / (b.i - a.i) AS s
+      FROM anch a JOIN idx b
+        ON a.event_type = b.event_type AND b.i <> a.i
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs_sampled,
+           round(quantile_cont(s, 0.5), 4) AS theilsen_slope_sampled,
+           round(avg(sign(s)), 4) AS kendall_tau_sampled
+    FROM slopes
+    GROUP BY event_type
+    ORDER BY event_type
+    """.format(h=md5_int60_sql("event_type || '|' || CAST(day AS VARCHAR)")),
+    tags=("timeseries", "theil-sen", "mann-kendall", "pair-sampling", "sampled"),
+)
+def ts_trend_pair_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-SAMPLED Theil-Sen slope + Kendall-tau trend direction: the
+    unbounded-series fallback the exact forms (``ts_theilsen_trend``,
+    ``ts_mann_kendall_test``) name in their docstrings. Instead of all
+    n(n-1)/2 pairs per series, each series contributes only pairs anchored
+    at its TS_ANCHOR_K deterministically-sampled rows (smallest md5 of the
+    series key + day — reproducible across engines and runs), giving n x K
+    pairs: LINEAR in series length, so a minute-grain or per-entity series
+    that would make the exact O(n^2) join explode stays bounded. The slope
+    is the median of anchored slopes (Siegel's repeated-median cousin; same
+    29% breakdown intuition), tau is the mean concordance sign over the
+    sampled pairs. Agreement with the exact estimators on the daily fixture
+    is pinned in tests/test_round4_ops.py.
+
+    Scale shape: anchor selection is a partitioned top-K window over the
+    daily relation; the pair join fans each series row out to at most K
+    anchors (broadcastable: |types| x K rows). Everything downstream
+    aggregates per series. No O(n^2) anywhere."""
+    return pair_sampled_trend(_daily_series(spark, sf_dir))
+
+
+def pair_sampled_trend(daily: DataFrame, k: int = TS_ANCHOR_K) -> DataFrame:
+    """Core of ``ts_trend_pair_sampled`` over any (event_type, day,
+    daily_value) relation — factored so the agreement tests can drive it
+    with synthetic trended series (the fixture's event series are
+    near-trendless noise, where ANY subsampled estimator rightfully
+    disagrees with the exact one)."""
+    w = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.withColumn("i", F.row_number().over(w)).localCheckpoint(eager=False)
+    hv = md5_int60_col(
+        F.concat_ws("|", F.col("event_type"), F.col("day").cast("string"))
+    )
+    wa = Window.partitionBy("event_type").orderBy(hv.asc(), F.col("day").asc())
+    anch = (
+        idx.withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") <= k)
+        .select(
+            "event_type", F.col("i").alias("ia"), F.col("daily_value").alias("va")
+        )
+    )
+    b = idx.select(
+        "event_type", F.col("i").alias("ib"), F.col("daily_value").alias("vb")
+    )
+    slopes = (
+        F.broadcast(anch)
+        .join(b, "event_type")
+        .where(F.col("ib") != F.col("ia"))
+        .select(
+            "event_type",
+            ((F.col("vb") - F.col("va")) / (F.col("ib") - F.col("ia"))).alias("s"),
+        )
+    )
+    return (
+        slopes.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs_sampled"),
+            F.round(F.expr("percentile(s, 0.5)"), 4).alias("theilsen_slope_sampled"),
+            F.round(F.avg(F.signum("s")), 4).alias("kendall_tau_sampled"),
         )
         .orderBy("event_type")
     )

@@ -94,7 +94,7 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str = "") -> 
 
 def run_parity(sf_dir: str, only: list[str] | None = None, spark=None) -> dict[str, list[str]]:
     from feature_datalake_sl_mandic_spark import registry
-    from feature_datalake_sl_mandic_spark.session import get_spark
+    from feature_datalake_sl_mandic_spark.session import get_spark, release_cached
 
     spark = spark or get_spark("oracle-parity")
     con = duck_connection(sf_dir)
@@ -107,6 +107,10 @@ def run_parity(sf_dir: str, only: list[str] | None = None, spark=None) -> dict[s
         except Exception as e:  # noqa: BLE001
             results[name] = [f"{name}: SPARK ERROR {type(e).__name__}: {e}"]
             continue
+        finally:
+            # keep the 212-query sweep's executor-storage footprint flat:
+            # localCheckpoint blocks from this query die here, not at GC time
+            release_cached(spark)
         if spec.oracle is None:
             results[name] = [] if len(spdf) >= 0 else [f"{name}: no rows"]
             continue

@@ -79,110 +79,92 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 # The driver's correctness gate checks the FIRST 50 entries in iteration
-# order. Rounds 1+2 drove 97 distinct queries green (96 hash + 1 rows-only);
-# this list pins the round-3 window: 50 of the 64 queries that have never had
-# a driver row (whole modules: TPC-H tail, timeseries, clustering, graph,
-# sketches, profile/stats/validation, curation, SCD2/incremental/CDF, plus
-# the heavy text/LLM plans rewritten this round). Names not listed follow in
-# registration order (all already driver-green in r1/r2).
-# Rotate per round until every query has a driver-green row.
+# order. Rounds 1-3 drove 146 distinct queries green; this list pins the
+# round-4 window: the 14 queries carried since round 2 (never driver-checked,
+# all green in the repo's oracle mirror), then 35 round-3 registrations, plus
+# ann_ivf_pq_packed (new this round — the production PQ scoring path, put in
+# the window immediately so its driver row lands with its registration).
+# Names not listed follow in registration order (all already driver-green in
+# r1-r3). Rotate per round until every query has a driver-green row.
 _PRIORITY: list[str] = [
-    # TPC-H tail
-    "q2_min_cost_supplier",
-    "q9_product_profit_by_nation_year",
-    "q11_important_part_value",
-    "q12_priority_by_linestatus",
-    "q15_top_supplier",
-    "q20_excess_supply_share",
-    # ACID table format
-    "txlog_change_data_feed",
-    # events tail
-    "events_cohort_retention",
-    "events_sequence_pattern",
-    "events_assoc_rules",
-    "events_markov_transitions",
-    "events_dau_wau_stickiness",
-    # similarity tail
-    "mine_hard_negatives",
-    "ann_ivf_pq",
-    # text / LM tail (sparse-cosine + BM25 rewritten this round)
-    "quality_unigram_perplexity",
-    "lm_bigram_next_tokens",
-    "text_sparse_cosine_pairs",
-    "text_bm25_search",
-    # timeseries (entire module)
-    "ts_ewma_daily_value",
-    "ts_zscore_anomalies",
-    "ts_rolling_median_value",
-    "ts_mad_outliers",
-    "ts_linear_trend_daily",
-    "ts_linear_interpolate",
-    "drift_psi_event_values",
-    # clustering (entire module)
-    "kmeans_lloyd_embeddings",
-    "kmeans_balanced_sample",
-    "semdedup_cluster_cosine",
-    # sketches (entire module; CMS rewritten this round)
-    "cms_heavy_hitters_events",
-    "bloom_prefilter_supplier_join",
-    # graph (entire module; edge ranking rewritten this round)
-    "graph_cosupply_triangles",
-    "graph_pagerank_cosupply",
-    "graph_bfs_distances",
-    "graph_min_cost_paths",
-    # profile / stats / validation
-    "profile_orders_columns",
-    "stats_chi2_segment_priority",
-    "stats_mutual_info_lang_source",
-    "stats_gini_order_values",
-    "validate_quarantine_orders",
-    # curation (entire module)
-    "dedup_prefix_fingerprint",
-    "corpus_domain_caps",
-    "quality_unigram_entropy",
-    "quality_decile_stats",
-    "corpus_curation_end_to_end",
-    "split_exact_stratified",
-    "corpus_length_batches",
-    "source_overlap_jaccard",
-    # SCD2 / incremental
-    "scd2_customer_dim",
-    "scd2_point_in_time_join",
-    "incremental_agg_refresh",
+    # --- the 14 round-2 leftovers, oldest debt first
+    "udaf_median_session_value",
+    "recursive_cte_customer_chain",
+    "arrow_batch_embedding_norms",
+    "maps_zipwith_type_rates",
+    "variant_props_events",
+    "arrays_setops_adjacent_docs",
+    "agg_winsorized_event_values",
+    "join_interval_overlap_campaigns",
+    "join_lateral_topn_customers",
+    "join_null_safe_profiles",
+    "embedding_standardize_dims",
+    "corpus_quality_weighted_sample",
+    "checksum_orders_content",
+    "kanon_release_customers",
+    # --- new in round 4: packed-code PQ ADC scoring
+    "ann_ivf_pq_packed",
+    # --- retrieval evaluation family
+    "eval_retrieval_metrics",
+    "text_hybrid_rrf_search",
+    "eval_matryoshka_recall",
+    "eval_dedup_lsh_recall",
+    # --- incremental dedup
+    "dedup_incremental_batch",
+    "dedup_incremental_minhash",
+    # --- layout / data-skipping
+    "layout_zorder_files",
+    "layout_skipping_scorecard",
+    # --- sketches family (HLL integer-math + KMV checkpoint fixed this round)
+    "sketch_hll_manual_users",
+    "sketch_hll_daily_to_weekly_merge",
+    "sketch_kmv_set_algebra_users",
+    "sketch_ddsketch_order_quantiles",
+    # --- real codecs (WAV PCM16, PVID video)
+    "multimodal_wav_decode",
+    "multimodal_video_frame_sample",
+    # --- ANN tail
+    "ann_ivf_cells_nprobe2",
+    "ann_two_stage_rerank",
+    "ann_pq_lloyd_refined",
+    # --- queries touched by round-3 ADVICE fixes (verify the fixes under
+    #     the driver's own hash, not just the mirror)
+    "validate_referential_integrity",
+    "ts_ks_two_sample_drift",
+    "privacy_dp_noisy_counts",
+    # --- corpus curation / dedup tail
+    "corpus_dsir_importance",
+    "dedup_duplicate_ngram_spans",
+    "dedup_ngram_containment",
+    "corpus_temperature_resample",
+    # --- events tail
+    "events_hopping_3h_1h",
+    "events_time_to_convert",
+    # --- profile / graph / segmentation
+    "profile_partition_skew",
+    "graph_link_prediction_jaccard",
+    "customers_rfm_segments",
+    # --- validation / aggregation / joins tail
+    "validate_benford_order_values",
+    "agg_exact_mode_priority",
+    "join_asof_nearest_view",
+    # --- entity resolution, custom data source, BPE
+    "er_parts_scored_matches",
+    "pyds_training_shards_roundtrip",
+    "text_bpe_pair_stats",
 ]
-# Round-4 rotation candidates — the last 14 never-driver-checked queries
-# (every one green in the repo's oracle mirror), plus any queries newly
-# registered in round 3:
-# udaf_median_session_value, recursive_cte_customer_chain,
-# arrow_batch_embedding_norms, maps_zipwith_type_rates, variant_props_events,
-# arrays_setops_adjacent_docs, agg_winsorized_event_values,
-# join_interval_overlap_campaigns, join_lateral_topn_customers,
-# join_null_safe_profiles, embedding_standardize_dims,
-# corpus_quality_weighted_sample, checksum_orders_content,
-# kanon_release_customers, plus new-in-round-3: ann_ivf_cells_nprobe2,
-# text_hybrid_rrf_search, eval_retrieval_metrics, corpus_dsir_importance,
-# dedup_duplicate_ngram_spans, ts_autocorrelation, layout_zorder_files,
-# layout_skipping_scorecard, corpus_temperature_resample,
-# eval_matryoshka_recall, events_hopping_3h_1h, dedup_ngram_containment,
-# dedup_incremental_batch, events_time_to_convert, profile_partition_skew,
-# graph_link_prediction_jaccard, customers_rfm_segments,
-# validate_benford_order_values, agg_exact_mode_priority,
-# join_asof_nearest_view, ts_cross_correlation_lags, ts_seasonal_dow_index,
-# privacy_dp_noisy_counts, sample_weighted_reservoir,
-# corpus_js_divergence_sources, ann_two_stage_rerank, er_parts_scored_matches,
-# sketch_hll_manual_users, sketch_kmv_set_algebra_users, eval_dedup_lsh_recall,
-# validate_referential_integrity, ts_seasonal_adjusted_anomalies,
-# drift_embedding_centroid_shift, pyds_training_shards_roundtrip,
-# sketch_hll_daily_to_weekly_merge, multimodal_wav_decode,
-# ts_seasonal_naive_backtest, events_capped_running_balance,
-# corpus_zipf_fit, ann_pq_lloyd_refined, dedup_incremental_minhash,
-# sketch_ddsketch_order_quantiles, ts_cusum_mean_shift, ts_theilsen_trend,
-# ts_mann_kendall_test, ts_ks_two_sample_drift, multimodal_video_frame_sample,
-# ts_brown_double_smoothing, text_bpe_pair_stats, stats_welch_ttest_priority,
-# stats_anova_order_priority.
-# (multimodal_feature_extract stays out of every window by design: its codec
-# stubs make it permanently rows-only; multimodal_ppm_decode is the family's
-# hash-green representative.)
+# Round-5 rotation candidates — the 16 remaining never-driver-checked queries
+# (every one green in the repo's oracle mirror; mostly the timeseries tail):
+# ts_autocorrelation, ts_cross_correlation_lags, ts_seasonal_dow_index,
+# ts_seasonal_adjusted_anomalies, ts_seasonal_naive_backtest,
+# ts_cusum_mean_shift, ts_theilsen_trend, ts_mann_kendall_test,
+# ts_brown_double_smoothing, events_capped_running_balance, corpus_zipf_fit,
+# corpus_js_divergence_sources, sample_weighted_reservoir,
+# drift_embedding_centroid_shift, stats_welch_ttest_priority,
+# stats_anova_order_priority — plus any queries newly registered in round 4.
+# (multimodal_feature_extract was retired from the registry in round 4: its
+# codec stubs made it permanently rows-only and every registered query must
+# carry an oracle; it stays pytest-covered via tests/test_multimodal.py.)
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -73,3 +73,22 @@ def apply_runtime_confs(spark: SparkSession) -> None:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on this build; fallbacks handle it
+
+
+def release_cached(spark: SparkSession) -> None:
+    """Drop cached relations AND localCheckpoint blocks.
+
+    ``localCheckpoint`` materializes as persisted RDD blocks that outlive the
+    DataFrame that created them until the JVM ContextCleaner notices the
+    reference is gone — across a 200+-query sweep (oracle parity, bench)
+    those blocks accumulate in executor storage. Explicitly unpersisting
+    every persistent RDD (plus clearing the relation cache and dropping
+    Python-side references via GC) keeps a long sweep's memory footprint
+    flat. Call between queries, never inside a timed region."""
+    import gc
+
+    gc.collect()  # release py4j refs so the JVM side is droppable
+    spark.catalog.clearCache()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rdd in list(jmap.values()):
+        rdd.unpersist(False)

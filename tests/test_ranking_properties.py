@@ -119,6 +119,9 @@ class TestBucketSplitRangeFrame:
     )
     @settings(**PROP_SETTINGS)
     def test_matches_global_range_window(self, spark, epochs):
+        self._check(spark, epochs)
+
+    def _check(self, spark, epochs):
         rows = [(e, float(e % 7 + 1), e % 5 + 1) for e in sorted(epochs)]
         df = spark.createDataFrame(rows, "epoch int, rev double, n int")
 
@@ -157,3 +160,29 @@ class TestBucketSplitRangeFrame:
             .collect()
         }
         assert got == expect
+
+    # Epochs clustered tightly around bucket boundaries (multiples of 32,
+    # offsets within +/- lookback+1) with everything else absent: every frame
+    # either straddles a boundary or sits beside a gap that swallowed its
+    # entire lookback — the two edge cases the spillover construction exists
+    # for. The plain-sparse strategy above rarely generates these densely.
+    _boundary_epochs = st.lists(
+        st.sampled_from(
+            sorted(
+                {
+                    b * 32 + o
+                    for b in range(1, 5)
+                    for o in range(-8, 8)
+                    if b * 32 + o >= 0
+                }
+            )
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+
+    @given(epochs=_boundary_epochs)
+    @settings(**PROP_SETTINGS)
+    def test_matches_global_range_window_at_bucket_boundaries(self, spark, epochs):
+        self._check(spark, epochs)

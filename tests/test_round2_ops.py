@@ -191,15 +191,13 @@ class TestDriverWindowContract:
                     offenders.append((name, f.name, t))
         assert not offenders, offenders
 
-    def test_first_50_all_have_oracles(self):
-        """Every query inside the driver window must be value-hash-checkable
-        (rows-only entries belong in the tail)."""
+    def test_all_registered_have_oracles(self):
+        """EVERY registered query must be value-hash-checkable: rows-only
+        entries are banned from the registry outright (the one historical
+        exception, multimodal_feature_extract, was retired to pytest-only in
+        round 4 so 100% of queries() carries an oracle)."""
         from feature_datalake_sl_mandic_spark import registry
 
         specs = registry.load_all()
-        missing = [
-            name
-            for i, (name, spec) in enumerate(specs.items())
-            if i < 50 and spec.oracle is None and name != "multimodal_feature_extract"
-        ]
+        missing = [name for name, spec in specs.items() if spec.oracle is None]
         assert not missing, missing

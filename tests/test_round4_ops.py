@@ -1,0 +1,168 @@
+"""Round-4 additions: pair-sampled trend estimator agreement, the packed-code
+PQ scoring path, registry hygiene after retiring the rows-only entry, and the
+cache-release sweep hook."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _synthetic_daily(spark, slope=5.0, n=60, outliers=(10, 30)):
+    """One trended series: v = slope*i + bounded deterministic noise, plus
+    two large outlier days — the case Theil-Sen exists for."""
+    base = dt.date(2024, 1, 1)
+    rows = [
+        (
+            "trend",
+            base + dt.timedelta(days=i),
+            round(
+                slope * i + ((i * 7919) % 13 - 6) + (500.0 if i in outliers else 0.0),
+                2,
+            ),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "event_type string, day date, daily_value double")
+
+
+def _exact_theilsen(rows):
+    vals = [v for _, _, v in sorted(rows, key=lambda r: r[1])]
+    slopes = sorted(
+        (vals[j] - vals[i]) / (j - i)
+        for i in range(len(vals))
+        for j in range(i + 1, len(vals))
+    )
+    m = len(slopes)
+    mid = slopes[m // 2] if m % 2 else (slopes[m // 2 - 1] + slopes[m // 2]) / 2
+    return mid
+
+
+class TestPairSampledTrend:
+    def test_agreement_with_exact_on_trended_series(self, spark):
+        """The n*K sampled estimator must land within 10% of the exact
+        all-pairs Theil-Sen slope on a genuinely trended series (the
+        agreement claim the docstring makes). On the fixture's trendless
+        noise series any subsample rightfully disagrees — that case is NOT
+        an agreement target."""
+        from feature_datalake_sl_mandic_spark.operators.timeseries import (
+            pair_sampled_trend,
+        )
+
+        daily = _synthetic_daily(spark)
+        exact = _exact_theilsen(
+            [(r["event_type"], r["day"], r["daily_value"]) for r in daily.collect()]
+        )
+        got = pair_sampled_trend(daily).collect()[0]
+        assert abs(exact - 5.0) < 0.5  # sanity: the exact form finds the trend
+        assert abs(got["theilsen_slope_sampled"] - exact) <= 0.1 * abs(exact)
+        assert got["kendall_tau_sampled"] > 0.8  # strongly increasing
+        # n*K pair bound: each of the n rows pairs with at most K anchors
+        assert got["n_pairs_sampled"] < 60 * 8
+
+    def test_robust_to_outliers_where_ols_is_not(self, spark):
+        """The sampled median slope must shrug off the two 500-unit outlier
+        days (stay within 10% of the true slope) while the OLS slope over
+        the same series moves measurably more."""
+        from feature_datalake_sl_mandic_spark.operators.timeseries import (
+            pair_sampled_trend,
+        )
+
+        daily = _synthetic_daily(spark)
+        got = pair_sampled_trend(daily).collect()[0]["theilsen_slope_sampled"]
+        ols = (
+            daily.select(
+                F.regr_slope(
+                    "daily_value", F.datediff("day", F.lit("2024-01-01"))
+                ).alias("b")
+            ).collect()[0]["b"]
+        )
+        assert abs(got - 5.0) <= 0.5
+        assert abs(ols - 5.0) > 2 * abs(got - 5.0)
+
+    def test_sampled_pairs_linear_in_series_length(self, spark):
+        """Doubling the series length must roughly double (not quadruple)
+        the sampled pair count — the whole point of the variant."""
+        from feature_datalake_sl_mandic_spark.operators.timeseries import (
+            pair_sampled_trend,
+        )
+
+        n1 = pair_sampled_trend(_synthetic_daily(spark, n=40)).collect()[0][
+            "n_pairs_sampled"
+        ]
+        n2 = pair_sampled_trend(_synthetic_daily(spark, n=80)).collect()[0][
+            "n_pairs_sampled"
+        ]
+        assert n2 <= 2.2 * n1
+
+
+class TestPackedPq:
+    def test_packed_matches_relational_adc(self, spark):
+        """Both PQ scoring paths must produce identical rows — they share one
+        oracle, so a divergence here is a divergence from ground truth."""
+        from feature_datalake_sl_mandic_spark import registry
+
+        qs = registry.queries()
+        a = sorted(
+            map(tuple, qs["ann_ivf_pq"](spark, SF_SMALL).collect())
+        )
+        b = sorted(
+            map(tuple, qs["ann_ivf_pq_packed"](spark, SF_SMALL).collect())
+        )
+        assert a == b
+
+    def test_packed_scoring_has_no_adc_join_shuffle(self, spark):
+        """After encoding, the packed path's scoring stage is map-only: its
+        plan must carry fewer exchanges than the relational ADC form."""
+        from feature_datalake_sl_mandic_spark import registry
+
+        qs = registry.queries()
+        n_rel = (
+            qs["ann_ivf_pq"](spark, SF_SMALL)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .count("Exchange")
+        )
+        n_packed = (
+            qs["ann_ivf_pq_packed"](spark, SF_SMALL)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .count("Exchange")
+        )
+        assert n_packed < n_rel
+
+
+class TestRegistryHygiene:
+    def test_retired_feature_extract_still_runs(self, spark):
+        """multimodal_feature_extract left the registry (rows-only is banned)
+        but the chain itself must stay alive for pytest coverage."""
+        from feature_datalake_sl_mandic_spark.multimodal.media import (
+            multimodal_feature_extract,
+        )
+
+        out = multimodal_feature_extract(spark, SF_SMALL).collect()
+        assert len(out) >= 2  # at least two media kinds aggregated
+        assert {"kind", "n_items", "avg_aspect"} <= set(out[0].asDict())
+
+    def test_window_is_exactly_priority(self):
+        from feature_datalake_sl_mandic_spark import registry
+
+        names = list(registry.load_all())
+        assert names[:50] == registry._PRIORITY
+        assert len(registry._PRIORITY) == 50
+
+
+def test_release_cached_drops_checkpoint_blocks(spark):
+    """The sweep hygiene hook must leave zero persistent RDDs behind."""
+    from feature_datalake_sl_mandic_spark.session import release_cached
+
+    df = spark.range(100).localCheckpoint()
+    assert df.count() == 100
+    release_cached(spark)
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
