@@ -419,61 +419,71 @@ def sketch_kmv_set_algebra_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", md5_int60_col(F.col("user_id").cast("string")).alias("hv")
         )
         .dropDuplicates(["event_type", "hv"])
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     wk = _W.partitionBy("event_type").orderBy("hv")
-    # The sketch (|types| x k rows) feeds the pair combine AND the per-type
-    # size relation; the pair grid (|types|^2 rows) feeds the sketch combine
-    # AND the exact-count branch. Both are bounded and reused — checkpoint
-    # them so each branch reads kilobytes instead of re-running the window /
-    # self-join (this plan was the repo's heaviest at 38 shuffles before).
+    # The sketch (|types| x k rows) feeds the pair grid AND the pair
+    # combine; checkpoint so each branch reads kilobytes instead of
+    # re-running the window (this plan was the repo's heaviest at 38
+    # shuffles before; array-fold rank below cut it again to ~16).
     sk = (
         hvs.withColumn("rn", F.row_number().over(wk))
         .where(F.col("rn") <= KMV_K)
         .select("event_type", "hv")
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
-    types = hvs.select("event_type").distinct()
+    # Pair grid WITH both sketch sizes riding along (na/nb decide the
+    # capped-vs-exact path later without any further join).
+    sksz = sk.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    sa = sksz.select(F.col("event_type").alias("ta"), F.col("n").alias("na"))
+    sb = sksz.select(F.col("event_type").alias("tb"), F.col("n").alias("nb"))
     pairs = (
-        types.alias("a")
-        .join(types.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
-        .select(
-            F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
-        )
-        .localCheckpoint(eager=False)
+        sa.join(F.broadcast(sb), F.col("ta") < F.col("tb"))
+        .localCheckpoint()
     )
-    per_hv = (
+    # Merged-sketch stats in ONE aggregation: a merged sketch is <= 2k
+    # values by construction, so the per-pair member list collects into a
+    # bounded sorted array and rank/threshold/overlap fall out of array
+    # folds — no per-hv aggregation, no rank window, no size joins.
+    # ``dups`` = values present in BOTH input sketches (adjacent equal
+    # entries of the sorted multiset); ``mh`` = merged distinct values.
+    merged = (
         F.broadcast(pairs)
         .join(
             sk,
             (sk["event_type"] == F.col("ta")) | (sk["event_type"] == F.col("tb")),
         )
-        .groupBy("ta", "tb", "hv")
-        .agg(F.count(F.lit(1)).alias("sides"))
+        .groupBy("ta", "tb", "na", "nb")
+        .agg(F.sort_array(F.collect_list("hv")).alias("all_hv"))
+        .withColumn("mh", F.array_distinct("all_hv"))
+        .withColumn(
+            "dups",
+            F.array_distinct(
+                F.filter(
+                    F.zip_with(
+                        F.slice(F.col("all_hv"), 1, F.size("all_hv") - 1),
+                        F.slice(F.col("all_hv"), 2, F.size("all_hv") - 1),
+                        lambda x, y: F.when(x == y, x),
+                    ),
+                    lambda v: v.isNotNull(),
+                )
+            ),
+        )
     )
-    wp = _W.partitionBy("ta", "tb").orderBy("hv")
-    ranked = per_hv.withColumn("rn", F.row_number().over(wp))
-    in_k = F.col("rn") <= KMV_K
-    stats = ranked.groupBy("ta", "tb").agg(
-        F.count(F.lit(1)).alias("total"),
-        F.max(F.when(in_k, F.col("hv"))).alias("u_k"),
-        F.sum(F.when(in_k & (F.col("sides") == 2), 1).otherwise(0)).alias("n_both"),
-        F.sum(F.when(in_k, 1).otherwise(0)).alias("n_comb"),
-    )
-    sksz = sk.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    sa = sksz.select(F.col("event_type").alias("ta"), F.col("n").alias("na"))
-    sb = sksz.select(F.col("event_type").alias("tb"), F.col("n").alias("nb"))
+    total = F.size("mh").cast("bigint")
+    n_comb = F.least(F.lit(KMV_K), F.size("mh")).cast("bigint")
+    u_k = F.element_at("mh", F.least(F.lit(KMV_K), F.size("mh")))
+    n_both = F.size(F.array_intersect(F.slice("mh", 1, KMV_K), "dups")).cast("bigint")
     # Exactness requires BOTH input sketches uncapped (complete hash sets):
     # a merged sketch of <= k values says nothing by itself — two capped
     # sketches over identical sets merge to exactly k values while the true
     # union is unbounded. Otherwise the merged-threshold estimator applies
     # (n_comb = min(k, merged size); = k whenever any side was capped).
-    stats2 = stats.join(F.broadcast(sa), "ta").join(F.broadcast(sb), "tb")
     union_est = F.when(
-        (F.col("na") < KMV_K) & (F.col("nb") < KMV_K), F.col("total") * 1.0
-    ).otherwise((F.col("n_comb") - 1) / (F.col("u_k") / F.lit(_KMV_SCALE)))
-    jac_est = F.col("n_both") * 1.0 / F.col("n_comb")
-    ests = stats2.select(
+        (F.col("na") < KMV_K) & (F.col("nb") < KMV_K), total * 1.0
+    ).otherwise((n_comb - 1) / (u_k / F.lit(_KMV_SCALE)))
+    jac_est = n_both * 1.0 / n_comb
+    ests = merged.select(
         "ta", "tb", union_est.alias("union_est"), jac_est.alias("jaccard_est")
     )
 

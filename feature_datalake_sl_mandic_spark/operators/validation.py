@@ -358,53 +358,67 @@ def validate_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFram
     reference pipeline (SURVEY §0 census) ingests parent and child tables
     independently and would land exactly this failure mode unflagged.
 
-    Scale shape: per edge the child collapses FIRST to (fk, count) via one
-    map-side-combined aggregation — the existence join then runs over
-    |distinct fk| rows, not |child| rows, and because both the fk-count agg
-    and the parent-keys distinct leave their outputs hash-partitioned on the
-    join key, the left join adds NO new exchange (Catalyst's
-    EnsureRequirements reuses the child partitioning). Parent key sets are
-    built once and ``localCheckpoint``-ed so parents appearing in several
-    edges (nation twice; orders/customer as both parent and child) are
-    scanned and shuffled once. ~3 exchanges per edge, down from 6 in the
-    row-level formulation (was 36 total, see PLANS.md)."""
+    Scale shape: ALL SIX edges share ONE aggregation and ONE join. Every
+    edge's child keys union into a single tall (fk_edge, key) relation that
+    collapses to (fk_edge, key, count) via one map-side-combined
+    aggregation; every edge's parent keys union into a tall distinct
+    relation keyed the same way; the existence check is one left join on
+    (fk_edge, key) — and because both aggregations leave their outputs
+    hash-partitioned on exactly that pair, the join adds NO exchange
+    (EnsureRequirements reuses both partitionings). The whole audit is 4
+    exchanges total regardless of how many edges the schema has (child agg,
+    parent distinct, 6-row final agg, output sort), versus ~6 per edge in
+    the row-level formulation (was 36 in PLANS.md units). Unioning before
+    aggregating also load-balances: one edge's skewed fk domain shares the
+    shuffle with all others."""
     tables = sorted({t for e in _FK_EDGES for t in (e[0], e[2])})
     dfs = dict(zip(tables, _t(spark, sf_dir, *tables)))
-    # one checkpointed distinct-key relation per parent table (nation serves
-    # two edges; the checkpoint also truncates lineage so the 6-branch union
-    # doesn't re-derive any parent scan)
-    parent_keys: dict[tuple[str, str], DataFrame] = {}
-    for _, _, parent, pk in _FK_EDGES:
-        if (parent, pk) not in parent_keys:
-            parent_keys[(parent, pk)] = (
-                dfs[parent].select(F.col(pk).alias("__pk")).distinct().localCheckpoint(eager=False)
-            )
-    frames = []
-    for child, fk, parent, pk in _FK_EDGES:
-        cnt = (
-            dfs[child]
-            .groupBy(F.col(fk).alias("__fk"))
-            .agg(F.count(F.lit(1)).alias("__n"))
+
+    def _label(child, fk, parent, pk):
+        return f"{child}.{fk} -> {parent}.{pk}"
+
+    child_parts = [
+        dfs[child].select(
+            F.lit(_label(child, fk, parent, pk)).alias("fk_edge"),
+            F.col(fk).cast("bigint").alias("__fk"),
         )
-        joined = cnt.join(
-            parent_keys[(parent, pk)], F.col("__fk") == F.col("__pk"), "left"
+        for child, fk, parent, pk in _FK_EDGES
+    ]
+    tall_child = child_parts[0]
+    for part in child_parts[1:]:
+        tall_child = tall_child.unionAll(part)
+    cnt = tall_child.groupBy("fk_edge", "__fk").agg(F.count(F.lit(1)).alias("__n"))
+
+    parent_parts = [
+        dfs[parent].select(
+            F.lit(_label(child, fk, parent, pk)).alias("fk_edge"),
+            F.col(pk).cast("bigint").alias("__pk"),
         )
-        frames.append(
-            joined.agg(
-                F.lit(f"{child}.{fk} -> {parent}.{pk}").alias("fk_edge"),
-                F.sum("__n").alias("n_child_rows"),
-                F.sum(F.when(F.col("__fk").isNull(), F.col("__n")).otherwise(0)).alias(
-                    "n_null_fk"
-                ),
-                F.sum(
-                    F.when(
-                        F.col("__fk").isNotNull() & F.col("__pk").isNull(),
-                        F.col("__n"),
-                    ).otherwise(0)
-                ).alias("n_orphans"),
-            )
+        for child, fk, parent, pk in _FK_EDGES
+    ]
+    tall_parent = parent_parts[0]
+    for part in parent_parts[1:]:
+        tall_parent = tall_parent.unionAll(part)
+    keys = tall_parent.distinct()
+
+    joined = cnt.join(
+        keys,
+        (cnt["fk_edge"] == keys["fk_edge"]) & (F.col("__fk") == F.col("__pk")),
+        "left",
+    )
+    return (
+        joined.groupBy(cnt["fk_edge"].alias("fk_edge"))
+        .agg(
+            F.sum("__n").alias("n_child_rows"),
+            F.sum(F.when(F.col("__fk").isNull(), F.col("__n")).otherwise(0)).alias(
+                "n_null_fk"
+            ),
+            F.sum(
+                F.when(
+                    F.col("__fk").isNotNull() & F.col("__pk").isNull(),
+                    F.col("__n"),
+                ).otherwise(0)
+            ).alias("n_orphans"),
         )
-    out = frames[0]
-    for fr in frames[1:]:
-        out = out.unionAll(fr)
-    return out.orderBy("fk_edge")
+        .orderBy("fk_edge")
+    )
