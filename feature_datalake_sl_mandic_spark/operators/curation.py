@@ -856,3 +856,98 @@ def corpus_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ----------------------------------------------- URL canonicalization dedup
+
+# Synthetic-but-deterministic messy URL per document (the fixture corpus has
+# no URL column; same derive-then-process pattern as corpus_pii_redact):
+# scheme + optional WWW + host shard + path + optional trailing slash +
+# optional tracking query + optional fragment — every messiness a real crawl
+# frontier dedup has to erase.
+
+
+@register(
+    "dedup_url_canonical",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             'https://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+               || 'site' || CAST(doc_id % 7 AS VARCHAR) || '.com/page/'
+               || CAST(doc_id % 40 AS VARCHAR)
+               || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+               || CASE WHEN doc_id % 4 = 0
+                       THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN '#section' ELSE '' END AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id, url,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(lower(url), '[?#].*$', ''),
+                 '^https://www\\.', 'https://'),
+               '/$', '') AS canonical_url
+      FROM raw
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+    FROM canon
+    GROUP BY canonical_url
+    ORDER BY canonical_url
+    """,
+    tags=("curation", "dedup", "url-canonicalization", "crawl"),
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the first dedup stage of every
+    crawl-derived corpus (before any content hashing): lowercase, strip the
+    ``www.`` host prefix, drop query strings and fragments (tracking params
+    make infinite aliases of one page), strip the trailing slash, then group
+    by the canonical form. Emits per canonical URL the document count, how
+    many RAW variants collapsed into it, and the kept representative
+    (min doc_id) — the survivorship decision downstream content dedup
+    receives. The messy URL derives deterministically from doc_id so both
+    engines canonicalize identical inputs.
+
+    Scale shape: a projection chain of three regexp_replace calls inside
+    whole-stage codegen, then ONE map-side-combined aggregation keyed by
+    canonical URL — the exact-dedup plan shape (dedup_exact_documents) with
+    the canonicalizer fused into the scan. No joins, no windows."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".com/page/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#section")).otherwise(F.lit("")),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("url")), r"[?#].*$", ""),
+            r"^https://www\.",
+            "https://",
+        ),
+        r"/$",
+        "",
+    )
+    return (
+        dc.select("doc_id", url.alias("url"))
+        .select("doc_id", "url", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("url").alias("n_raw_variants"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .orderBy("canonical_url")
+    )

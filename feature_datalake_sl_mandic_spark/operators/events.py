@@ -1168,3 +1168,132 @@ def events_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("user_id", "rn")
     )
+
+
+# ------------------------------------------ Neyman-allocation stratified sample
+
+NEYMAN_BUDGET = 500  # total sampled rows across all strata
+
+
+@register(
+    "sample_stratified_neyman",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, value,
+             ('0x' || substr(md5(event_type || '|' || CAST(user_id AS VARCHAR)
+                 || '|' || CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR)),
+                 1, 15))::BIGINT AS hk
+      FROM events WHERE value IS NOT NULL
+    ),
+    stats AS (
+      SELECT event_type, count(*) AS n_pop,
+             round(sqrt(sum(value * value) / count(*)
+                        - pow(sum(value) / count(*), 2)), 6) AS std_pop,
+             round(sum(value) / count(*), 4) AS pop_mean
+      FROM base GROUP BY event_type
+    ),
+    wsum AS (SELECT sum(n_pop * std_pop) AS w FROM stats),
+    alloc AS (
+      SELECT s.event_type, s.n_pop, s.std_pop, s.pop_mean,
+             least(s.n_pop,
+                   CAST(floor({NEYMAN_BUDGET} * (s.n_pop * s.std_pop) / t.w)
+                        AS BIGINT)) AS n_alloc
+      FROM stats s CROSS JOIN wsum t
+    ),
+    ranked AS (
+      SELECT b.event_type, b.value,
+             row_number() OVER (PARTITION BY b.event_type
+                                ORDER BY b.hk, b.value) AS rn
+      FROM base b
+    ),
+    sampled AS (
+      SELECT r.event_type, avg(r.value) AS m, count(*) AS n_sampled
+      FROM ranked r JOIN alloc a USING (event_type)
+      WHERE r.rn <= a.n_alloc
+      GROUP BY r.event_type
+    )
+    SELECT a.event_type, CAST(a.n_pop AS BIGINT) AS n_pop, a.std_pop,
+           a.pop_mean, a.n_alloc, CAST(s.n_sampled AS BIGINT) AS n_sampled,
+           round(s.m, 4) AS sample_mean
+    FROM alloc a JOIN sampled s USING (event_type)
+    ORDER BY a.event_type
+    """,
+    tags=("events", "sampling", "stratified", "neyman-allocation"),
+)
+def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sampling: the fixed row budget splits
+    across strata proportionally to N_h * S_h (stratum size x stratum
+    standard deviation) — the allocation that minimizes the variance of the
+    stratified mean estimator, vs the naive proportional split that
+    oversamples homogeneous strata. Selection within a stratum is
+    deterministic md5-rank (reproducible across engines AND across runs —
+    the property a training-data sampling job needs for auditability).
+    Complements ``sample_weighted_reservoir`` (per-row weights) with the
+    classic survey-sampling design (per-stratum variance).
+
+    Scale shape: one pass for the sufficient statistics (count/sum/sum-sq
+    per stratum — map-side combined), the bounded allocation broadcast back,
+    and ONE rank window partitioned by stratum for selection. Population
+    std via the sum-of-squares identity so both engines compute the same
+    closed form; boundary-sensitive floor() operates on 6-dp-rounded stds
+    to keep the allocation integer identical cross-engine."""
+    (ev,) = _t(spark, sf_dir, "events")
+    from feature_datalake_sl_mandic_spark.functions.hashing import md5_int60_col
+
+    base = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        "value",
+        md5_int60_col(
+            F.concat_ws(
+                "|",
+                F.col("event_type"),
+                F.col("user_id").cast("string"),
+                F.round(F.col("value") * 100, 0).cast("bigint").cast("string"),
+            )
+        ).alias("hk"),
+    )
+    stats = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pop"),
+        F.round(
+            F.sqrt(
+                F.sum(F.col("value") * F.col("value")) / F.count(F.lit(1))
+                - F.pow(F.sum("value") / F.count(F.lit(1)), 2)
+            ),
+            6,
+        ).alias("std_pop"),
+        F.round(F.sum("value") / F.count(F.lit(1)), 4).alias("pop_mean"),
+    )
+    wsum = stats.agg(F.sum(F.col("n_pop") * F.col("std_pop")).alias("w"))
+    alloc = stats.crossJoin(F.broadcast(wsum)).select(
+        "event_type",
+        "n_pop",
+        "std_pop",
+        "pop_mean",
+        F.least(
+            F.col("n_pop"),
+            F.floor(
+                F.lit(NEYMAN_BUDGET) * (F.col("n_pop") * F.col("std_pop")) / F.col("w")
+            ).cast("bigint"),
+        ).alias("n_alloc"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hk", "value")
+    ranked = base.withColumn("rn", F.row_number().over(w))
+    sampled = (
+        ranked.join(F.broadcast(alloc.select("event_type", "n_alloc")), "event_type")
+        .where(F.col("rn") <= F.col("n_alloc"))
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("m"), F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        alloc.join(sampled, "event_type")
+        .select(
+            "event_type",
+            "n_pop",
+            "std_pop",
+            "pop_mean",
+            "n_alloc",
+            "n_sampled",
+            F.round("m", 4).alias("sample_mean"),
+        )
+        .orderBy("event_type")
+    )

@@ -612,3 +612,131 @@ def stats_anova_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ms_between / ms_within, 4).alias("f_stat"),
         (ms_between / ms_within > ANOVA_F_CRIT_05).alias("reject_05"),
     )
+
+
+# ------------------------------------------------ bootstrap CI (half-sample)
+
+BOOT_B = 20  # bootstrap replicates
+_BOOT_RES = 1 << 30
+
+
+@register(
+    "stats_bootstrap_ci_mean",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, value,
+             ('0x' || substr(md5(event_type || '|' || CAST(user_id AS VARCHAR)
+                 || '|' || CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR)),
+                 1, 15))::BIGINT AS hk
+      FROM events WHERE value IS NOT NULL
+    ),
+    reps AS (
+      SELECT b.b, base.event_type, avg(base.value) AS rep_mean
+      FROM base CROSS JOIN range(0, {BOOT_B}) b(b)
+      WHERE ('0x' || substr(md5(CAST(b.b AS VARCHAR) || '#'
+               || CAST(base.hk AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+      GROUP BY b.b, base.event_type
+    ),
+    summ AS (
+      SELECT event_type,
+             count(*) AS n_reps,
+             round(quantile_cont(rep_mean, 0.05), 4) AS ci_lo,
+             round(quantile_cont(rep_mean, 0.95), 4) AS ci_hi,
+             round(sqrt((sum(rep_mean * rep_mean)
+                         - pow(sum(rep_mean), 2) / count(*))
+                        / (count(*) - 1)), 6) AS se_boot
+      FROM reps GROUP BY event_type
+    ),
+    pt AS (
+      SELECT event_type, round(avg(value), 4) AS mean_full,
+             count(*) AS n_rows
+      FROM base GROUP BY event_type
+    )
+    SELECT p.event_type, CAST(p.n_rows AS BIGINT) AS n_rows, p.mean_full,
+           CAST(s.n_reps AS BIGINT) AS n_reps, s.ci_lo, s.ci_hi, s.se_boot,
+           p.mean_full BETWEEN s.ci_lo AND s.ci_hi AS ci_covers_mean
+    FROM pt p JOIN summ s USING (event_type)
+    ORDER BY p.event_type
+    """,
+    tags=("stats", "bootstrap", "confidence-interval", "resampling"),
+)
+def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the per-stratum mean, built from
+    B = 20 DETERMINISTIC half-sample replicates: replicate b keeps the rows
+    whose md5(b # row-key) is even — an m-out-of-n (m = n/2) subsample
+    bootstrap whose every replicate is reproducible across engines and runs
+    (swap the hash for a real RNG to deploy). Emits the full-sample mean,
+    the 5th/95th percentile band of replicate means, and the bootstrap SE —
+    the uncertainty a metrics pipeline should attach to every mean it
+    publishes, computed without any distributional assumption.
+
+    Scale shape: the replicate fan-out is a broadcast range-join (B small
+    ints) that partial-aggregates per (replicate, stratum) in the same map
+    pass — B x |strata| rows reach the shuffle, NOT B x |rows|. The
+    percentile runs over B values per stratum. Nothing here is
+    driver-side."""
+    from feature_datalake_sl_mandic_spark.functions.hashing import md5_int60_col
+
+    (ev,) = _t(spark, sf_dir, "events")
+    base = ev.where(F.col("value").isNotNull()).select(
+        "event_type",
+        "value",
+        md5_int60_col(
+            F.concat_ws(
+                "|",
+                F.col("event_type"),
+                F.col("user_id").cast("string"),
+                F.round(F.col("value") * 100, 0).cast("bigint").cast("string"),
+            )
+        ).alias("hk"),
+    )
+    bs = spark.range(BOOT_B).select(F.col("id").alias("b"))
+    keep = (
+        md5_int60_col(
+            F.concat(F.col("b").cast("string"), F.lit("#"), F.col("hk").cast("string"))
+        )
+        % 2
+        == 0
+    )
+    reps = (
+        base.crossJoin(F.broadcast(bs))
+        .where(keep)
+        .groupBy("b", "event_type")
+        .agg(F.avg("value").alias("rep_mean"))
+    )
+    n_reps = F.count(F.lit(1))
+    summ = reps.groupBy("event_type").agg(
+        n_reps.alias("n_reps"),
+        F.round(F.expr("percentile(rep_mean, 0.05)"), 4).alias("ci_lo"),
+        F.round(F.expr("percentile(rep_mean, 0.95)"), 4).alias("ci_hi"),
+        F.round(
+            F.sqrt(
+                (
+                    F.sum(F.col("rep_mean") * F.col("rep_mean"))
+                    - F.pow(F.sum("rep_mean"), 2) / n_reps
+                )
+                / (n_reps - 1)
+            ),
+            6,
+        ).alias("se_boot"),
+    )
+    pt = base.groupBy("event_type").agg(
+        F.round(F.avg("value"), 4).alias("mean_full"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return (
+        pt.join(summ, "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            "mean_full",
+            "n_reps",
+            "ci_lo",
+            "ci_hi",
+            F.col("mean_full").between(F.col("ci_lo"), F.col("ci_hi")).alias(
+                "ci_covers_mean"
+            ),
+            "se_boot",
+        )
+        .orderBy("event_type")
+    )

@@ -170,6 +170,70 @@ def kanon_release_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+L_DIVERSITY = 3  # distinct sensitive values required per released cell
+_BAL_BAND = 2000  # sensitive attribute: account-balance band of this width
+
+
+@register(
+    "kanon_l_diversity",
+    oracle=f"""
+    WITH cells AS (
+      SELECT c_mktsegment, n.n_name AS nation,
+             count(*) AS n_rows,
+             count(DISTINCT CAST(floor(c_acctbal / {_BAL_BAND}) AS BIGINT))
+               AS n_sensitive
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, nation,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_sensitive AS BIGINT) AS n_sensitive,
+           n_rows >= {KANON_K} AS k_anonymous,
+           n_sensitive >= {L_DIVERSITY} AS l_diverse,
+           n_rows >= {KANON_K} AND n_sensitive >= {L_DIVERSITY} AS releasable
+    FROM cells
+    ORDER BY c_mktsegment, nation
+    """,
+    tags=("validation", "privacy", "l-diversity", "k-anonymity"),
+)
+def kanon_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit on top of k-anonymity: a quasi-identifier cell can
+    satisfy k-anonymity (>= k members) yet still leak its sensitive
+    attribute when every member SHARES one sensitive value — the homogeneity
+    attack k-anonymity cannot see. Per (segment, nation) cell this emits
+    member count AND the number of distinct sensitive values (account-balance
+    band), with both gates and the combined release decision, so the privacy
+    reviewer sees exactly which cells fail which test.
+    Complements ``kanon_release_customers`` (suppression) and
+    ``privacy_dp_noisy_counts`` (perturbation): the three standard release
+    mechanisms side by side.
+
+    Scale: one aggregation over the broadcast-dim join; count(DISTINCT) of
+    the banded sensitive value partial-aggregates per cell. The cell grid is
+    |segments| x |nations| — bounded output regardless of input size."""
+    (cu, na) = _t(spark, sf_dir, "customer", "nation")
+    band = F.floor(F.col("c_acctbal") / _BAL_BAND).cast("bigint")
+    cells = (
+        cu.join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .groupBy("c_mktsegment", F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(band).alias("n_sensitive"),
+        )
+    )
+    return cells.select(
+        "c_mktsegment",
+        "nation",
+        "n_rows",
+        "n_sensitive",
+        (F.col("n_rows") >= KANON_K).alias("k_anonymous"),
+        (F.col("n_sensitive") >= L_DIVERSITY).alias("l_diverse"),
+        (
+            (F.col("n_rows") >= KANON_K) & (F.col("n_sensitive") >= L_DIVERSITY)
+        ).alias("releasable"),
+    ).orderBy("c_mktsegment", "nation")
+
+
 # Benford first-digit expectation log10(1 + 1/d), d = 1..9, inlined as
 # literals so both engines compare against the identical constants.
 import math as _math

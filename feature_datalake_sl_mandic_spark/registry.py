@@ -161,7 +161,10 @@ _PRIORITY: list[str] = [
 # ts_brown_double_smoothing, events_capped_running_balance, corpus_zipf_fit,
 # corpus_js_divergence_sources, sample_weighted_reservoir,
 # drift_embedding_centroid_shift, stats_welch_ttest_priority,
-# stats_anova_order_priority — plus any queries newly registered in round 4.
+# stats_anova_order_priority — plus the queries newly registered in round 4:
+# ts_trend_pair_sampled, kanon_l_diversity, sample_stratified_neyman,
+# dedup_url_canonical, stats_bootstrap_ci_mean (ann_ivf_pq_packed is already
+# inside this round's window).
 # (multimodal_feature_extract was retired from the registry in round 4: its
 # codec stubs made it permanently rows-only and every registered query must
 # carry an oracle; it stays pytest-covered via tests/test_multimodal.py.)

@@ -211,6 +211,77 @@ class TestHilbertLayout:
             assert sum(r.n_rows for r in rows if r.layout == layout) == n_orders
 
 
+class TestRound4NewOps:
+    def test_l_diversity_stricter_than_k_anonymity(self, spark):
+        """Every releasable cell must pass BOTH gates, and (on this fixture)
+        at least one k-anonymous cell must fail l-diversity or vice versa —
+        otherwise the second gate tests nothing."""
+        from feature_datalake_sl_mandic_spark.operators.validation import (
+            kanon_l_diversity,
+        )
+
+        rows = kanon_l_diversity(spark, SF_SMALL).collect()
+        assert rows
+        for r in rows:
+            assert r.releasable == (r.k_anonymous and r.l_diverse)
+        assert any(r.k_anonymous != r.l_diverse for r in rows)
+
+    def test_neyman_allocation_properties(self, spark):
+        """Allocations: within budget, never exceed stratum size, and the
+        highest-variance stratum gets at least its proportional share."""
+        from feature_datalake_sl_mandic_spark.operators.events import (
+            NEYMAN_BUDGET,
+            sample_stratified_neyman,
+        )
+
+        rows = sample_stratified_neyman(spark, SF_SMALL).collect()
+        assert rows
+        assert sum(r.n_alloc for r in rows) <= NEYMAN_BUDGET
+        total_n = sum(r.n_pop for r in rows)
+        for r in rows:
+            assert r.n_sampled == min(r.n_alloc, r.n_pop)
+        top = max(rows, key=lambda r: r.n_pop * r.std_pop)
+        prop_share = NEYMAN_BUDGET * top.n_pop / total_n
+        assert top.n_alloc >= prop_share - 1  # Neyman >= proportional for it
+
+    def test_bootstrap_ci_brackets_full_mean(self, spark):
+        """With 20 half-sample replicates the percentile band should bracket
+        the full-sample mean for every stratum of this well-behaved fixture,
+        and the band must be properly ordered."""
+        from feature_datalake_sl_mandic_spark.operators.profile import (
+            stats_bootstrap_ci_mean,
+        )
+
+        rows = stats_bootstrap_ci_mean(spark, SF_SMALL).collect()
+        assert rows
+        for r in rows:
+            assert r.n_reps == 20
+            assert r.ci_lo <= r.ci_hi
+            assert r.se_boot > 0
+            assert r.ci_covers_mean
+
+    def test_url_canonical_collapses_variants(self, spark):
+        """Tracking params / fragments / case / trailing slashes must
+        collapse: strictly fewer canonical URLs than raw ones, and at least
+        one canonical group must merge >1 raw variant."""
+        from feature_datalake_sl_mandic_spark.operators.curation import (
+            dedup_url_canonical,
+        )
+        from feature_datalake_sl_mandic_spark.operators.relational import _t
+
+        rows = dedup_url_canonical(spark, SF_SMALL).collect()
+        (dc,) = _t(spark, SF_SMALL, "documents")
+        n_docs = dc.count()
+        assert sum(r.n_docs for r in rows) == n_docs
+        assert len(rows) < n_docs
+        assert any(r.n_raw_variants > 1 for r in rows)
+        for r in rows:
+            assert "?" not in r.canonical_url and "#" not in r.canonical_url
+            assert not r.canonical_url.endswith("/")
+            assert "www." not in r.canonical_url
+            assert r.canonical_url == r.canonical_url.lower()
+
+
 def test_release_cached_drops_checkpoint_blocks(spark):
     """The sweep hygiene hook must leave zero persistent RDDs behind."""
     from feature_datalake_sl_mandic_spark.session import release_cached
