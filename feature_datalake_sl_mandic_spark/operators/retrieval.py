@@ -267,51 +267,59 @@ def eval_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     what recall that buys. The d=64 rows must come back with recall 1.0 —
     a built-in self-check that the sweep and the baseline agree.
 
-    Scale shape: one broadcast-query × corpus-scan pass per budget (the
-    slice pushes into the same scan projection), per-query top-k windows —
-    identical shape to ``knn_cosine_topk``, ×|MRL_DIMS| plans unioned."""
+    Scale shape: ONE broadcast-query × corpus-scan pass serves ALL budgets —
+    each (query, candidate) pair explodes into |MRL_DIMS| rows whose sliced
+    dot products compute in the same projection (the d-dim dot is a prefix
+    of the 64-dim one, so total arithmetic equals the separate-scan
+    formulation while the corpus is read ONCE, not |MRL_DIMS| times — at
+    100 TB that 4x read amplification is the whole cost). One top-k window
+    partitioned by (dim, query) replaces four."""
+    from pyspark.sql.window import Window
+
     (em,) = _t(spark, sf_dir, "embeddings")
     gt = knn_cosine_topk(spark, sf_dir).select(
         "query_id", F.col("neighbor_id").alias("gt_neighbor")
     )
-    sys_parts = []
-    for d in MRL_DIMS:
-        e = em.select(
-            "vec_id",
-            F.slice(F.col("embedding").cast("array<double>"), 1, d).alias("emb"),
-        ).withColumn("norm", F.sqrt(_dot("emb", "emb")))
-        q = e.where(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("emb").alias("qemb"),
-            F.col("norm").alias("qnorm"),
-        )
-        c = e.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("emb").alias("cemb"),
-            F.col("norm").alias("cnorm"),
-        )
-        from pyspark.sql.window import Window
+    e = em.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("cemb"))
+    dims = F.array(*[F.lit(d) for d in MRL_DIMS])
 
-        cos = _dot("qemb", "cemb") / (F.col("qnorm") * F.col("cnorm"))
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("cosine").desc(), F.col("neighbor_id")
+    def _pref_dot(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col(a), 1, F.col("dim").cast("int")),
+                F.slice(F.col(b), 1, F.col("dim").cast("int")),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
-        sys_parts.append(
-            F.broadcast(q)
-            .join(c, F.col("neighbor_id") != F.col("query_id"))
-            .select(
-                F.lit(d).cast("bigint").alias("dim"),
-                "query_id",
-                "neighbor_id",
-                F.round(cos, 6).alias("cosine"),
-            )
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= TOP_K)
-            .select("dim", "query_id", "neighbor_id")
+
+    cos = _pref_dot("qemb", "cemb") / (
+        F.sqrt(_pref_dot("qemb", "qemb")) * F.sqrt(_pref_dot("cemb", "cemb"))
+    )
+    w = Window.partitionBy("dim", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    sys_ = (
+        F.broadcast(q)
+        .join(c, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", "qemb", "cemb", F.explode(dims).alias("dim")
         )
-    sys_ = sys_parts[0]
-    for part in sys_parts[1:]:
-        sys_ = sys_.unionAll(part)
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            "query_id",
+            "neighbor_id",
+            F.round(cos, 6).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("dim", "query_id", "neighbor_id")
+    )
     hits = (
         sys_.join(
             gt,

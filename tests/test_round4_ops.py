@@ -282,6 +282,23 @@ class TestRound4NewOps:
             assert r.canonical_url == r.canonical_url.lower()
 
 
+def test_matryoshka_fused_scan_full_dim_recall_is_one(spark):
+    """After fusing the four per-budget scans into one exploded pass, the
+    d=64 rows must still report recall 1.0 for every query (the sweep's
+    built-in self-check) and mean recall must not decrease with dim."""
+    from feature_datalake_sl_mandic_spark.operators.retrieval import (
+        eval_matryoshka_recall,
+    )
+
+    rows = eval_matryoshka_recall(spark, SF_SMALL).collect()
+    by_dim = {}
+    for r in rows:
+        by_dim.setdefault(r.dim, []).append(r.recall_at_k)
+    assert all(v == 1.0 for v in by_dim[64])
+    means = [sum(v) / len(v) for _, v in sorted(by_dim.items())]
+    assert all(a <= b + 1e-9 for a, b in zip(means, means[1:]))
+
+
 def test_release_cached_drops_checkpoint_blocks(spark):
     """The sweep hygiene hook must leave zero persistent RDDs behind."""
     from feature_datalake_sl_mandic_spark.session import release_cached
