@@ -300,7 +300,7 @@ def semdedup_cluster_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT label, half, t.i - 1 AS pos, emb[t.i] AS v
       FROM e CROSS JOIN range(1, {DIM + 1}) t(i)
     ),
-    cent AS (
+    cent AS MATERIALIZED (
       SELECT label, half, pos, round(avg(v), 6) AS c, count(*) AS n
       FROM long GROUP BY 1, 2, 3
     ),
@@ -372,4 +372,231 @@ def drift_embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("l2_shift"),
         )
         .orderBy("label")
+    )
+
+
+# ------------------------------- PCA: fixed-point covariance + power iteration
+
+PCA_ITERS = 5
+PCA_SQUARINGS = 4  # m4 = (C/tr)^16 up to scaling -> 5 iters walk ~C^80
+_PCA_SCALE = 10_000  # centered values quantize to a 1e-4 grid (see docstring)
+_PCA_SCALE2 = _PCA_SCALE * _PCA_SCALE
+
+
+def _pca_oracle() -> str:
+    """Build the DuckDB mirror: covariance from integer-quantized centered
+    values (exact, order-independent sums), then PCA_SQUARINGS unrolled
+    trace-normalized operator squarings and PCA_ITERS power iterations with
+    the same per-step rounding as the Spark plan."""
+    sqs = []
+    prev_m = "m0"
+    for s in range(1, PCA_SQUARINGS + 1):
+        sqs.append(f"""
+    p{s} AS MATERIALIZED (
+      SELECT a.i, b.j, sum(a.c * b.c) AS c
+      FROM {prev_m} a JOIN {prev_m} b ON a.j = b.i GROUP BY a.i, b.j
+    ),
+    t{s} AS (SELECT sum(c) AS tr_ FROM p{s} WHERE i = j),
+    m{s} AS MATERIALIZED (SELECT i, j, round(c / tr_, 10) AS c FROM p{s} CROSS JOIN t{s})""")
+        prev_m = f"m{s}"
+    iters = []
+    prev = "v0"
+    for t in range(1, PCA_ITERS + 1):
+        iters.append(f"""
+    w{t} AS MATERIALIZED (
+      SELECT c.i AS dim, round(sum(c.c * v.val), 10) AS w
+      FROM {prev_m} c JOIN {prev} v ON c.j = v.dim GROUP BY c.i
+    ),
+    n{t} AS (SELECT sqrt(sum(w * w)) AS nrm FROM w{t}),
+    v{t} AS MATERIALIZED (SELECT dim, round(w / nrm, 8) AS val FROM w{t} CROSS JOIN n{t})""")
+        prev = f"v{t}"
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    long_ AS MATERIALIZED (
+      SELECT vec_id, CAST(t.i AS BIGINT) AS i, emb[t.i + 1] AS v
+      FROM e CROSS JOIN range(0, 64) t(i)
+    ),
+    nn AS (SELECT count(*) AS n FROM e),
+    mu AS MATERIALIZED (SELECT i, round(avg(v), 6) AS m FROM long_ GROUP BY i),
+    cent AS (
+      SELECT l.vec_id, l.i,
+             CAST(round((l.v - mu.m) * {_PCA_SCALE}, 0) AS BIGINT) AS xi
+      FROM long_ l JOIN mu ON l.i = mu.i
+    ),
+    cov AS MATERIALIZED (
+      SELECT a.i, b.i AS j,
+             sum(a.xi * b.xi) / ({_PCA_SCALE2}.0 * nn.n) AS c
+      FROM cent a JOIN cent b ON a.vec_id = b.vec_id CROSS JOIN nn
+      GROUP BY a.i, b.i, nn.n
+    ),
+    tr0 AS (SELECT sum(c) AS tr_ FROM cov WHERE i = j),
+    m0 AS MATERIALIZED (SELECT i, j, round(c / tr_, 10) AS c FROM cov CROSS JOIN tr0),
+    {",".join(sqs)},
+    v0 AS MATERIALIZED (SELECT i AS dim, 0.125 AS val FROM (SELECT DISTINCT i FROM mu)),
+    {",".join(iters)},
+    wf AS (
+      SELECT c.i AS dim, round(sum(c.c * v.val), 10) AS w
+      FROM cov c JOIN v{PCA_ITERS} v ON c.j = v.dim GROUP BY c.i
+    ),
+    lam AS (
+      SELECT sum(v.val * wf.w) AS ev
+      FROM v{PCA_ITERS} v JOIN wf ON v.dim = wf.dim
+    ),
+    tr AS (SELECT sum(c) AS trace FROM cov WHERE i = j),
+    sgn AS (
+      SELECT CASE
+               WHEN (max(struct_pack(a := abs(val), nd := -dim, v := val))).v < 0
+               THEN -1.0 ELSE 1.0 END AS s
+      FROM v{PCA_ITERS}
+    )
+    SELECT v.dim,
+           round(v.val * sgn.s, 6) AS loading,
+           round(lam.ev, 4) AS eigenvalue,
+           round(lam.ev / tr.trace, 6) AS explained_share
+    FROM v{PCA_ITERS} v CROSS JOIN lam CROSS JOIN tr CROSS JOIN sgn
+    ORDER BY v.dim
+    """
+
+
+@register(
+    "embedding_pca_power_iteration",
+    oracle=_pca_oracle(),
+    tags=("embedding", "pca", "power-iteration", "linear-algebra", "iterative"),
+)
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus: distributed
+    covariance accumulation + {PCA_ITERS} relational power iterations —
+    iterative linear algebra as DataFrame ops, nothing driver-side but two
+    bounded scalars (row count, 64 means).
+
+    Determinism design: floating-point SUM is order-dependent, and a
+    covariance cell summed in different orders on different engines (or
+    different partitionings!) can flip its last rounded digit — across 4096
+    cells that risk compounds. So centered values quantize to a 1e-4 grid
+    and the covariance numerators accumulate in EXACT int64 arithmetic
+    (numpy int64 ``xc.T @ xc`` per Arrow batch, integer sums across
+    batches) — the reduction is associative, so any partitioning yields
+    bit-identical covariance. Every subsequent iteration re-rounds (w at
+    1e-10, v at 1e-8) so both engines walk the same trajectory. The sign of
+    an eigenvector being arbitrary, loadings are normalized so the
+    largest-|.|component is positive.
+
+    Scale shape: one Arrow-batched pass emits 64x64 integer partials per
+    batch (the classic one-pass distributed Gram/covariance: shuffle carries
+    |batches| x 4096 longs, never the corpus); each power iteration is a
+    4096-row x 64-row broadcast join — microscopic. The covariance relation
+    is localCheckpoint-ed once and reused by all iterations, the Rayleigh
+    quotient, and the trace."""
+    import numpy as np
+    import pandas as pd
+
+    (em,) = _t(spark, sf_dir, "embeddings")
+    e = em.where(F.col("embedding").isNotNull()).select(
+        F.col("embedding").cast("array<double>").alias("emb")
+    )
+    # bounded control plane: n and the 64 per-dim means (rounded so both
+    # engines center with identical values)
+    mu_rows = (
+        e.select(F.posexplode("emb").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.round(F.avg("v"), 6).alias("m"))
+        .collect()
+    )
+    if not mu_rows:
+        return spark.createDataFrame(
+            [], "dim bigint, loading double, eigenvalue double, explained_share double"
+        )
+    dim = len(mu_rows)
+    mu = np.zeros(dim)
+    for r in mu_rows:
+        mu[r["i"]] = r["m"]
+    n = e.count()
+
+    def partials(it):
+        idx = np.arange(dim, dtype="int64")
+        ii = np.repeat(idx, dim)
+        jj = np.tile(idx, dim)
+        for pdf in it:
+            x = np.array(pdf["emb"].tolist(), dtype="float64")
+            # half-away-from-zero to match round() in both SQL engines
+            xc = x - mu[None, :]
+            xi = (np.floor(np.abs(xc) * _PCA_SCALE + 0.5) * np.sign(xc)).astype(
+                "int64"
+            )
+            p = xi.T @ xi  # exact int64 outer-product sum over the batch
+            yield pd.DataFrame({"i": ii, "j": jj, "s": p.reshape(-1)})
+
+    cov = (
+        e.mapInPandas(partials, schema="i bigint, j bigint, s bigint")
+        .groupBy("i", "j")
+        .agg((F.sum("s") / F.lit(float(_PCA_SCALE2) * n)).alias("c"))
+        .localCheckpoint()
+    )
+
+    def _trace_normalize(p: DataFrame) -> DataFrame:
+        t = p.where(F.col("i") == F.col("j")).agg(F.sum("c").alias("tr_"))
+        return (
+            p.crossJoin(F.broadcast(t))
+            .select("i", "j", F.round(F.col("c") / F.col("tr_"), 10).alias("c"))
+            .localCheckpoint()
+        )
+
+    # The fixture's covariance is near-isotropic (lambda2/lambda1 ~ 0.93), so
+    # plain power iteration needs ~50 steps. Squaring the operator doubles
+    # the effective exponent per squaring: m = (C/tr)^(2^PCA_SQUARINGS) up
+    # to scale, and PCA_ITERS iterations with it walk ~C^80 — convergent
+    # even on a 0.93 gap. Trace normalization after every squaring keeps
+    # entries O(1/64) so the 1e-10 rounding grid never underflows them.
+    m = _trace_normalize(cov)
+    for _ in range(PCA_SQUARINGS):
+        a, b = m.alias("a"), m.alias("b")
+        p = (
+            a.join(b, F.col("a.j") == F.col("b.i"))
+            .groupBy(F.col("a.i").alias("i"), F.col("b.j").alias("j"))
+            .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("c"))
+        )
+        m = _trace_normalize(p)
+    v = spark.createDataFrame([(i, 0.125) for i in range(dim)], "dim bigint, val double")
+    for _ in range(PCA_ITERS):
+        w = (
+            m.join(v, m["j"] == v["dim"])
+            .groupBy(m["i"].alias("dim"))
+            .agg(F.round(F.sum(F.col("c") * F.col("val")), 10).alias("w"))
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = (
+            w.crossJoin(F.broadcast(nrm))
+            .select("dim", F.round(F.col("w") / F.col("nrm"), 8).alias("val"))
+            .localCheckpoint()
+        )
+    wf = (
+        cov.join(v, cov["j"] == v["dim"])
+        .groupBy(cov["i"].alias("dim"))
+        .agg(F.round(F.sum(F.col("c") * F.col("val")), 10).alias("w"))
+    )
+    lam = (
+        v.join(wf, "dim")
+        .agg(F.sum(F.col("val") * F.col("w")).alias("ev"))
+    )
+    tr = cov.where(F.col("i") == F.col("j")).agg(F.sum("c").alias("trace"))
+    pick = F.max(
+        F.struct(F.abs("val").alias("a"), (-F.col("dim")).alias("nd"), F.col("val"))
+    )
+    sgn = v.agg(
+        F.when(pick.getField("val") < 0, -1.0).otherwise(1.0).alias("s")
+    )
+    return (
+        v.crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(sgn))
+        .select(
+            "dim",
+            F.round(F.col("val") * F.col("s"), 6).alias("loading"),
+            F.round("ev", 4).alias("eigenvalue"),
+            F.round(F.col("ev") / F.col("trace"), 6).alias("explained_share"),
+        )
+        .orderBy("dim")
     )

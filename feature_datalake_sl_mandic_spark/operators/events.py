@@ -1252,29 +1252,41 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("hk"),
     )
-    stats = base.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_pop"),
-        F.round(
-            F.sqrt(
-                F.sum(F.col("value") * F.col("value")) / F.count(F.lit(1))
-                - F.pow(F.sum("value") / F.count(F.lit(1)), 2)
-            ),
-            6,
-        ).alias("std_pop"),
-        F.round(F.sum("value") / F.count(F.lit(1)), 4).alias("pop_mean"),
+    # |strata| rows feeding the weight total, the allocation, AND the final
+    # join — checkpoint so the full sufficient-statistics pass runs once.
+    stats = (
+        base.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pop"),
+            F.round(
+                F.sqrt(
+                    F.sum(F.col("value") * F.col("value")) / F.count(F.lit(1))
+                    - F.pow(F.sum("value") / F.count(F.lit(1)), 2)
+                ),
+                6,
+            ).alias("std_pop"),
+            F.round(F.sum("value") / F.count(F.lit(1)), 4).alias("pop_mean"),
+        )
+        .localCheckpoint()
     )
     wsum = stats.agg(F.sum(F.col("n_pop") * F.col("std_pop")).alias("w"))
-    alloc = stats.crossJoin(F.broadcast(wsum)).select(
-        "event_type",
-        "n_pop",
-        "std_pop",
-        "pop_mean",
-        F.least(
-            F.col("n_pop"),
-            F.floor(
-                F.lit(NEYMAN_BUDGET) * (F.col("n_pop") * F.col("std_pop")) / F.col("w")
-            ).cast("bigint"),
-        ).alias("n_alloc"),
+    alloc = (
+        stats.crossJoin(F.broadcast(wsum))
+        .select(
+            "event_type",
+            "n_pop",
+            "std_pop",
+            "pop_mean",
+            F.least(
+                F.col("n_pop"),
+                F.floor(
+                    F.lit(NEYMAN_BUDGET)
+                    * (F.col("n_pop") * F.col("std_pop"))
+                    / F.col("w")
+                ).cast("bigint"),
+            ).alias("n_alloc"),
+        )
+        .localCheckpoint()
     )
     w = Window.partitionBy("event_type").orderBy("hk", "value")
     ranked = base.withColumn("rn", F.row_number().over(w))

@@ -299,6 +299,40 @@ def test_matryoshka_fused_scan_full_dim_recall_is_one(spark):
     assert all(a <= b + 1e-9 for a, b in zip(means, means[1:]))
 
 
+def test_pca_power_iteration_matches_numpy(spark):
+    """The relational power iteration must converge to numpy's top
+    eigenpair of the (quantized, centered) covariance: |cos| of the loading
+    vector vs eigh's leading eigenvector > 0.995 and the Rayleigh eigenvalue
+    within 2% of eigh's lambda_1."""
+    import numpy as np
+
+    from feature_datalake_sl_mandic_spark.operators.clustering import (
+        embedding_pca_power_iteration,
+    )
+    from feature_datalake_sl_mandic_spark.operators.relational import _t
+
+    rows = embedding_pca_power_iteration(spark, SF_SMALL).collect()
+    v = np.array([r.loading for r in sorted(rows, key=lambda r: r.dim)])
+    ev = rows[0].eigenvalue
+    share = rows[0].explained_share
+
+    (em,) = _t(spark, SF_SMALL, "embeddings")
+    x = np.array(
+        [r["e"] for r in em.selectExpr("cast(embedding as array<double>) e").collect()]
+    )
+    mu = np.round(x.mean(axis=0), 6)
+    xc = x - mu
+    xi = (np.floor(np.abs(xc) * 10_000 + 0.5) * np.sign(xc)).astype("int64")
+    cov = (xi.T @ xi) / (1e8 * len(x))
+    w_np, v_np = np.linalg.eigh(cov)
+    top = v_np[:, -1]
+    cos = abs(float(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top)))
+    assert cos > 0.995, cos
+    assert abs(ev - w_np[-1]) <= 0.02 * w_np[-1]
+    assert 0 < share <= 1
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-4  # unit loading vector
+
+
 def test_release_cached_drops_checkpoint_blocks(spark):
     """The sweep hygiene hook must leave zero persistent RDDs behind."""
     from feature_datalake_sl_mandic_spark.session import release_cached
