@@ -1771,3 +1771,119 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "pair")
         .limit(BPE_TOP_K)
     )
+
+
+# ------------------------------------------ content-defined chunking (CDC)
+
+CDC_W = 8  # boundary-test window (chars)
+CDC_D = 32  # boundary divisor -> expected chunk length ~ D chars
+
+
+@register(
+    "corpus_cdc_chunking",
+    oracle=f"""
+    WITH docs AS MATERIALIZED (
+      SELECT doc_id, text, length(text) AS len FROM documents
+    ),
+    bounded AS MATERIALIZED (
+      SELECT doc_id, text, len,
+             list_sort(list_distinct(
+               list_append(
+                 list_filter(
+                   list_transform(range({CDC_W}, len + 1),
+                     p -> CASE WHEN ('0x' || substr(md5(substr(text, CAST(p - {CDC_W} + 1 AS INT), {CDC_W})), 1, 15))::BIGINT
+                                    % {CDC_D} = 0
+                               THEN p END),
+                   x -> x IS NOT NULL),
+                 len))) AS bounds
+      FROM docs
+    ),
+    chunks AS MATERIALIZED (
+      SELECT doc_id,
+             md5(substr(text, CAST(prev + 1 AS INT), CAST(b - prev AS INT))) AS ch,
+             b - prev AS clen
+      FROM (
+        SELECT doc_id, text,
+               unnest(bounds) AS b,
+               unnest(list_prepend(0, list_slice(bounds, 1, len(bounds) - 1))) AS prev
+        FROM bounded
+      ) WHERE b > prev
+    ),
+    freq AS MATERIALIZED (
+      SELECT ch, count(DISTINCT doc_id) AS ndocs FROM chunks GROUP BY ch
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           round(avg(c.clen), 2) AS avg_chunk_len,
+           CAST(sum(c.clen) AS BIGINT) AS total_len,
+           CAST(sum(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks
+    FROM chunks c JOIN freq f USING (ch)
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """,
+    tags=("text", "cdc", "chunking", "dedup", "rolling-hash"),
+)
+def corpus_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking — the dedup-storage/RAG-ingest splitter that
+    fixed-size chunking can't be: a chunk boundary falls wherever the hash
+    of the trailing {CDC_W}-char window divides CDC_D, so an insertion early
+    in a document only reshuffles the chunks it touches (fixed-size offsets
+    would shift EVERY later chunk and break all their dedup hashes). Per
+    document this emits chunk count, mean chunk length (expected ~CDC_D
+    chars by construction), and how many of its chunks also appear in other
+    documents — the cross-doc shared-chunk signal CDC exists to maximize.
+
+    Scale shape: boundary detection is a higher-order transform/filter over
+    the character positions of each document — entirely inside the scan
+    task, no shuffle until the chunk-frequency aggregation (one map-side-
+    combined groupBy on the 16-byte chunk hash, exactly the exact-dedup
+    shape). Chunks never leave as text: only their md5 and length shuffle.
+    The window hash is recomputed per position (O(len x W) chars); a
+    production splitter uses an O(len) rolling polynomial — same plan, the
+    boundary predicate is the only thing that changes."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    md5i = (
+        f"CAST(CONV(substring(md5(substring(text, CAST(p - {CDC_W} + 1 AS INT), "
+        f"{CDC_W})), 1, 15), 16, 10) AS BIGINT)"
+    )
+    bounds = F.expr(
+        f"""
+        array_sort(array_distinct(concat(
+          filter(
+            transform(sequence({CDC_W}, char_length(text)),
+                      p -> CASE WHEN {md5i} % {CDC_D} = 0 THEN p END),
+            x -> x IS NOT NULL),
+          array(char_length(text)))))
+        """
+    )
+    bounded = dc.select("doc_id", "text", bounds.alias("bounds"))
+    pairs = F.expr(
+        """
+        zip_with(bounds,
+                 concat(array(0), slice(bounds, 1, size(bounds) - 1)),
+                 (b, prev) -> named_struct(
+                   'ch', md5(substring(text, CAST(prev + 1 AS INT),
+                                       CAST(b - prev AS INT))),
+                   'clen', b - prev))
+        """
+    )
+    chunks = (
+        bounded.select("doc_id", F.explode(pairs).alias("c"))
+        .where(F.col("c.clen") > 0)
+        .select("doc_id", F.col("c.ch").alias("ch"), F.col("c.clen").alias("clen"))
+    )
+    freq = chunks.groupBy("ch").agg(F.countDistinct("doc_id").alias("ndocs"))
+    return (
+        chunks.join(freq, "ch")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.round(F.avg("clen"), 2).alias("avg_chunk_len"),
+            F.sum("clen").alias("total_len"),
+            F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0)).alias(
+                "n_shared_chunks"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -333,6 +333,57 @@ def test_pca_power_iteration_matches_numpy(spark):
     assert abs(np.linalg.norm(v) - 1.0) < 1e-4  # unit loading vector
 
 
+class TestCdcChunking:
+    def test_chunks_tile_each_document(self, spark):
+        """Chunk lengths must sum exactly to the document length (boundaries
+        tile the text with no gaps or overlaps)."""
+        from feature_datalake_sl_mandic_spark.operators.relational import _t
+        from feature_datalake_sl_mandic_spark.operators.text import (
+            corpus_cdc_chunking,
+        )
+
+        rows = corpus_cdc_chunking(spark, SF_SMALL).collect()
+        (dc,) = _t(spark, SF_SMALL, "documents")
+        lens = {r["doc_id"]: r["l"] for r in dc.selectExpr(
+            "doc_id", "char_length(text) l").collect()}
+        assert rows
+        for r in rows:
+            assert r.total_len == lens[r.doc_id]
+            assert r.n_chunks >= 1
+
+    def test_insertion_only_disturbs_local_chunks(self, spark, tmp_path):
+        """The CDC property fixed-size chunking lacks: prepending text to a
+        document leaves the shared suffix's chunk hashes intact, so both
+        variants report most chunks as shared."""
+        import pandas as pd
+
+        from feature_datalake_sl_mandic_spark.operators.text import (
+            corpus_cdc_chunking,
+        )
+
+        base = (
+            "spark shuffles hash partitions across executors while the "
+            "catalyst optimizer prunes columns and pushes filters into "
+            "the parquet scan so whole stage codegen keeps the hot loop "
+            "tight and the exchange count low across the full query plan"
+        )
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": [base, "INSERTED PREFIX CHANGES EARLY CHUNKS " + base],
+                "lang": ["en", "en"],
+                "source": ["s", "s"],
+                "n_chars": [len(base), len(base) + 37],
+            }
+        ).to_parquet(tmp_path / "documents.parquet")
+        rows = {
+            r.doc_id: r for r in corpus_cdc_chunking(spark, str(tmp_path)).collect()
+        }
+        # the unmodified doc shares most of its chunks with the prefixed one
+        assert rows[0].n_shared_chunks >= rows[0].n_chunks - 2
+        assert rows[1].n_shared_chunks >= rows[0].n_chunks - 2
+
+
 def test_release_cached_drops_checkpoint_blocks(spark):
     """The sweep hygiene hook must leave zero persistent RDDs behind."""
     from feature_datalake_sl_mandic_spark.session import release_cached
