@@ -740,3 +740,104 @@ def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------- A/B two-proportion z-test
+
+AB_CONVERT_VALUE = 590.0  # ~median per-user purchase total -> mid-range rates
+
+
+@register(
+    "events_ab_test_proportions",
+    oracle=f"""
+    WITH users AS (
+      SELECT user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+               AS variant,
+             CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+                       > {AB_CONVERT_VALUE}
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT variant, count(*) AS n, sum(converted) AS conv
+      FROM users GROUP BY variant
+    ),
+    wide AS (
+      SELECT max(CASE WHEN variant = 0 THEN n END) AS n_a,
+             max(CASE WHEN variant = 0 THEN conv END) AS conv_a,
+             max(CASE WHEN variant = 1 THEN n END) AS n_b,
+             max(CASE WHEN variant = 1 THEN conv END) AS conv_b
+      FROM arms
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+           round(conv_a * 1.0 / n_a, 6) AS rate_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+           round(conv_b * 1.0 / n_b, 6) AS rate_b,
+           round((conv_b * 1.0 / n_b - conv_a * 1.0 / n_a)
+                 / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                        * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 4) AS z,
+           abs((conv_b * 1.0 / n_b - conv_a * 1.0 / n_a)
+               / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                      * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                      * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS significant_95
+    FROM wide
+    """,
+    tags=("stats", "ab-test", "two-proportion", "z-test", "events"),
+)
+def events_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between hash-assigned experiment arms: users
+    split A/B by md5 parity (the standard deterministic bucketing an
+    experimentation platform uses), conversion = total purchase value above
+    a threshold, pooled-variance z with 95% significance. On the fixture
+    this is an A/A test by construction — the z-stat's job is to correctly
+    FAIL to reject, which is exactly what a healthy assignment hash must
+    show before any real experiment is trusted (the sanity check every
+    experimentation system runs continuously).
+
+    Scale shape: one per-user aggregation (map-side combined), one 2-row
+    arm aggregation, then literal arithmetic on a single row. The user
+    grain, not the event grain, crosses the shuffle."""
+    from feature_datalake_sl_mandic_spark.functions.hashing import md5_int60_col
+
+    (ev,) = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                    0.0
+                )
+            )
+            > AB_CONVERT_VALUE,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).select(
+        (md5_int60_col(F.col("user_id").cast("string")) % 2).alias("variant"),
+        "converted",
+    )
+    arms = users.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("conv_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("conv_b"),
+    )
+    p_pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    z = (
+        F.col("conv_b") / F.col("n_b") - F.col("conv_a") / F.col("n_a")
+    ) / F.sqrt(p_pool * (1 - p_pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    return wide.select(
+        "n_a",
+        "conv_a",
+        F.round(F.col("conv_a") / F.col("n_a"), 6).alias("rate_a"),
+        "n_b",
+        "conv_b",
+        F.round(F.col("conv_b") / F.col("n_b"), 6).alias("rate_b"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )

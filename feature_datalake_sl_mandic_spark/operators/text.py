@@ -1887,3 +1887,86 @@ def corpus_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------- lexicon-based safety screen
+
+LEXICON_DENY = ("slow", "error", "fail")
+LEXICON_RATE_MAX = 0.02  # flag a doc when denylist tokens exceed 2% of tokens
+LEXICON_HITS_MAX = 3  # ... or when absolute hits reach this count
+
+
+@register(
+    "quality_lexicon_screen",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source,
+             len(list_filter(string_split(lower(text), ' '), t -> len(t) > 0))
+               AS n_tokens,
+             len(list_filter(string_split(lower(text), ' '),
+                 t -> list_contains({list(LEXICON_DENY)!r}, t))) AS n_hits
+      FROM documents
+    ),
+    flagged AS (
+      SELECT source, n_tokens, n_hits,
+             (n_hits * 1.0 / n_tokens > {LEXICON_RATE_MAX}
+              OR n_hits >= {LEXICON_HITS_MAX}) AS flag
+      FROM scored WHERE n_tokens > 0
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           round(sum(CASE WHEN flag THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS flag_rate,
+           round(avg(n_hits * 1.0 / n_tokens), 6) AS avg_hit_rate
+    FROM flagged
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("text", "safety", "lexicon", "filtering", "curation"),
+)
+def quality_lexicon_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based content screen — the cheap first-pass safety filter
+    every corpus pipeline runs before any model-based classifier: per doc,
+    count denylist tokens (exact token match after lowercasing, so 'error'
+    hits but 'errors' doesn't — the deliberate precision/recall trade of a
+    lexicon pass), flag docs over a rate OR absolute-count threshold, then
+    report per-source survivorship so a poisoned source is visible as a
+    flag-rate outlier rather than a diffuse corpus-wide loss. The fixture
+    vocabulary makes 'slow'/'error'/'fail' real mid-frequency tokens, so
+    both the flagged and clean paths carry real rows.
+
+    Scale shape: tokenize + two higher-order filters inside the scan task
+    (no UDF), then one map-side-combined aggregation keyed by source —
+    identical shape to ``text_quality_score``, which scores form; this
+    screens content."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    deny = F.array(*[F.lit(t) for t in LEXICON_DENY])
+    tokens = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda t: F.length(t) > 0
+    )
+    scored = dc.select(
+        "source",
+        F.size(tokens).alias("n_tokens"),
+        F.size(
+            F.filter(tokens, lambda t: F.array_contains(deny, t))
+        ).alias("n_hits"),
+    ).where(F.col("n_tokens") > 0)
+    flag = (
+        F.col("n_hits") / F.col("n_tokens") > LEXICON_RATE_MAX
+    ) | (F.col("n_hits") >= LEXICON_HITS_MAX)
+    return (
+        scored.withColumn("flag", flag)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("flag").cast("int")).alias("n_flagged"),
+            F.round(
+                F.sum(F.col("flag").cast("int")) / F.count(F.lit(1)), 4
+            ).alias("flag_rate"),
+            F.round(F.avg(F.col("n_hits") / F.col("n_tokens")), 6).alias(
+                "avg_hit_rate"
+            ),
+        )
+        .orderBy("source")
+    )

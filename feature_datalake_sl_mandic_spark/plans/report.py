@@ -145,6 +145,8 @@ REPRESENTATIVE = [
     "stats_bootstrap_ci_mean",
     "embedding_pca_power_iteration",
     "corpus_cdc_chunking",
+    "events_ab_test_proportions",
+    "quality_lexicon_screen",
 ]
 
 
