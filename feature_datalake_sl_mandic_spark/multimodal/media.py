@@ -739,3 +739,129 @@ def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame
             yield pd.DataFrame(out)
 
     return df.mapInPandas(batches, schema=out_schema).orderBy("media_id")
+
+
+# ------------------------------- perceptual image hash + near-dup pairs
+
+PHASH_GRID = 8  # 8x8 block-mean hash -> 64 bits
+PHASH_NEAR = 12  # hamming distance at or under this -> near-duplicate
+
+
+@register(
+    "multimodal_image_phash_pairs",
+    oracle=f"""
+    WITH imgs AS MATERIALIZED (
+      SELECT i AS media_id,
+             CAST(8 + (i % 5) * 4 AS BIGINT) AS w,
+             CAST(8 + (i % 3) * 4 AS BIGINT) AS h
+      FROM range(16) t(i)
+    ),
+    px AS MATERIALIZED (
+      SELECT media_id, w, h, xs.x, ys.y,
+             (x * {PHASH_GRID}) // w AS bx, (y * {PHASH_GRID}) // h AS by,
+               299 * ((3*x + 7*y + media_id) % 256)
+             + 587 * ((3*x + 7*y + 11 + media_id) % 256)
+             + 114 * ((3*x + 7*y + 22 + media_id) % 256) AS lum
+      FROM imgs,
+           LATERAL (SELECT unnest(range(w)) AS x) xs,
+           LATERAL (SELECT unnest(range(h)) AS y) ys
+    ),
+    tot AS MATERIALIZED (
+      SELECT media_id, sum(lum) AS tsum, count(*) AS npx FROM px GROUP BY media_id
+    ),
+    bits AS MATERIALIZED (
+      SELECT p.media_id, p.by * {PHASH_GRID} + p.bx AS k,
+             (sum(p.lum) * t.npx > t.tsum * count(*)) AS bit
+      FROM px p JOIN tot t USING (media_id)
+      GROUP BY p.media_id, p.by, p.bx, t.npx, t.tsum
+    ),
+    ham AS (
+      SELECT a.media_id AS media_a, b.media_id AS media_b,
+             sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+      FROM bits a JOIN bits b ON a.k = b.k AND a.media_id < b.media_id
+      GROUP BY 1, 2
+    )
+    SELECT media_a, media_b, CAST(hamming AS BIGINT) AS hamming,
+           hamming <= {PHASH_NEAR} AS near_dup
+    FROM ham
+    ORDER BY media_a, media_b
+    """,
+    tags=("multimodal", "phash", "near-dup", "image", "real-codec"),
+)
+def multimodal_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup over REAL binary payloads: each P6 PPM decodes
+    (real chunk-walking codec) to pixels, grayscales to integer milli-
+    luminance, and hashes as an 8x8 block-mean signature — bit k is an EXACT
+    integer cross-multiplication test (block_sum * total_pixels >
+    total_sum * block_pixels), so no float mean ever decides a bit and the
+    hash is reproducible across engines, partitionings, and runs. All image
+    pairs then compare by Hamming distance with a near-dup threshold — the
+    standard pHash screen a multimodal corpus runs to kill re-encoded /
+    resized copies that byte-level hashing can't see. The oracle re-derives
+    every pixel from the generator's closed form in SQL, so Spark's real
+    decoder and DuckDB's arithmetic reconstruction must agree bit-for-bit
+    on every one of the 64 x 16 hash bits to hash-match. (sf_dir unused —
+    payloads are deterministic synthetic media, not fixture-lake tables.)
+
+    Scale shape: hashing is Arrow-batched mapInPandas (decode + 64 integer
+    block sums per image, emitted as 64-bit rows — the image bytes never
+    shuffle); the pair comparison here is all-pairs over 16 images for
+    exhaustive checking, but the emitted (media_id, k, bit) relation is
+    exactly what a banded-LSH join would bucket on (split the 64 bits into
+    bands, equi-join on band value — the dedup_minhash_lsh shape) when the
+    corpus outgrows all-pairs."""
+    import numpy as np
+    import pandas as pd
+
+    df = make_ppm_media(spark, n=16, partitions=3)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        g = PHASH_GRID
+        for pdf in it:
+            out_id, out_k, out_bit = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = decode_ppm(bytes(payload))
+                p = px.astype("int64")
+                lum = 299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]
+                tsum = int(lum.sum())
+                npx = w * h
+                xs = (np.arange(w) * g) // w
+                ys = (np.arange(h) * g) // h
+                for by in range(g):
+                    rows_mask = ys == by
+                    for bx in range(g):
+                        cols_mask = xs == bx
+                        block = lum[np.ix_(rows_mask, cols_mask)]
+                        bsum = int(block.sum())
+                        bnpx = int(block.size)
+                        out_id.append(int(mid))
+                        out_k.append(by * g + bx)
+                        out_bit.append(bsum * npx > tsum * bnpx)
+            yield pd.DataFrame(
+                {"media_id": out_id, "k": out_k, "bit": out_bit}
+            )
+
+    bits = df.mapInPandas(batches, schema="media_id long, k long, bit boolean")
+    a = bits.select(
+        F.col("media_id").alias("media_a"), "k", F.col("bit").alias("bit_a")
+    )
+    b = bits.select(
+        F.col("media_id").alias("media_b"), "k", F.col("bit").alias("bit_b")
+    )
+    return (
+        a.join(b, ["k"])
+        .where(F.col("media_a") < F.col("media_b"))
+        .groupBy("media_a", "media_b")
+        .agg(
+            F.sum(
+                F.when(F.col("bit_a") != F.col("bit_b"), 1).otherwise(0)
+            ).alias("hamming")
+        )
+        .select(
+            "media_a",
+            "media_b",
+            "hamming",
+            (F.col("hamming") <= PHASH_NEAR).alias("near_dup"),
+        )
+        .orderBy("media_a", "media_b")
+    )

@@ -383,11 +383,19 @@ _PCA_SCALE = 10_000  # centered values quantize to a 1e-4 grid (see docstring)
 _PCA_SCALE2 = _PCA_SCALE * _PCA_SCALE
 
 
+_PCA_M_SCALE = 1_000_000_000  # normalized-matrix entries as int64 1e-9 units
+_PCA_V_SCALE = 100_000_000  # iterate vector as int64 1e-8 units
+
+
 def _pca_oracle() -> str:
-    """Build the DuckDB mirror: covariance from integer-quantized centered
-    values (exact, order-independent sums), then PCA_SQUARINGS unrolled
-    trace-normalized operator squarings and PCA_ITERS power iterations with
-    the same per-step rounding as the Spark plan."""
+    """Build the DuckDB mirror. Every ITERATED quantity is an int64 (matrix
+    entries in 1e-9 units, vector in 1e-8 units) so all running sums are
+    exact-integer (DuckDB promotes BIGINT sums to HUGEINT; products that
+    could exceed int64 are cast to HUGEINT first) — the only floats are
+    single IEEE divisions of exact integers, which every engine computes
+    bit-identically. See the Spark docstring for why (float sums are
+    order-dependent, and per-iteration rounding turns 1-ulp noise into
+    grid flips)."""
     sqs = []
     prev_m = "m0"
     for s in range(1, PCA_SQUARINGS + 1):
@@ -397,18 +405,26 @@ def _pca_oracle() -> str:
       FROM {prev_m} a JOIN {prev_m} b ON a.j = b.i GROUP BY a.i, b.j
     ),
     t{s} AS (SELECT sum(c) AS tr_ FROM p{s} WHERE i = j),
-    m{s} AS MATERIALIZED (SELECT i, j, round(c / tr_, 10) AS c FROM p{s} CROSS JOIN t{s})""")
+    m{s} AS MATERIALIZED (
+      SELECT i, j,
+             CAST(round(CAST(c AS DOUBLE) / CAST(tr_ AS DOUBLE)
+                        * {_PCA_M_SCALE}, 0) AS BIGINT) AS c
+      FROM p{s} CROSS JOIN t{s})""")
         prev_m = f"m{s}"
     iters = []
     prev = "v0"
     for t in range(1, PCA_ITERS + 1):
         iters.append(f"""
     w{t} AS MATERIALIZED (
-      SELECT c.i AS dim, round(sum(c.c * v.val), 10) AS w
+      SELECT c.i AS dim, sum(c.c * v.val) AS w
       FROM {prev_m} c JOIN {prev} v ON c.j = v.dim GROUP BY c.i
     ),
-    n{t} AS (SELECT sqrt(sum(w * w)) AS nrm FROM w{t}),
-    v{t} AS MATERIALIZED (SELECT dim, round(w / nrm, 8) AS val FROM w{t} CROSS JOIN n{t})""")
+    n{t} AS (SELECT sqrt(CAST(sum(CAST(w AS HUGEINT) * w) AS DOUBLE)) AS nrm
+             FROM w{t}),
+    v{t} AS MATERIALIZED (
+      SELECT dim, CAST(round(CAST(w AS DOUBLE) / nrm * {_PCA_V_SCALE}, 0)
+                       AS BIGINT) AS val
+      FROM w{t} CROSS JOIN n{t})""")
         prev = f"v{t}"
     return f"""
     WITH e AS MATERIALIZED (
@@ -426,34 +442,44 @@ def _pca_oracle() -> str:
              CAST(round((l.v - mu.m) * {_PCA_SCALE}, 0) AS BIGINT) AS xi
       FROM long_ l JOIN mu ON l.i = mu.i
     ),
-    cov AS MATERIALIZED (
-      SELECT a.i, b.i AS j,
-             sum(a.xi * b.xi) / ({_PCA_SCALE2}.0 * nn.n) AS c
-      FROM cent a JOIN cent b ON a.vec_id = b.vec_id CROSS JOIN nn
-      GROUP BY a.i, b.i, nn.n
+    cnum AS MATERIALIZED (
+      SELECT a.i, b.i AS j, sum(a.xi * b.xi) AS s
+      FROM cent a JOIN cent b ON a.vec_id = b.vec_id
+      GROUP BY a.i, b.i
     ),
-    tr0 AS (SELECT sum(c) AS tr_ FROM cov WHERE i = j),
-    m0 AS MATERIALIZED (SELECT i, j, round(c / tr_, 10) AS c FROM cov CROSS JOIN tr0),
+    tr0 AS (SELECT sum(s) AS tr_ FROM cnum WHERE i = j),
+    m0 AS MATERIALIZED (
+      SELECT i, j,
+             CAST(round(CAST(s AS DOUBLE) / CAST(tr_ AS DOUBLE)
+                        * {_PCA_M_SCALE}, 0) AS BIGINT) AS c
+      FROM cnum CROSS JOIN tr0),
     {",".join(sqs)},
-    v0 AS MATERIALIZED (SELECT i AS dim, 0.125 AS val FROM (SELECT DISTINCT i FROM mu)),
+    v0 AS MATERIALIZED (
+      SELECT i AS dim, CAST({_PCA_V_SCALE} // 8 AS BIGINT) AS val
+      FROM (SELECT DISTINCT i FROM mu)),
     {",".join(iters)},
-    wf AS (
-      SELECT c.i AS dim, round(sum(c.c * v.val), 10) AS w
-      FROM cov c JOIN v{PCA_ITERS} v ON c.j = v.dim GROUP BY c.i
-    ),
     lam AS (
-      SELECT sum(v.val * wf.w) AS ev
-      FROM v{PCA_ITERS} v JOIN wf ON v.dim = wf.dim
+      -- lambda = v' C v / (|v|^2 * D): exact HUGEINT quadratic form over
+      -- the integer covariance numerators and integer vector
+      SELECT CAST(sum(CAST(c.s AS HUGEINT) * va.val * vb.val) AS DOUBLE)
+             / CAST((SELECT sum(CAST(val AS HUGEINT) * val)
+                     FROM v{PCA_ITERS}) AS DOUBLE)
+             / ({_PCA_SCALE2}.0 * (SELECT n FROM nn)) AS ev
+      FROM cnum c
+      JOIN v{PCA_ITERS} va ON c.i = va.dim
+      JOIN v{PCA_ITERS} vb ON c.j = vb.dim
     ),
-    tr AS (SELECT sum(c) AS trace FROM cov WHERE i = j),
+    tr AS (SELECT CAST(sum(s) AS DOUBLE) / ({_PCA_SCALE2}.0 * (SELECT n FROM nn))
+             AS trace
+           FROM cnum WHERE i = j),
     sgn AS (
       SELECT CASE
                WHEN (max(struct_pack(a := abs(val), nd := -dim, v := val))).v < 0
-               THEN -1.0 ELSE 1.0 END AS s
+               THEN -1 ELSE 1 END AS s
       FROM v{PCA_ITERS}
     )
     SELECT v.dim,
-           round(v.val * sgn.s, 6) AS loading,
+           CAST(v.val * sgn.s AS DOUBLE) / {_PCA_V_SCALE} AS loading,
            round(lam.ev, 4) AS eigenvalue,
            round(lam.ev / tr.trace, 6) AS explained_share
     FROM v{PCA_ITERS} v CROSS JOIN lam CROSS JOIN tr CROSS JOIN sgn
@@ -479,10 +505,17 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     and the covariance numerators accumulate in EXACT int64 arithmetic
     (numpy int64 ``xc.T @ xc`` per Arrow batch, integer sums across
     batches) — the reduction is associative, so any partitioning yields
-    bit-identical covariance. Every subsequent iteration re-rounds (w at
-    1e-10, v at 1e-8) so both engines walk the same trajectory. The sign of
-    an eigenvector being arbitrary, loadings are normalized so the
-    largest-|.|component is positive.
+    bit-identical covariance. The iteration itself stays in EXACT integer
+    arithmetic too: normalized-matrix entries are int64 in 1e-9 units,
+    the vector in 1e-8 units, and every running sum accumulates as
+    decimal(38,0) (a bigint sum would wrap; a float sum would be
+    order-dependent — measured as a per-run grid flip in the 221-query
+    sweep before this form). The only floating-point steps are single IEEE
+    divisions/sqrt of exact integers, which every engine computes
+    bit-identically, so the whole trajectory — and the output loadings,
+    emitted as val/1e8 exactly — is deterministic across engines, runs,
+    and partitionings. The sign of an eigenvector being arbitrary,
+    loadings are normalized so the largest-|.| component is positive.
 
     Scale shape: one Arrow-batched pass emits 64x64 integer partials per
     batch (the classic one-pass distributed Gram/covariance: shuffle carries
@@ -529,18 +562,32 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
             p = xi.T @ xi  # exact int64 outer-product sum over the batch
             yield pd.DataFrame({"i": ii, "j": jj, "s": p.reshape(-1)})
 
-    cov = (
+    cnum = (
         e.mapInPandas(partials, schema="i bigint, j bigint, s bigint")
         .groupBy("i", "j")
-        .agg((F.sum("s") / F.lit(float(_PCA_SCALE2) * n)).alias("c"))
+        .agg(F.sum("s").alias("s"))
         .localCheckpoint()
     )
 
-    def _trace_normalize(p: DataFrame) -> DataFrame:
-        t = p.where(F.col("i") == F.col("j")).agg(F.sum("c").alias("tr_"))
+    def _int_normalize(p: DataFrame, col: str) -> DataFrame:
+        """entries -> int64 in 1e-9 units of entry/trace; the division is
+        one IEEE op on two EXACT integers, so it is bit-identical on every
+        engine and partitioning."""
+        t = p.where(F.col("i") == F.col("j")).agg(F.sum(col).alias("tr_"))
         return (
             p.crossJoin(F.broadcast(t))
-            .select("i", "j", F.round(F.col("c") / F.col("tr_"), 10).alias("c"))
+            .select(
+                "i",
+                "j",
+                F.round(
+                    F.col(col).cast("double")
+                    / F.col("tr_").cast("double")
+                    * _PCA_M_SCALE,
+                    0,
+                )
+                .cast("bigint")
+                .alias("c"),
+            )
             .localCheckpoint()
         )
 
@@ -549,52 +596,93 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     # the effective exponent per squaring: m = (C/tr)^(2^PCA_SQUARINGS) up
     # to scale, and PCA_ITERS iterations with it walk ~C^80 — convergent
     # even on a 0.93 gap. Trace normalization after every squaring keeps
-    # entries O(1/64) so the 1e-10 rounding grid never underflows them.
-    m = _trace_normalize(cov)
+    # entries in int64 range; decimal(38,0) sums keep every running total
+    # exact (a bigint sum would silently wrap; a double sum would be
+    # order-dependent).
+    m = _int_normalize(cnum, "s")
     for _ in range(PCA_SQUARINGS):
         a, b = m.alias("a"), m.alias("b")
         p = (
             a.join(b, F.col("a.j") == F.col("b.i"))
             .groupBy(F.col("a.i").alias("i"), F.col("b.j").alias("j"))
-            .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("c"))
+            .agg(
+                F.sum(
+                    F.col("a.c").cast("decimal(20,0)") * F.col("b.c")
+                ).alias("p")
+            )
         )
-        m = _trace_normalize(p)
-    v = spark.createDataFrame([(i, 0.125) for i in range(dim)], "dim bigint, val double")
+        m = _int_normalize(p, "p")
+    v = spark.createDataFrame(
+        [(i, _PCA_V_SCALE // 8) for i in range(dim)], "dim bigint, val bigint"
+    )
     for _ in range(PCA_ITERS):
         w = (
             m.join(v, m["j"] == v["dim"])
             .groupBy(m["i"].alias("dim"))
-            .agg(F.round(F.sum(F.col("c") * F.col("val")), 10).alias("w"))
+            .agg(F.sum(F.col("c").cast("decimal(20,0)") * F.col("val")).alias("w"))
         )
-        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        nrm = w.agg(
+            F.sqrt(
+                F.sum(F.col("w") * F.col("w")).cast("double")
+            ).alias("nrm")
+        )
         v = (
             w.crossJoin(F.broadcast(nrm))
-            .select("dim", F.round(F.col("w") / F.col("nrm"), 8).alias("val"))
+            .select(
+                "dim",
+                F.round(
+                    F.col("w").cast("double") / F.col("nrm") * _PCA_V_SCALE, 0
+                )
+                .cast("bigint")
+                .alias("val"),
+            )
             .localCheckpoint()
         )
-    wf = (
-        cov.join(v, cov["j"] == v["dim"])
-        .groupBy(cov["i"].alias("dim"))
-        .agg(F.round(F.sum(F.col("c") * F.col("val")), 10).alias("w"))
+    # Rayleigh quotient as one exact decimal quadratic form over the integer
+    # covariance numerators and integer vector, divided by |v|^2 and the
+    # fixed-point denominator — three IEEE ops on exact operands.
+    va = v.select(F.col("dim").alias("i"), F.col("val").alias("va"))
+    vb = v.select(F.col("dim").alias("j"), F.col("val").alias("vb"))
+    qf = (
+        cnum.join(F.broadcast(va), "i")
+        .join(F.broadcast(vb), "j")
+        .agg(
+            F.sum(
+                F.col("s").cast("decimal(20,0)")
+                * F.col("va").cast("decimal(9,0)")
+                * F.col("vb").cast("decimal(9,0)")
+            ).alias("qf")
+        )
+    )
+    sumv2 = v.agg(
+        F.sum(F.col("val").cast("decimal(9,0)") * F.col("val")).alias("v2")
     )
     lam = (
-        v.join(wf, "dim")
-        .agg(F.sum(F.col("val") * F.col("w")).alias("ev"))
+        qf.crossJoin(F.broadcast(sumv2))
+        .select(
+            (
+                F.col("qf").cast("double")
+                / F.col("v2").cast("double")
+                / F.lit(float(_PCA_SCALE2) * n)
+            ).alias("ev")
+        )
     )
-    tr = cov.where(F.col("i") == F.col("j")).agg(F.sum("c").alias("trace"))
+    tr = cnum.where(F.col("i") == F.col("j")).agg(
+        (F.sum("s").cast("double") / F.lit(float(_PCA_SCALE2) * n)).alias("trace")
+    )
     pick = F.max(
         F.struct(F.abs("val").alias("a"), (-F.col("dim")).alias("nd"), F.col("val"))
     )
-    sgn = v.agg(
-        F.when(pick.getField("val") < 0, -1.0).otherwise(1.0).alias("s")
-    )
+    sgn = v.agg(F.when(pick.getField("val") < 0, -1).otherwise(1).alias("s"))
     return (
         v.crossJoin(F.broadcast(lam))
         .crossJoin(F.broadcast(tr))
         .crossJoin(F.broadcast(sgn))
         .select(
             "dim",
-            F.round(F.col("val") * F.col("s"), 6).alias("loading"),
+            (
+                (F.col("val") * F.col("s")).cast("double") / _PCA_V_SCALE
+            ).alias("loading"),
             F.round("ev", 4).alias("eigenvalue"),
             F.round(F.col("ev") / F.col("trace"), 6).alias("explained_share"),
         )

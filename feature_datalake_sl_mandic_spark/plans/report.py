@@ -147,6 +147,7 @@ REPRESENTATIVE = [
     "corpus_cdc_chunking",
     "events_ab_test_proportions",
     "quality_lexicon_screen",
+    "multimodal_image_phash_pairs",
 ]
 
 
