@@ -1309,3 +1309,160 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------------ Kaplan-Meier survival curve
+
+
+@register(
+    "events_survival_kaplan_meier",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(max(CAST(ts AS TIMESTAMP)) AS DATE) AS end_day FROM events
+    ),
+    signup AS (
+      SELECT user_id, CAST(min(CAST(ts AS TIMESTAMP)) AS DATE) AS s_day
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    purchase AS (
+      SELECT e.user_id, CAST(min(CAST(e.ts AS TIMESTAMP)) AS DATE) AS p_day
+      FROM events e JOIN signup s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase'
+        AND CAST(e.ts AS TIMESTAMP) >= CAST(s.s_day AS TIMESTAMP)
+      GROUP BY e.user_id
+    ),
+    durations AS (
+      SELECT s.user_id,
+             CASE WHEN p.p_day IS NULL
+                  THEN datediff('day', s.s_day, b.end_day)
+                  ELSE datediff('day', s.s_day, p.p_day) END AS t,
+             p.p_day IS NOT NULL AS converted
+      FROM signup s LEFT JOIN purchase p ON s.user_id = p.user_id
+      CROSS JOIN bounds b
+    ),
+    per_day AS (
+      SELECT t, sum(CASE WHEN converted THEN 1 ELSE 0 END) AS d,
+             count(*) AS removed
+      FROM durations GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d,
+             (SELECT count(*) FROM durations) 
+               - coalesce(sum(removed) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM per_day
+    )
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(n_risk AS BIGINT) AS n_at_risk,
+           -- a day where EVERY at-risk subject converts drives S to exactly
+           -- 0; ln(0) is guarded by flagging it instead of evaluating it
+           CASE WHEN max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) = 1
+                THEN 0.0
+                ELSE round(exp(sum(CASE WHEN d < n_risk
+                                        THEN ln(1 - d * 1.0 / n_risk) END)
+                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW)), 6) END AS survival
+    FROM risk
+    WHERE d > 0
+    ORDER BY t_days
+    """,
+    tags=("events", "survival", "kaplan-meier", "censoring"),
+)
+def events_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve with right censoring — the
+    estimator ``events_time_to_convert``'s percentiles silently get wrong
+    when users haven't converted YET: a user with no purchase after signup
+    is not a non-converter, they are CENSORED at the observation boundary,
+    and dropping them biases conversion speed optimistic. KM handles it:
+    at each event time t, survival multiplies by (1 - d_t / n_at_risk),
+    where the at-risk set shrinks by both conversions and censorings.
+    Output: the survival curve at every conversion day, with the d and
+    n_at_risk behind each step so the estimate is auditable.
+
+    Scale shape: two per-user min-aggregations (signup, first purchase
+    after it), one bounded per-day rollup, then windows over |distinct
+    durations| rows — the curve relation is calendar-bounded, not
+    data-bounded. The cumulative product is exp(running-sum(ln .)) over a
+    FULLY-ORDERED window, so the float sequence is identical on both
+    engines."""
+    (ev,) = _t(spark, sf_dir, "events")
+    end_day = ev.agg(F.max(F.to_date("ts")).alias("end_day"))
+    signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("s_day"))
+    )
+    purchase = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(signup, "user_id")
+        .where(F.to_date("ts") >= F.col("s_day"))
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("p_day"))
+    )
+    durations = (
+        signup.join(purchase, "user_id", "left")
+        .crossJoin(F.broadcast(end_day))
+        .select(
+            F.when(
+                F.col("p_day").isNull(), F.datediff("end_day", "s_day")
+            )
+            .otherwise(F.datediff("p_day", "s_day"))
+            .alias("t"),
+            F.col("p_day").isNotNull().alias("converted"),
+        )
+        .localCheckpoint()  # feeds the rollup AND the total count
+    )
+    # The curve relation is CALENDAR-bounded (one row per distinct duration
+    # day), so the cumulative product runs as bounded self-joins instead of
+    # an unpartitioned window — keeping the repo invariant that no plan
+    # contains a global Window, with zero scale cost (|days|^2 comparisons
+    # on a <=366-row relation).
+    per_day = durations.groupBy("t").agg(
+        F.sum(F.col("converted").cast("int")).alias("d"),
+        F.count(F.lit(1)).alias("removed"),
+    )
+    total = durations.agg(F.count(F.lit(1)).alias("n_total"))
+    pa, pb = per_day.alias("pa"), per_day.alias("pb")
+    risk = (
+        pa.join(F.broadcast(pb), F.col("pb.t") < F.col("pa.t"), "left")
+        .groupBy(F.col("pa.t").alias("t"), F.col("pa.d").alias("d"))
+        .agg(F.coalesce(F.sum("pb.removed"), F.lit(0)).alias("before"))
+        .crossJoin(F.broadcast(total))
+        .select("t", "d", (F.col("n_total") - F.col("before")).alias("n_risk"))
+        .localCheckpoint()  # bounded; feeds both sides of the cumulative join
+    )
+    ra, rb = risk.alias("ra"), risk.alias("rb")
+    hit_zero = F.max(
+        F.when(F.col("rb.d") >= F.col("rb.n_risk"), 1).otherwise(0)
+    )
+    log_sum = F.sum(
+        F.when(
+            F.col("rb.d") < F.col("rb.n_risk"),
+            F.log(1 - F.col("rb.d") / F.col("rb.n_risk")),
+        )
+    )
+    return (
+        ra.join(F.broadcast(rb), F.col("rb.t") <= F.col("ra.t"))
+        .groupBy(
+            F.col("ra.t").alias("t"),
+            F.col("ra.d").alias("d"),
+            F.col("ra.n_risk").alias("n_risk"),
+        )
+        .agg(
+            F.when(hit_zero == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp(log_sum), 6))
+            .alias("survival")
+        )
+        .where(F.col("d") > 0)
+        .select(
+            F.col("t").cast("bigint").alias("t_days"),
+            F.col("d").cast("bigint").alias("n_events"),
+            F.col("n_risk").cast("bigint").alias("n_at_risk"),
+            "survival",
+        )
+        .orderBy("t_days")
+    )

@@ -1970,3 +1970,130 @@ def quality_lexicon_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------- Kneser-Ney smoothed bigram LM
+
+KN_DISCOUNT = 0.75  # absolute discount d (the standard choice)
+KN_TOP_W1 = 10
+KN_TOP_NEXT = 5
+
+
+@register(
+    "lm_bigram_kneser_ney",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    big AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+                    i -> {{'w1': w[i], 'w2': w[i+1]}})) AS bg
+      FROM ws WHERE len(w) >= 2
+    ),
+    pairs AS MATERIALIZED (
+      SELECT bg.w1 AS w1, bg.w2 AS w2, count(*) AS pair_cnt
+      FROM big GROUP BY 1, 2
+    ),
+    ctx AS MATERIALIZED (
+      SELECT w1, CAST(sum(pair_cnt) AS BIGINT) AS c_w1,
+             CAST(count(*) AS BIGINT) AS n1p_fw
+      FROM pairs GROUP BY w1
+    ),
+    cont AS MATERIALIZED (
+      SELECT w2, CAST(count(*) AS BIGINT) AS n1p_bw FROM pairs GROUP BY w2
+    ),
+    npairs AS (SELECT count(*) AS n_types FROM pairs),
+    top_w1 AS (
+      SELECT w1, c_w1, n1p_fw FROM ctx ORDER BY c_w1 DESC, w1 LIMIT {KN_TOP_W1}
+    ),
+    scored AS (
+      SELECT p.w1, p.w2, p.pair_cnt, t.c_w1,
+             round(p.pair_cnt * 1.0 / t.c_w1, 6) AS p_mle,
+             round(
+               greatest(p.pair_cnt - {KN_DISCOUNT}, 0) / t.c_w1
+               + {KN_DISCOUNT} * t.n1p_fw / t.c_w1
+                 * (c.n1p_bw * 1.0 / np.n_types), 6) AS p_kn
+      FROM pairs p
+      JOIN top_w1 t USING (w1)
+      JOIN cont c USING (w2)
+      CROSS JOIN npairs np
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY w1
+                                   ORDER BY p_kn DESC, w2) AS rnk
+      FROM scored
+    )
+    SELECT w1, w2, CAST(pair_cnt AS BIGINT) AS pair_cnt, c_w1, p_mle, p_kn,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {KN_TOP_NEXT}
+    ORDER BY w1, rnk
+    """,
+    tags=("text", "language-model", "kneser-ney", "smoothing"),
+)
+def lm_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities — the smoothing that
+    made n-gram LMs work and the reason a corpus pipeline tracks
+    CONTINUATION counts, not just frequencies: P(w2|w1) discounts every
+    observed bigram by d=0.75 and backs the freed mass off to the
+    continuation unigram P_cont(w2) = |{{w1 : c(w1,w2)>0}}| / |bigram types|
+    — how many DISTINCT contexts a word follows, which is why 'francisco'
+    (frequent but only after 'san') gets a tiny continuation weight while a
+    genuinely promiscuous token gets a large one. MLE rides along so the
+    discount's effect on the ranking is visible in the checked output.
+
+    Scale shape: identical to ``lm_bigram_next_tokens`` — bigrams collapse
+    to type counts in one map-side-combined shuffle, and ALL of the KN
+    machinery (context totals, forward/backward continuation counts, the
+    distinct-type total) are aggregations OVER THE TYPE COUNTS, a
+    vocabulary-sized relation; the top-context set broadcasts back into the
+    scoring join."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), " ")
+    ws = dc.select(w.alias("w")).where(F.size("w") >= 2)
+    big = ws.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.struct(
+                    F.element_at("w", i).alias("w1"),
+                    F.element_at("w", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    )
+    pairs = (
+        big.groupBy(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .localCheckpoint()
+    )
+    ctx = pairs.groupBy("w1").agg(
+        F.sum("pair_cnt").alias("c_w1"), F.count(F.lit(1)).alias("n1p_fw")
+    )
+    cont = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bw"))
+    npairs = pairs.agg(F.count(F.lit(1)).alias("n_types"))
+    top_w1 = ctx.orderBy(F.col("c_w1").desc(), "w1").limit(KN_TOP_W1)
+    p_kn = F.round(
+        F.greatest(F.col("pair_cnt") - KN_DISCOUNT, F.lit(0.0)) / F.col("c_w1")
+        + F.lit(KN_DISCOUNT)
+        * F.col("n1p_fw")
+        / F.col("c_w1")
+        * (F.col("n1p_bw") / F.col("n_types")),
+        6,
+    )
+    rnk_w = Window.partitionBy("w1").orderBy(F.col("p_kn").desc(), "w2")
+    return (
+        pairs.join(F.broadcast(top_w1), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(npairs))
+        .select(
+            "w1",
+            "w2",
+            "pair_cnt",
+            "c_w1",
+            F.round(F.col("pair_cnt") / F.col("c_w1"), 6).alias("p_mle"),
+            p_kn.alias("p_kn"),
+        )
+        .withColumn("rnk", F.row_number().over(rnk_w).cast("bigint"))
+        .where(F.col("rnk") <= KN_TOP_NEXT)
+        .orderBy("w1", "rnk")
+    )

@@ -148,6 +148,8 @@ REPRESENTATIVE = [
     "events_ab_test_proportions",
     "quality_lexicon_screen",
     "multimodal_image_phash_pairs",
+    "events_survival_kaplan_meier",
+    "lm_bigram_kneser_ney",
 ]
 
 
