@@ -384,6 +384,59 @@ class TestCdcChunking:
         assert rows[1].n_shared_chunks >= rows[0].n_chunks - 2
 
 
+class TestRound4Wave2:
+    def test_kaplan_meier_curve_properties(self, spark):
+        """Survival must start <= 1, be non-increasing, and the at-risk
+        counts strictly decrease along the curve."""
+        from feature_datalake_sl_mandic_spark.operators.events import (
+            events_survival_kaplan_meier,
+        )
+
+        rows = events_survival_kaplan_meier(spark, SF_SMALL).collect()
+        assert rows
+        prev_s, prev_risk = 1.0 + 1e-9, None
+        for r in rows:  # already ordered by t_days
+            assert 0.0 <= r.survival <= prev_s
+            assert r.n_events >= 1 and r.n_at_risk >= r.n_events
+            if prev_risk is not None:
+                assert r.n_at_risk < prev_risk
+            prev_s, prev_risk = r.survival, r.n_at_risk
+
+    def test_kneser_ney_is_a_proper_discount(self, spark):
+        """For every emitted bigram: p_kn differs from MLE (the discount
+        did something), stays within (0, 1], and high-count bigrams lose
+        probability mass relative to MLE (that's where the discount bites)."""
+        from feature_datalake_sl_mandic_spark.operators.text import (
+            lm_bigram_kneser_ney,
+        )
+
+        rows = lm_bigram_kneser_ney(spark, SF_SMALL).collect()
+        assert rows
+        for r in rows:
+            assert 0 < r.p_kn <= 1
+            assert 0 < r.p_mle <= 1
+        # bulk direction: the summed top-next KN mass per context is below
+        # the summed MLE mass (mass was redistributed to the unseen tail)
+        assert sum(r.p_kn for r in rows) < sum(r.p_mle for r in rows)
+
+    def test_phash_near_dup_pairs_consistent(self, spark):
+        """All 16-choose-2 pairs emitted exactly once, hamming within
+        [0, 64], near_dup consistent with the threshold."""
+        from feature_datalake_sl_mandic_spark.multimodal.media import (
+            PHASH_NEAR,
+            multimodal_image_phash_pairs,
+        )
+
+        rows = multimodal_image_phash_pairs(spark, SF_SMALL).collect()
+        assert len(rows) == 16 * 15 // 2
+        assert {(r.media_a, r.media_b) for r in rows} == {
+            (a, b) for a in range(16) for b in range(a + 1, 16)
+        }
+        for r in rows:
+            assert 0 <= r.hamming <= 64
+            assert r.near_dup == (r.hamming <= PHASH_NEAR)
+
+
 def test_release_cached_drops_checkpoint_blocks(spark):
     """The sweep hygiene hook must leave zero persistent RDDs behind."""
     from feature_datalake_sl_mandic_spark.session import release_cached
