@@ -150,6 +150,7 @@ REPRESENTATIVE = [
     "multimodal_image_phash_pairs",
     "events_survival_kaplan_meier",
     "lm_bigram_kneser_ney",
+    "embedding_outliers_mahalanobis",
 ]
 
 
