@@ -2097,3 +2097,95 @@ def lm_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= KN_TOP_NEXT)
         .orderBy("w1", "rnk")
     )
+
+
+# ---------------------------------------------- tokenizer fertility metrics
+
+# BPE-ish subword proxy: split each whitespace word into runs of <= 4 chars
+# (a fixed-width stand-in for merge-table segmentation — deterministic and
+# engine-portable, which a real learned tokenizer's segmentation is not).
+_FERT_PIECE = 4
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle=f"""
+    WITH docs AS (
+      SELECT lang, text,
+             list_filter(string_split(lower(text), ' '), t -> len(t) > 0)
+               AS words
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT lang,
+             len(words) AS n_words,
+             list_sum(list_transform(words,
+                      w -> (len(w) + {_FERT_PIECE} - 1) // {_FERT_PIECE}))
+               AS n_subwords,
+             list_sum(list_transform(words, w -> len(w))) AS n_bytes
+      FROM docs WHERE len(words) > 0
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(n_subwords) AS BIGINT) AS n_subwords,
+           round(sum(n_subwords) * 1.0 / sum(n_words), 4) AS fertility,
+           round(sum(n_bytes) * 1.0 / sum(n_subwords), 4) AS bytes_per_token
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("text", "tokenizer", "fertility", "evaluation"),
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-health scorecard per language: FERTILITY (subword tokens
+    per whitespace word) and bytes-per-token — the two numbers a
+    multilingual tokenizer evaluation reports, because a tokenizer that
+    fragments some language into 3x the subwords silently triples that
+    language's training cost and shrinks its effective context window. The
+    subword segmentation here is a fixed-width 4-char piece proxy
+    (deterministic on both engines; a learned BPE's merge table would slot
+    into the same per-word transform — ``text_bpe_pair_stats`` computes the
+    statistics such a table is trained from).
+
+    Scale shape: split + two higher-order folds inside the scan task, one
+    map-side-combined aggregation keyed by language. Nothing leaves the
+    scan but per-doc counts."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda t: F.length(t) > 0
+    )
+    n_subwords = F.aggregate(
+        F.col("words"),
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc
+        + F.floor((F.length(w) + _FERT_PIECE - 1) / _FERT_PIECE).cast("bigint"),
+    )
+    n_bytes = F.aggregate(
+        F.col("words"),
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + F.length(w).cast("bigint"),
+    )
+    per_doc = (
+        dc.select("lang", words.alias("words"))
+        .where(F.size("words") > 0)
+        .select(
+            "lang",
+            F.size("words").cast("bigint").alias("n_words"),
+            n_subwords.alias("n_subwords"),
+            n_bytes.alias("n_bytes"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_subwords").alias("n_subwords"),
+            F.round(F.sum("n_subwords") / F.sum("n_words"), 4).alias("fertility"),
+            F.round(F.sum("n_bytes") / F.sum("n_subwords"), 4).alias(
+                "bytes_per_token"
+            ),
+        )
+        .orderBy("lang")
+    )

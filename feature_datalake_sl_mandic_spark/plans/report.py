@@ -151,6 +151,7 @@ REPRESENTATIVE = [
     "events_survival_kaplan_meier",
     "lm_bigram_kneser_ney",
     "embedding_outliers_mahalanobis",
+    "text_tokenizer_fertility",
 ]
 
 
