@@ -2189,3 +2189,158 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------- ROUGE impact of corpus transforms
+
+
+def _rouge_grams_sql(src: str, col: str, n: int) -> str:
+    toks = f"list_filter(string_split(lower({col}), ' '), x -> len(x) > 0)"
+    if n == 1:
+        g = toks
+    else:
+        g = (
+            f"list_transform(range(1, len({toks})), "
+            f"i -> {toks}[i] || ' ' || {toks}[i+1])"
+        )
+    return f"""
+      SELECT doc_id, unnest({g}) AS g FROM {src}
+    """
+
+
+@register(
+    "eval_rouge_redaction_impact",
+    oracle=f"""
+    WITH w AS MATERIALIZED (
+      SELECT doc_id, source, {_DUCK_WITH_PII} AS t FROM documents
+    ),
+    red AS MATERIALIZED (
+      SELECT doc_id, source, t,
+             regexp_replace(regexp_replace(regexp_replace(t,
+                 '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g'),
+                 '{_PII_SSN}', '<SSN>', 'g') AS r
+      FROM w
+    ),
+    ga1 AS (SELECT doc_id, g, count(*) AS c FROM ({_rouge_grams_sql("red", "t", 1)}) GROUP BY 1, 2),
+    gb1 AS (SELECT doc_id, g, count(*) AS c FROM ({_rouge_grams_sql("red", "r", 1)}) GROUP BY 1, 2),
+    ga2 AS (SELECT doc_id, g, count(*) AS c FROM ({_rouge_grams_sql("red", "t", 2)}) GROUP BY 1, 2),
+    gb2 AS (SELECT doc_id, g, count(*) AS c FROM ({_rouge_grams_sql("red", "r", 2)}) GROUP BY 1, 2),
+    r1 AS (
+      SELECT a.doc_id,
+             sum(least(a.c, coalesce(b.c, 0))) AS overlap, sum(a.c) AS denom
+      FROM ga1 a LEFT JOIN gb1 b ON a.doc_id = b.doc_id AND a.g = b.g
+      GROUP BY a.doc_id
+    ),
+    r2 AS (
+      SELECT a.doc_id,
+             sum(least(a.c, coalesce(b.c, 0))) AS overlap, sum(a.c) AS denom
+      FROM ga2 a LEFT JOIN gb2 b ON a.doc_id = b.doc_id AND a.g = b.g
+      GROUP BY a.doc_id
+    ),
+    per_doc AS (
+      SELECT d.doc_id, d.source,
+             r1.overlap * 1.0 / r1.denom AS rouge1,
+             r2.overlap * 1.0 / r2.denom AS rouge2
+      FROM red d JOIN r1 USING (doc_id) JOIN r2 USING (doc_id)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(rouge1), 6) AS avg_rouge1,
+           round(avg(rouge2), 6) AS avg_rouge2,
+           round(min(rouge1), 6) AS min_rouge1
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("text", "rouge", "evaluation", "pii", "redaction"),
+)
+def eval_rouge_redaction_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/ROUGE-2 between each document and its PII-redacted form —
+    the standard n-gram-recall metric applied where a corpus pipeline
+    actually needs it: quantifying how much content a destructive transform
+    (here the ``corpus_pii_redact`` chain) erased, per source. A redaction
+    pass that costs 2% ROUGE-1 is compliance; one that costs 30% means the
+    regexes are eating prose, and the per-source minimum pinpoints which
+    feed. The same harness scores any rewrite stage (boilerplate strip,
+    dedup merge) by swapping the candidate column.
+
+    Scale shape: token/bigram multisets collapse to (doc, gram, count)
+    relations (map-side combined); the recall is one left join per
+    granularity keyed (doc, gram) — inverted-index shaped, bounded by
+    document length, never corpus-quadratic — then a bounded per-source
+    rollup."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    with_pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_SSN,
+        "<SSN>",
+    )
+    base = (
+        dc.select("doc_id", "source", with_pii.alias("t"))
+        .withColumn("r", red)
+        .localCheckpoint()  # feeds four gram explosions + the final rollup
+    )
+
+    def grams(col: str, n: int):
+        toks = F.filter(
+            F.split(F.lower(F.col(col)), " "), lambda x: F.length(x) > 0
+        )
+        if n == 1:
+            return toks
+        return F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+
+    def counts(col: str, n: int):
+        return (
+            base.select("doc_id", F.explode(grams(col, n)).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    def recall(n: int, out: str):
+        a = counts("t", n).withColumnRenamed("c", "ca")
+        b = counts("r", n).withColumnRenamed("c", "cb")
+        return (
+            a.join(b, ["doc_id", "g"], "left")
+            .groupBy("doc_id")
+            .agg(
+                (
+                    F.sum(F.least(F.col("ca"), F.coalesce(F.col("cb"), F.lit(0))))
+                    / F.sum("ca")
+                ).alias(out)
+            )
+        )
+
+    per_doc = (
+        base.select("doc_id", "source")
+        .join(recall(1, "rouge1"), "doc_id")
+        .join(recall(2, "rouge2"), "doc_id")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("rouge1"), 6).alias("avg_rouge1"),
+            F.round(F.avg("rouge2"), 6).alias("avg_rouge2"),
+            F.round(F.min("rouge1"), 6).alias("min_rouge1"),
+        )
+        .orderBy("source")
+    )

@@ -152,6 +152,7 @@ REPRESENTATIVE = [
     "lm_bigram_kneser_ney",
     "embedding_outliers_mahalanobis",
     "text_tokenizer_fertility",
+    "eval_rouge_redaction_impact",
 ]
 
 
