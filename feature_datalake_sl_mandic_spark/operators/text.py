@@ -2308,31 +2308,37 @@ def eval_rouge_redaction_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
-    def counts(col: str, n: int):
+    def counts(col: str):
+        """Unigrams AND bigrams in one explosion, tagged by n — halves the
+        scan/agg count vs one pass per granularity."""
+        tagged = F.concat(
+            F.transform(grams(col, 1), lambda g: F.struct(F.lit(1).alias("n"), g.alias("g"))),
+            F.transform(grams(col, 2), lambda g: F.struct(F.lit(2).alias("n"), g.alias("g"))),
+        )
         return (
-            base.select("doc_id", F.explode(grams(col, n)).alias("g"))
-            .groupBy("doc_id", "g")
+            base.select("doc_id", F.explode(tagged).alias("t"))
+            .groupBy("doc_id", F.col("t.n").alias("n"), F.col("t.g").alias("g"))
             .agg(F.count(F.lit(1)).alias("c"))
         )
 
-    def recall(n: int, out: str):
-        a = counts("t", n).withColumnRenamed("c", "ca")
-        b = counts("r", n).withColumnRenamed("c", "cb")
-        return (
-            a.join(b, ["doc_id", "g"], "left")
-            .groupBy("doc_id")
-            .agg(
-                (
-                    F.sum(F.least(F.col("ca"), F.coalesce(F.col("cb"), F.lit(0))))
-                    / F.sum("ca")
-                ).alias(out)
-            )
+    a = counts("t").withColumnRenamed("c", "ca")
+    b = counts("r").withColumnRenamed("c", "cb")
+    recall = (
+        a.join(b, ["doc_id", "n", "g"], "left")
+        .groupBy("doc_id", "n")
+        .agg(
+            (
+                F.sum(F.least(F.col("ca"), F.coalesce(F.col("cb"), F.lit(0))))
+                / F.sum("ca")
+            ).alias("rouge")
         )
-
-    per_doc = (
-        base.select("doc_id", "source")
-        .join(recall(1, "rouge1"), "doc_id")
-        .join(recall(2, "rouge2"), "doc_id")
+    )
+    per_doc = base.select("doc_id", "source").join(
+        recall.groupBy("doc_id").agg(
+            F.max(F.when(F.col("n") == 1, F.col("rouge"))).alias("rouge1"),
+            F.max(F.when(F.col("n") == 2, F.col("rouge"))).alias("rouge2"),
+        ),
+        "doc_id",
     )
     return (
         per_doc.groupBy("source")
