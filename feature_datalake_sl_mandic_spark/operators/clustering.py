@@ -68,7 +68,10 @@ def _final_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     c0 = e.where(F.col("vec_id") < K).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
     )
-    a0 = _assign(e, c0, "cluster_init")
+    # a0 feeds BOTH the centroid update and the final join — checkpoint so
+    # the broadcast-distance argmin runs once (the per-iteration
+    # materialization a production Lloyd loop does anyway).
+    a0 = _assign(e, c0, "cluster_init").localCheckpoint()
 
     # Lloyd update: per-(cluster, dim) mean, rounded for engine parity; one
     # shuffle keyed (cluster, pos) then a tiny k-row aggregate.
