@@ -1121,7 +1121,7 @@ def ts_mann_kendall_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the same bounded per-series pair join as Theil-Sen (and
     you'd sample pairs identically at unbounded lengths); ties and counts
     are one aggregation each over the daily relation."""
-    daily = _daily_series(spark, sf_dir).localCheckpoint(eager=False)
+    daily = _daily_series(spark, sf_dir).localCheckpoint()
     w = Window.partitionBy("event_type").orderBy("day")
     idx = daily.withColumn("i", F.row_number().over(w))
     a = idx.select("event_type", F.col("i").alias("ia"), F.col("daily_value").alias("va"))
