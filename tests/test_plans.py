@@ -260,3 +260,46 @@ class TestRound3WaveFourPlans:
 
         df = ann_two_stage_rerank(spark, SF_SMALL)
         assert plans.count_broadcast_joins(df) >= 2  # query side + shortlist
+
+
+class TestRound4PlanCuts:
+    """Pin the round-4 shuffle-count cuts so a refactor can't silently
+    regress them (counts are formatted-plan 'Exchange' occurrences — about
+    2x the physical exchange count; bounds leave one exchange of slack)."""
+
+    def test_referential_integrity_shares_one_aggregation(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.validation import (
+            validate_referential_integrity,
+        )
+
+        assert plans.count_shuffles(
+            validate_referential_integrity(spark, SF_SMALL)
+        ) <= 12  # was 36 before the tall-union rewrite
+
+    def test_kmv_single_pair_aggregation(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.sketches import (
+            sketch_kmv_set_algebra_users,
+        )
+
+        assert plans.count_shuffles(
+            sketch_kmv_set_algebra_users(spark, SF_SMALL)
+        ) <= 18  # was 38 before the array-fold rewrite
+
+    def test_matryoshka_single_corpus_scan(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.retrieval import (
+            eval_matryoshka_recall,
+        )
+
+        df = eval_matryoshka_recall(spark, SF_SMALL)
+        assert plans.count_shuffles(df) <= 18  # was 28 with four scans
+        # one corpus scan serves all four dim budgets; the remaining scans
+        # belong to the exact-kNN ground-truth subtree (formatted plans list
+        # each node twice — tree + detail section)
+        assert plans.formatted_plan(df).count("Scan parquet") <= 8
+
+    def test_kmeans_checkpointed_init_assignment(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.clustering import (
+            kmeans_lloyd_embeddings,
+        )
+
+        assert plans.count_shuffles(kmeans_lloyd_embeddings(spark, SF_SMALL)) <= 14
