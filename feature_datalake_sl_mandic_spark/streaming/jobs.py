@@ -238,3 +238,66 @@ def upsert_foreach_batch(
         .start()
     )
     q.awaitTermination(300)
+
+
+def matview_maintenance_foreach_batch(
+    stream_df: DataFrame, view_dir: str, checkpoint: str
+) -> None:
+    """Streaming materialized-view maintenance via ``foreachBatch``: each
+    micro-batch partial-aggregates ONLY its own rows (daily event counts +
+    exact decimal value sums) and merges the per-group deltas into the
+    stored view with ``ingest.incremental.incremental_refresh`` — the
+    streaming twin of the registered (and oracle-checked)
+    ``incremental_agg_refresh``. The batch never re-reads history; the view
+    update cost is O(touched groups).
+
+    Idempotence caveat, stated honestly: additive merges are NOT naturally
+    idempotent under foreachBatch's at-least-once retries — replaying a
+    micro-batch would double-count its deltas. The guard is the applied-
+    batch ledger (`_applied/` marker per batch_id, the txlog-style commit
+    record): a retried batch_id is skipped before any write. Production
+    systems put that ledger in the ACID sink's own commit (Delta's
+    txnAppId/txnVersion); the parquet demo spells the mechanism out.
+    Stream == batch equality is pinned in tests/test_streaming.py."""
+    import os
+    import shutil
+
+    from feature_datalake_sl_mandic_spark.ingest.incremental import (
+        aggregate_batch,
+        incremental_refresh,
+    )
+
+    applied_dir = f"{view_dir}._applied"
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(applied_dir, str(batch_id))
+        if os.path.exists(marker):  # retried batch: already merged, skip
+            return
+        spark = batch_df.sparkSession
+        delta = aggregate_batch(
+            batch_df.select(F.to_date("ts").alias("day"), "value"),
+            ["day"],
+            {"total_value": "value"},
+        )
+        if os.path.isdir(view_dir):
+            matview = spark.read.parquet(view_dir)
+            refreshed = incremental_refresh(matview, delta, ["day"], ["total_value"])
+        else:
+            refreshed = delta
+        staging = f"{view_dir}.staging-{batch_id}"
+        refreshed.write.mode("overwrite").parquet(staging)
+        old_dir = f"{view_dir}.old-{batch_id}"
+        if os.path.isdir(view_dir):
+            os.rename(view_dir, old_dir)
+        os.rename(staging, view_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
+        os.makedirs(applied_dir, exist_ok=True)
+        open(marker, "w").close()
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)

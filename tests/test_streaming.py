@@ -169,3 +169,46 @@ def test_hopping_counts_matches_batch_operator(spark, events_dir, tmp_path):
     # every event lands in exactly window/slide windows
     n_events = spark.read.parquet(events_dir).count()
     assert sum(n for n, _ in got.values()) == n_events * (HOP_WINDOW_H // HOP_SLIDE_H)
+
+
+def test_matview_maintenance_stream_equals_batch(spark, events_dir, tmp_path):
+    """Streaming micro-batch materialized-view maintenance must converge to
+    EXACTLY the from-scratch batch aggregate (decimal-exact additive merge),
+    and a second run over the same checkpoint must change nothing (the
+    applied-batch ledger makes the additive merge retry-safe)."""
+    view = str(tmp_path / "matview")
+    ckpt = str(tmp_path / "ckpt_mv")
+
+    stream = jobs.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    jobs.matview_maintenance_foreach_batch(stream, view, ckpt)
+
+    got = {
+        (str(r["day"]), r["n_rows"], float(r["total_value"]))
+        for r in spark.read.parquet(view)
+        .select("day", "n_rows", F.round("total_value", 2).alias("total_value"))
+        .collect()
+    }
+    want = {
+        (str(r["day"]), r["n_rows"], float(r["total_value"]))
+        for r in spark.read.parquet(events_dir)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+    # restart with same checkpoint: no new files -> view unchanged
+    stream2 = jobs.read_events_stream(spark, events_dir)
+    jobs.matview_maintenance_foreach_batch(stream2, view, ckpt)
+    got2 = {
+        (str(r["day"]), r["n_rows"], float(r["total_value"]))
+        for r in spark.read.parquet(view)
+        .select("day", "n_rows", F.round("total_value", 2).alias("total_value"))
+        .collect()
+    }
+    assert got2 == got
