@@ -2350,3 +2350,75 @@ def eval_rouge_redaction_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------- language-ID confusion matrix
+
+
+@register(
+    "eval_langid_confusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_marker_sql('en')} AS s_en,
+             {_marker_sql('es')} AS s_es,
+             {_marker_sql('fr')} AS s_fr,
+             {_marker_sql('de')} AS s_de,
+             {_marker_sql('zh')} AS s_zh
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang AS lang_label, {_LANG_PRED_SQL} AS lang_pred FROM scored
+    ),
+    cells AS (
+      SELECT lang_label, lang_pred, count(*) AS n
+      FROM pred GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT lang_label, sum(n) AS n_label FROM cells GROUP BY 1
+    )
+    SELECT c.lang_label, c.lang_pred, CAST(c.n AS BIGINT) AS n,
+           round(c.n * 1.0 / t.n_label, 4) AS share_of_label,
+           c.lang_label = c.lang_pred AS is_correct
+    FROM cells c JOIN tot t USING (lang_label)
+    ORDER BY lang_label, lang_pred
+    """,
+    tags=("text", "language-id", "evaluation", "confusion-matrix"),
+)
+def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language identifier against the
+    corpus's declared labels — the evaluation every lang-ID gate needs
+    before its threshold decides what a corpus keeps: per (true, predicted)
+    cell, the count and the share of the true label's documents, with the
+    diagonal flagged. Off-diagonal hot spots name exactly which language
+    pair the marker profiles confuse (and therefore which language a
+    lang-ID-gated pipeline silently discards).
+
+    Scale shape: scoring is the same single-projection marker profile as
+    ``text_language_id``; the matrix is one map-side-combined aggregation
+    to <= |langs|^2 cells, and the per-label totals aggregate OVER THE
+    CELLS, not the corpus."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    pred = dc.select(
+        F.col("lang").alias("lang_label"),
+        *[
+            _lang_score_col(toks, lg).cast("bigint").alias(f"s_{lg}")
+            for lg in ("en", "es", "fr", "de", "zh")
+        ],
+    ).select("lang_label", _lang_pred_col().alias("lang_pred"))
+    cells = pred.groupBy("lang_label", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cells.groupBy("lang_label").agg(F.sum("n").alias("n_label"))
+    return (
+        cells.join(F.broadcast(tot), "lang_label")
+        .select(
+            "lang_label",
+            "lang_pred",
+            "n",
+            F.round(F.col("n") / F.col("n_label"), 4).alias("share_of_label"),
+            (F.col("lang_label") == F.col("lang_pred")).alias("is_correct"),
+        )
+        .orderBy("lang_label", "lang_pred")
+    )

@@ -153,6 +153,7 @@ REPRESENTATIVE = [
     "embedding_outliers_mahalanobis",
     "text_tokenizer_fertility",
     "eval_rouge_redaction_impact",
+    "eval_langid_confusion",
 ]
 
 

@@ -167,8 +167,9 @@ _PRIORITY: list[str] = [
 # corpus_cdc_chunking, events_ab_test_proportions, quality_lexicon_screen,
 # multimodal_image_phash_pairs, events_survival_kaplan_meier,
 # lm_bigram_kneser_ney, embedding_outliers_mahalanobis,
-# text_tokenizer_fertility, eval_rouge_redaction_impact (ann_ivf_pq_packed
-# is already inside this round's window).
+# text_tokenizer_fertility, eval_rouge_redaction_impact,
+# eval_langid_confusion (ann_ivf_pq_packed is already inside this round's
+# window).
 # (multimodal_feature_extract was retired from the registry in round 4: its
 # codec stubs made it permanently rows-only and every registered query must
 # carry an oracle; it stays pytest-covered via tests/test_multimodal.py.)
