@@ -446,3 +446,133 @@ def graph_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame
     return topk_with_rank(
         scored, [("jaccard", "desc"), ("x", "asc"), ("y", "asc")], LINKPRED_TOP
     ).select("x", "y", "common", "deg_x", "deg_y", "jaccard", "rnk")
+
+
+# -------------------------- connected components: two-phase star algorithm
+
+CC_STAR_MAX_ROUNDS = 12
+
+
+def _normalize(e: DataFrame) -> DataFrame:
+    """Undirected edge set as (lo, hi) pairs, self-loops dropped."""
+    return (
+        e.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _star_round(e_norm: DataFrame) -> DataFrame:
+    """One large-star + small-star pass over the normalized edge set."""
+    und = e_norm.unionAll(
+        e_norm.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    # large-star: every neighbor v > u links to min(Gamma(u) + {u})
+    m_all = und.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    large = (
+        und.join(m_all, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    ln = _normalize(large).localCheckpoint()
+    # small-star on the large-star output: orient (hi -> lo), every smaller
+    # neighbor AND hi itself link to the minimum of the group
+    hi = ln.select(F.col("v").alias("h"), F.col("u").alias("l"))
+    m_small = hi.groupBy("h").agg(F.min("l").alias("m"))
+    small = (
+        hi.join(m_small, "h")
+        .select(F.col("l").alias("u"), F.col("m").alias("v"))
+        .unionAll(m_small.select(F.col("h").alias("u"), F.col("m").alias("v")))
+    )
+    return _normalize(small).localCheckpoint()
+
+
+def star_components(e_norm: DataFrame):
+    """Run alternating star rounds to the fixpoint; returns
+    ``(labels(node, component), rounds_used)``. Factored so tests can drive
+    it with adversarial synthetic graphs (long paths — the shape that makes
+    O(diameter) algorithms crawl)."""
+    e = e_norm.localCheckpoint()
+    rounds = 0
+    for _ in range(CC_STAR_MAX_ROUNDS):
+        nxt = _star_round(e)
+        rounds += 1
+        changed = (
+            nxt.exceptAll(e).limit(1).count() + e.exceptAll(nxt).limit(1).count()
+        )
+        e = nxt
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"star CC did not converge in {CC_STAR_MAX_ROUNDS} rounds"
+        )
+    # star forest: every edge is (root, member); roots also label themselves
+    members = e.select(F.col("v").alias("node"), F.col("u").alias("component"))
+    roots = e.select(F.col("u").alias("node"), F.col("u").alias("component")).distinct()
+    return (
+        members.unionAll(roots)
+        .groupBy("node")
+        .agg(F.min("component").alias("component")),
+        rounds,
+    )
+
+
+@register(
+    "graph_components_star",
+    oracle=f"""
+    WITH RECURSIVE {_EDGE_CTES},
+    und AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+    nodes AS (SELECT DISTINCT u AS node FROM und),
+    reach(src, node) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN und e ON e.u = r.node
+    ),
+    lab AS (SELECT src AS node, min(node) AS component FROM reach GROUP BY src),
+    sz AS (SELECT component, count(*) AS component_size FROM lab GROUP BY component)
+    SELECT l.node, l.component,
+           CAST(s.component_size AS BIGINT) AS component_size,
+           l.node = l.component AS is_root
+    FROM lab l JOIN sz s USING (component)
+    ORDER BY l.node
+    """,
+    tags=("graph", "connected-components", "two-phase-star", "iterative"),
+)
+def graph_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by the alternating LARGE-STAR / SMALL-STAR
+    algorithm — the O(log n)-round MapReduce classic, vs the
+    O(diameter)-round min-label propagation ``dedup_cluster_components``
+    uses: large-star hangs every larger neighbor of u off min(Gamma(u)+u),
+    small-star re-hangs the smaller neighbors, and the edge set contracts
+    toward a star forest whose centers are the component minima. On a
+    path graph label propagation needs as many rounds as the path is long;
+    star rounds square away the distance — the difference between 40
+    rounds and 6 at a 10^12-edge web graph, which is why this is the
+    production CC (the round count, not the per-round cost, is what an
+    iterative distributed algorithm pays).
+
+    Each round is two groupBy-min aggregations + joins over the (shrinking)
+    edge relation, localCheckpoint-ed; the driver probes only a 1-row
+    convergence flag per round (bounded control plane). At the fixpoint
+    every edge IS (node -> its component root), so labels read directly
+    off the final edge set; isolated-from-the-capped-list nodes don't
+    appear (the capped co-supply graph has no singletons by construction).
+    The oracle recomputes components as a recursive-CTE transitive closure
+    — two entirely different algorithms must land on identical labels."""
+    lab, _rounds = star_components(_normalize(_edges(spark, sf_dir)))
+    sz = lab.groupBy("component").agg(F.count(F.lit(1)).alias("component_size"))
+    return (
+        lab.join(F.broadcast(sz), "component")
+        .select(
+            "node",
+            "component",
+            "component_size",
+            (F.col("node") == F.col("component")).alias("is_root"),
+        )
+        .orderBy("node")
+    )

@@ -154,6 +154,7 @@ REPRESENTATIVE = [
     "text_tokenizer_fertility",
     "eval_rouge_redaction_impact",
     "eval_langid_confusion",
+    "graph_components_star",
 ]
 
 

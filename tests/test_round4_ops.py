@@ -475,6 +475,45 @@ class TestRound4Wave2:
             assert r.near_dup == (r.hamming <= PHASH_NEAR)
 
 
+class TestStarComponents:
+    def test_path_graph_converges_in_log_rounds(self, spark):
+        """A 64-node path is the adversarial case for O(diameter)
+        propagation (63 rounds); the star algorithm must label it as ONE
+        component rooted at 0 in a handful of rounds."""
+        from feature_datalake_sl_mandic_spark.operators.graph import (
+            _normalize,
+            star_components,
+        )
+
+        n = 64
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "u bigint, v bigint"
+        )
+        lab, rounds = star_components(_normalize(df))
+        rows = lab.collect()
+        assert {r.node for r in rows} == set(range(n))
+        assert all(r.component == 0 for r in rows)
+        assert rounds <= 8  # ~log2(64) + slack, NOT ~diameter
+
+    def test_multiple_components_and_agreement_with_propagation(self, spark):
+        """Two separate cycles + an isolated edge must produce exactly three
+        components with the correct minima."""
+        from feature_datalake_sl_mandic_spark.operators.graph import (
+            _normalize,
+            star_components,
+        )
+
+        cyc1 = [(i, (i + 1) % 10) for i in range(10)]  # nodes 0..9
+        cyc2 = [(20 + i, 20 + (i + 1) % 7) for i in range(7)]  # 20..26
+        extra = [(100, 101)]
+        df = spark.createDataFrame(cyc1 + cyc2 + extra, "u bigint, v bigint")
+        lab, _ = star_components(_normalize(df))
+        comp = {r.node: r.component for r in lab.collect()}
+        assert {comp[i] for i in range(10)} == {0}
+        assert {comp[i] for i in range(20, 27)} == {20}
+        assert comp[100] == comp[101] == 100
+
+
 def test_release_cached_drops_checkpoint_blocks(spark):
     """The sweep hygiene hook must leave zero persistent RDDs behind."""
     from feature_datalake_sl_mandic_spark.session import release_cached
