@@ -964,3 +964,183 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch, not the archive. The exact-hash incremental op catches identical
     re-sends; this one catches NEAR-duplicates of archived documents."""
     return dedup_minhash_lsh(spark, sf_dir, batch_min=INCR_MINHASH_BATCH_MIN)
+
+
+# ----------------------------------------- LSH band-tuning S-curve scorecard
+
+_LSH_CONFIGS = [("8x1", 8, 1), ("4x2", 4, 2), ("2x4", 2, 4)]
+
+
+def _tuning_oracle() -> str:
+    mins = ",\n           ".join(f"{_duck_minhash(j)} AS m{j}" for j in range(MINHASH_K))
+
+    def coll(bands: int, rows: int) -> str:
+        ors = []
+        for b in range(bands):
+            ands = " AND ".join(
+                f"am{b * rows + r} = bm{b * rows + r}" for r in range(rows)
+            )
+            ors.append(f"({ands})")
+        return " OR ".join(ors)
+
+    stacked = "\n      UNION ALL\n".join(
+        f"""      SELECT '{name}' AS config, {bands} AS bands, {rows} AS rows_,
+             jaccard, ({coll(bands, rows)}) AS collided
+      FROM scored"""
+        for name, bands, rows in _LSH_CONFIGS
+    )
+    return f"""
+    WITH shs AS ({_DUCK_SHINGLES}),
+    sh0 AS (SELECT doc_id, {md5_int60_sql("s")} AS h FROM shs),
+    sh AS MATERIALIZED (
+      SELECT doc_id, h FROM sh0
+      WHERE h IN (SELECT h FROM sh0 GROUP BY h HAVING count(*) <= {MINHASH_MAX_DF})
+    ),
+    sig_t AS MATERIALIZED (
+      SELECT doc_id, {mins}, count(*) AS n FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS MATERIALIZED (
+      SELECT i.doc_a, i.doc_b,
+             i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter) AS jaccard,
+             {", ".join(f"sa.m{j} AS am{j}, sb.m{j} AS bm{j}" for j in range(MINHASH_K))}
+      FROM inter i
+      JOIN sig_t sa ON i.doc_a = sa.doc_id
+      JOIN sig_t sb ON i.doc_b = sb.doc_id
+    ),
+    stacked AS (
+{stacked}
+    )
+    SELECT config, least(CAST(floor(jaccard * 10) AS BIGINT), 9) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(collided::INT) AS BIGINT) AS n_collided,
+           round(sum(collided::INT) * 1.0 / count(*), 4) AS p_empirical,
+           round(1 - pow(1 - pow((least(CAST(floor(jaccard * 10) AS BIGINT), 9) + 0.5) / 10,
+                                 rows_), bands), 4) AS p_theory
+    FROM stacked
+    GROUP BY config, bucket, bands, rows_
+    ORDER BY config, bucket
+    """
+
+
+@register(
+    "eval_lsh_band_tuning",
+    oracle=_tuning_oracle(),
+    tags=("dedup", "minhash", "lsh", "s-curve", "tuning", "evaluation"),
+)
+def eval_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH S-curve tuning table: for three (bands x rows) splits of the SAME
+    8-value MinHash signature — 8x1 (recall-greedy), 4x2 (the production
+    choice in ``dedup_minhash_lsh``), 2x4 (precision-greedy) — the
+    EMPIRICAL band-collision probability per exact-Jaccard decile of the
+    shingle-sharing pairs, next to the textbook curve 1-(1-j^r)^b at the
+    bucket midpoint. This is the table that justifies LSH parameters before
+    a 100 TB run: the config whose S-curve knee sits at the dedup threshold
+    wins, and empirical-vs-theory divergence exposes a broken hash family
+    (the md5-derived family here tracks the curve). Pairs sharing zero
+    shingles are out of frame — their collision mass is the hash family's
+    false-positive floor, provably negligible at 60-bit hashes.
+
+    Scale shape: ONE signature aggregation serves all three configs
+    (banding is a projection over the carried signature, not a recompute);
+    ground-truth Jaccard reuses the DF-capped inverted-index join of
+    ``dedup_ngram_jaccard``; everything after the pair relation is a
+    projection + one bounded (config x decile) aggregation. At corpus scale
+    you run this on a stratified pair sample — the plan is unchanged."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    dc.createOrReplaceTempView("documents")
+    sh = hashed_shingles_with_df_cap(dc, MINHASH_MAX_DF).localCheckpoint()
+    sig = (
+        sh.groupBy("doc_id")
+        .agg(
+            *[F.min(_minhash_col(j)).alias(f"m{j}") for j in range(MINHASH_K)],
+            F.count(F.lit(1)).alias("n"),
+        )
+        .localCheckpoint()
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{j}").alias(f"am{j}") for j in range(MINHASH_K)],
+        F.col("n").alias("na"),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{j}").alias(f"bm{j}") for j in range(MINHASH_K)],
+        F.col("n").alias("nb"),
+    )
+    scored = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+    )
+
+    def coll(bands: int, rows: int):
+        ors = None
+        for bb in range(bands):
+            ands = None
+            for r in range(rows):
+                j = bb * rows + r
+                eq = F.col(f"am{j}") == F.col(f"bm{j}")
+                ands = eq if ands is None else (ands & eq)
+            ors = ands if ors is None else (ors | ands)
+        return ors
+
+    stacked = scored.select(
+        "jaccard",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("config"),
+                        F.lit(bands).alias("bands"),
+                        F.lit(rows).alias("rows_"),
+                        coll(bands, rows).alias("collided"),
+                    )
+                    for name, bands, rows in _LSH_CONFIGS
+                ]
+            )
+        ).alias("c"),
+    ).select(
+        "jaccard",
+        F.col("c.config").alias("config"),
+        F.col("c.bands").alias("bands"),
+        F.col("c.rows_").alias("rows_"),
+        F.col("c.collided").alias("collided"),
+    )
+    bucket = F.least(F.floor(F.col("jaccard") * 10).cast("bigint"), F.lit(9))
+    mid = (F.col("bucket") + 0.5) / 10
+    return (
+        stacked.select("config", "bands", "rows_", "collided", bucket.alias("bucket"))
+        .groupBy("config", "bands", "rows_", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("collided").cast("int")).alias("n_collided"),
+            F.round(
+                F.sum(F.col("collided").cast("int")) / F.count(F.lit(1)), 4
+            ).alias("p_empirical"),
+        )
+        .select(
+            "config",
+            "bucket",
+            "n_pairs",
+            "n_collided",
+            "p_empirical",
+            F.round(
+                1 - F.pow(1 - F.pow(mid, F.col("rows_")), F.col("bands")), 4
+            ).alias("p_theory"),
+        )
+        .orderBy("config", "bucket")
+    )

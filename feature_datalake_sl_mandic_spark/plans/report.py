@@ -155,6 +155,7 @@ REPRESENTATIVE = [
     "eval_rouge_redaction_impact",
     "eval_langid_confusion",
     "graph_components_star",
+    "eval_lsh_band_tuning",
 ]
 
 
