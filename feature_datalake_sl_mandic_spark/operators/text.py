@@ -1847,14 +1847,19 @@ def corpus_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(CONV(substring(md5(substring(text, CAST(p - {CDC_W} + 1 AS INT), "
         f"{CDC_W})), 1, 15), 16, 10) AS BIGINT)"
     )
+    # Guard: Spark's sequence(a, b) DESCENDS when b < a (same pitfall as
+    # lm_bigram_next_tokens), so a document shorter than the window would
+    # fabricate positions PAST its end — caught by the randomized tiling
+    # property test. Sub-window docs are a single chunk by definition.
     bounds = F.expr(
         f"""
-        array_sort(array_distinct(concat(
+        CASE WHEN char_length(text) < {CDC_W} THEN array(char_length(text))
+        ELSE array_sort(array_distinct(concat(
           filter(
             transform(sequence({CDC_W}, char_length(text)),
                       p -> CASE WHEN {md5i} % {CDC_D} = 0 THEN p END),
             x -> x IS NOT NULL),
-          array(char_length(text)))))
+          array(char_length(text))))) END
         """
     )
     bounded = dc.select("doc_id", "text", bounds.alias("bounds"))
