@@ -496,3 +496,119 @@ def agg_exact_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ------------------------------------------------ Pareto / ABC classification
+
+ABC_A_CUT = 0.80  # cumulative revenue share boundaries
+ABC_B_CUT = 0.95
+_ABC_BUCKET = 50_000  # revenue band width for the two-level prefix sum
+
+
+@register(
+    "customers_pareto_abc",
+    oracle=f"""
+    WITH rev AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(38,2))) AS revenue
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT sum(revenue) AS total FROM rev),
+    cum AS (
+      SELECT o_custkey, revenue,
+             sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cum_rev
+      FROM rev
+    ),
+    classed AS (
+      SELECT c.o_custkey, c.revenue,
+             CASE WHEN c.cum_rev / t.total <= {ABC_A_CUT} THEN 'A'
+                  WHEN c.cum_rev / t.total <= {ABC_B_CUT} THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM cum c CROSS JOIN tot
+      t
+    )
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(round(sum(revenue), 2) AS DOUBLE) AS class_revenue,
+           round(CAST(sum(revenue) AS DOUBLE)
+                 / CAST((SELECT total FROM tot) AS DOUBLE), 4) AS revenue_share
+    FROM classed
+    GROUP BY abc_class
+    ORDER BY abc_class
+    """,
+    tags=("aggregation", "pareto", "abc-analysis", "prefix-sum"),
+)
+def customers_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC customer classification: rank customers by total
+    revenue, split at 80% / 95% cumulative share — the classic
+    concentration analysis behind tiered service levels and the actionable
+    twin of ``stats_gini_order_values`` (Gini says HOW concentrated, ABC
+    says WHO the A-tier is). Revenue accumulates in DECIMAL so the
+    cumulative sums (and therefore the class boundaries) are exact and
+    engine-identical — no float prefix sum deciding a tier.
+
+    Scale shape: NO global window. The descending revenue order splits
+    into revenue-range bands; within each band a partitioned window
+    computes local prefix sums, and the per-band totals (a <=|bands|-row
+    relation) contribute each band's offset via a bounded self-join — the
+    same two-level prefix-sum that ``corpus_pack_shards`` uses to avoid
+    serializing a corpus through one task. The oracle states the semantics
+    as the plain global-window formulation; equality proves the
+    decomposition exact."""
+    (od,) = _t(spark, sf_dir, "orders")
+    rev = (
+        od.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(38,2)")).alias("revenue"))
+        .withColumn(
+            "band",
+            F.least(
+                F.floor(F.col("revenue") / _ABC_BUCKET).cast("bigint"), F.lit(50)
+            ),
+        )
+        .localCheckpoint()  # feeds band totals, local windows, and the total
+    )
+    tot = rev.agg(F.sum("revenue").alias("total"))
+    band_tot = rev.groupBy("band").agg(F.sum("revenue").alias("band_rev"))
+    ba, bb = band_tot.alias("ba"), band_tot.alias("bb")
+    # offset of a band = total revenue of all HIGHER bands (they sort first
+    # in descending revenue order); bounded self-join over <=51 rows
+    offsets = (
+        ba.join(F.broadcast(bb), F.col("bb.band") > F.col("ba.band"), "left")
+        .groupBy(F.col("ba.band").alias("band"))
+        .agg(
+            F.coalesce(F.sum("bb.band_rev"), F.lit(0).cast("decimal(38,2)")).alias(
+                "offset"
+            )
+        )
+    )
+    w_in = (
+        Window.partitionBy("band")
+        .orderBy(F.col("revenue").desc(), F.col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        rev.join(F.broadcast(offsets), "band")
+        .withColumn("cum_rev", F.col("offset") + F.sum("revenue").over(w_in))
+        .crossJoin(F.broadcast(tot))
+    )
+    share = F.col("cum_rev") / F.col("total")
+    classed = cum.select(
+        "revenue",
+        F.when(share <= ABC_A_CUT, "A")
+        .when(share <= ABC_B_CUT, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "total",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("revenue"), 2).cast("double").alias("class_revenue"),
+            F.round(
+                (F.sum("revenue") / F.first("total")).cast("double"), 4
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )

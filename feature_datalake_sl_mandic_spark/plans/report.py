@@ -156,6 +156,7 @@ REPRESENTATIVE = [
     "eval_langid_confusion",
     "graph_components_star",
     "eval_lsh_band_tuning",
+    "customers_pareto_abc",
 ]
 
 

@@ -168,8 +168,9 @@ _PRIORITY: list[str] = [
 # multimodal_image_phash_pairs, events_survival_kaplan_meier,
 # lm_bigram_kneser_ney, embedding_outliers_mahalanobis,
 # text_tokenizer_fertility, eval_rouge_redaction_impact,
-# eval_langid_confusion, graph_components_star, eval_lsh_band_tuning
-# (ann_ivf_pq_packed is already inside this round's window).
+# eval_langid_confusion, graph_components_star, eval_lsh_band_tuning,
+# customers_pareto_abc (ann_ivf_pq_packed is already inside this round's
+# window).
 # (multimodal_feature_extract was retired from the registry in round 4: its
 # codec stubs made it permanently rows-only and every registered query must
 # carry an oracle; it stays pytest-covered via tests/test_multimodal.py.)
