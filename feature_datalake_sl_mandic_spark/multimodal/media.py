@@ -865,3 +865,111 @@ def multimodal_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_a", "media_b")
     )
+
+
+# ----------------------------- audio energy-fingerprint near-dup pairs
+
+AFP_BLOCKS = 8  # energy-profile blocks per clip -> 8-bit fingerprint
+AFP_NEAR = 2  # hamming distance at or under this -> near-duplicate
+
+
+@register(
+    "multimodal_audio_fingerprint_pairs",
+    oracle=f"""
+    WITH clips AS MATERIALIZED (
+      SELECT i AS media_id, CAST(256 + (i % 4) * 128 AS BIGINT) AS n
+      FROM range({_WAV_N}) t(i)
+    ),
+    samples AS MATERIALIZED (
+      SELECT media_id, n, ts.t,
+             (ts.t * {AFP_BLOCKS}) // n AS blk,
+             ((1 + {_WAV_A} * media_id + {_WAV_B} * ts.t) % 65536 - 32768) AS s
+      FROM clips, LATERAL (SELECT unnest(range(n)) AS t) ts
+    ),
+    tot AS MATERIALIZED (
+      SELECT media_id, sum(s * s) AS tsum FROM samples GROUP BY media_id
+    ),
+    bits AS MATERIALIZED (
+      SELECT sa.media_id, sa.blk AS k,
+             (sum(sa.s * sa.s) * {AFP_BLOCKS} > t.tsum) AS bit
+      FROM samples sa JOIN tot t USING (media_id)
+      GROUP BY sa.media_id, sa.blk, t.tsum
+    ),
+    ham AS (
+      SELECT a.media_id AS media_a, b.media_id AS media_b,
+             sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+      FROM bits a JOIN bits b ON a.k = b.k AND a.media_id < b.media_id
+      GROUP BY 1, 2
+    )
+    SELECT media_a, media_b, CAST(hamming AS BIGINT) AS hamming,
+           hamming <= {AFP_NEAR} AS near_dup
+    FROM ham
+    ORDER BY media_a, media_b
+    """,
+    tags=("multimodal", "audio", "fingerprint", "near-dup", "real-codec"),
+)
+def multimodal_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup by energy-profile fingerprint over REAL RIFF/WAVE
+    payloads — the audio member of the multimodal dedup triad (image
+    ``multimodal_image_phash_pairs``, this, and text MinHash): each clip's
+    PCM16 samples (real chunk-walking decode) split into {AFP_BLOCKS}
+    time blocks, bit k = block energy above the clip mean — decided by
+    exact integer cross-multiplication (sum-of-squares x block count vs
+    total, all int64), so the fingerprint is reproducible bit-for-bit.
+    All clip pairs compare by Hamming distance: the shape a catalog runs to
+    catch re-encoded/trimmed copies that byte hashing misses. The oracle
+    re-derives every sample from the generator's closed form in SQL —
+    Spark's real decoder and DuckDB's arithmetic must agree on all
+    {AFP_BLOCKS} x {_WAV_N} bits to hash-match.
+
+    Scale shape: fingerprinting is Arrow-batched mapInPandas emitting
+    {AFP_BLOCKS} bit-rows per clip (audio bytes never shuffle); the
+    all-pairs comparison here is exhaustive-check sized, and the
+    (media_id, k, bit) relation is exactly what a banded equi-join buckets
+    on at catalog scale (the dedup_minhash_lsh shape)."""
+    import numpy as np
+    import pandas as pd
+
+    df = make_wav_media(spark, n=_WAV_N, partitions=3)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        g = AFP_BLOCKS
+        for pdf in it:
+            out_id, out_k, out_bit = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _rate, s = decode_wav(bytes(payload))
+                sq = s.astype("int64") ** 2
+                n = len(sq)
+                tsum = int(sq.sum())
+                blk = (np.arange(n) * g) // n
+                for k in range(g):
+                    bsum = int(sq[blk == k].sum())
+                    out_id.append(int(mid))
+                    out_k.append(k)
+                    out_bit.append(bsum * g > tsum)
+            yield pd.DataFrame({"media_id": out_id, "k": out_k, "bit": out_bit})
+
+    bits = df.mapInPandas(batches, schema="media_id long, k long, bit boolean")
+    a = bits.select(
+        F.col("media_id").alias("media_a"), "k", F.col("bit").alias("bit_a")
+    )
+    b = bits.select(
+        F.col("media_id").alias("media_b"), "k", F.col("bit").alias("bit_b")
+    )
+    return (
+        a.join(b, ["k"])
+        .where(F.col("media_a") < F.col("media_b"))
+        .groupBy("media_a", "media_b")
+        .agg(
+            F.sum(
+                F.when(F.col("bit_a") != F.col("bit_b"), 1).otherwise(0)
+            ).alias("hamming")
+        )
+        .select(
+            "media_a",
+            "media_b",
+            "hamming",
+            (F.col("hamming") <= AFP_NEAR).alias("near_dup"),
+        )
+        .orderBy("media_a", "media_b")
+    )

@@ -157,6 +157,7 @@ REPRESENTATIVE = [
     "graph_components_star",
     "eval_lsh_band_tuning",
     "customers_pareto_abc",
+    "multimodal_audio_fingerprint_pairs",
 ]
 
 
