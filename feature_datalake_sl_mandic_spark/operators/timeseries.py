@@ -1440,3 +1440,127 @@ def ts_brown_double_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(trend, 4).alias("trend"),
         F.round(level + trend, 4).alias("forecast_next"),
     ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------- Chow structural-break test
+
+CHOW_F_CRIT = 3.0  # ~F(2, n-4) upper 5% for the fixture's n (fixed contract)
+
+
+@register(
+    "ts_chow_structural_break",
+    oracle=f"""
+    WITH daily AS ({_DAILY_CTE}),
+    idx AS (
+      SELECT event_type, daily_value AS y,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS DOUBLE)
+               AS x,
+             CASE WHEN day < DATE '{KS_SPLIT_DAY}' THEN 0 ELSE 1 END AS seg
+      FROM daily
+    ),
+    stats AS (
+      SELECT event_type, seg, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+             sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM idx GROUP BY 1, 2
+    ),
+    rss AS (
+      SELECT event_type, seg, n,
+             (syy - sy * sy / n)
+               - pow(sxy - sx * sy / n, 2) / (sxx - sx * sx / n) AS r,
+             (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope
+      FROM stats
+    ),
+    pooled AS (
+      SELECT event_type, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+             sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM idx GROUP BY 1
+    ),
+    prss AS (
+      SELECT event_type, n,
+             (syy - sy * sy / n)
+               - pow(sxy - sx * sy / n, 2) / (sxx - sx * sx / n) AS r
+      FROM pooled
+    )
+    SELECT p.event_type,
+           CAST(p.n AS BIGINT) AS n_days,
+           round(r0.slope, 4) AS slope_before,
+           round(r1.slope, 4) AS slope_after,
+           round(((p.r - r0.r - r1.r) / 2)
+                 / ((r0.r + r1.r) / (p.n - 4)), 4) AS chow_f,
+           ((p.r - r0.r - r1.r) / 2) / ((r0.r + r1.r) / (p.n - 4))
+             > {CHOW_F_CRIT} AS break_at_05
+    FROM prss p
+    JOIN rss r0 ON p.event_type = r0.event_type AND r0.seg = 0
+    JOIN rss r1 ON p.event_type = r1.event_type AND r1.seg = 1
+    ORDER BY p.event_type
+    """,
+    tags=("timeseries", "structural-break", "chow-test", "regression"),
+)
+def ts_chow_structural_break(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow test for a structural break at a known date (the PSI/KS split
+    day): fit OLS trend lines to the before- and after-segments and to the
+    pooled series — all three entirely from per-segment sufficient
+    statistics (one aggregation pass, the ``ts_linear_trend_daily``
+    machinery) — and test whether the two-segment fit explains
+    significantly more variance: F = ((RSS_pooled - RSS_1 - RSS_2)/2) /
+    ((RSS_1+RSS_2)/(n-4)). Where KS/PSI ask 'did the DISTRIBUTION move',
+    Chow asks 'did the TREND LINE break' — the regime-change alarm for
+    metrics that drift in slope rather than in level. Per-segment slopes
+    ride along so the break's direction is part of the checked output.
+
+    Scale shape: one map-side-combined aggregation to 2 rows per series,
+    one to 1 row per series, then literal arithmetic — no windows over raw
+    data beyond the day-index ranking, no second pass."""
+    daily = _daily_series(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    idx = daily.select(
+        "event_type",
+        F.col("daily_value").alias("y"),
+        F.row_number().over(w).cast("double").alias("x"),
+        (F.col("day") >= F.lit(KS_SPLIT_DAY).cast("date")).cast("int").alias("seg"),
+    ).localCheckpoint()  # feeds the per-segment AND pooled aggregations
+
+    def suff(df, keys):
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+
+    def rss_cols(df):
+        sxx_c = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+        sxy_c = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+        syy_c = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+        return df.withColumn("r", syy_c - F.pow(sxy_c, 2) / sxx_c).withColumn(
+            "slope", sxy_c / sxx_c
+        )
+
+    seg_rss = rss_cols(suff(idx, ["event_type", "seg"]))
+    pooled = rss_cols(suff(idx, ["event_type"]))
+    r0 = seg_rss.where(F.col("seg") == 0).select(
+        "event_type", F.col("r").alias("r0"), F.col("slope").alias("slope_before")
+    )
+    r1 = seg_rss.where(F.col("seg") == 1).select(
+        "event_type", F.col("r").alias("r1"), F.col("slope").alias("slope_after")
+    )
+    f_stat = ((F.col("r") - F.col("r0") - F.col("r1")) / 2) / (
+        (F.col("r0") + F.col("r1")) / (F.col("n") - 4)
+    )
+    return (
+        pooled.join(F.broadcast(r0), "event_type")
+        .join(F.broadcast(r1), "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_days"),
+            F.round("slope_before", 4).alias("slope_before"),
+            F.round("slope_after", 4).alias("slope_after"),
+            F.round(f_stat, 4).alias("chow_f"),
+            (f_stat > CHOW_F_CRIT).alias("break_at_05"),
+        )
+        .orderBy("event_type")
+    )

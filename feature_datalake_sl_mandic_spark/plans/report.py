@@ -158,6 +158,7 @@ REPRESENTATIVE = [
     "eval_lsh_band_tuning",
     "customers_pareto_abc",
     "multimodal_audio_fingerprint_pairs",
+    "ts_chow_structural_break",
 ]
 
 
