@@ -514,6 +514,70 @@ class TestStarComponents:
         assert comp[100] == comp[101] == 100
 
 
+class TestRound4Wave3:
+    def test_pareto_abc_classes_partition_revenue(self, spark):
+        """Classes partition all customers; class A holds ~80% of revenue
+        with far fewer customers than its revenue share (the Pareto point);
+        shares sum to 1."""
+        from feature_datalake_sl_mandic_spark.operators.aggregates import (
+            customers_pareto_abc,
+        )
+        from feature_datalake_sl_mandic_spark.operators.relational import _t
+
+        rows = {r.abc_class: r for r in customers_pareto_abc(spark, SF_SMALL).collect()}
+        assert set(rows) == {"A", "B", "C"}
+        total_share = sum(r.revenue_share for r in rows.values())
+        assert abs(total_share - 1.0) < 1e-3
+        assert 0.75 <= rows["A"].revenue_share <= 0.82
+        n_total = sum(r.n_customers for r in rows.values())
+        (od,) = _t(spark, SF_SMALL, "orders")
+        assert n_total == od.select("o_custkey").distinct().count()
+        # concentration: A's customer share is below its revenue share
+        assert rows["A"].n_customers / n_total < rows["A"].revenue_share
+
+    def test_lsh_s_curve_orders_configs_correctly(self, spark):
+        """At the low-Jaccard bucket, collision probability must order
+        8x1 >= 4x2 >= 2x4 (more rows per band = stricter), and every config
+        must collide with certainty on the top bucket."""
+        from feature_datalake_sl_mandic_spark.operators.dedup import (
+            eval_lsh_band_tuning,
+        )
+
+        rows = eval_lsh_band_tuning(spark, SF_SMALL).collect()
+        p = {(r.config, r.bucket): r.p_empirical for r in rows}
+        assert p[("8x1", 0)] >= p[("4x2", 0)] >= p[("2x4", 0)]
+        top = max(b for (_, b) in p)
+        for cfg in ("8x1", "4x2", "2x4"):
+            assert p[(cfg, top)] == 1.0
+        # empirical tracks theory within the bucket width at the low end
+        th = {(r.config, r.bucket): r.p_theory for r in rows}
+        assert abs(p[("4x2", 0)] - th[("4x2", 0)]) < 0.05
+
+    def test_audio_fingerprint_pairs_complete(self, spark):
+        from feature_datalake_sl_mandic_spark.multimodal.media import (
+            _WAV_N,
+            multimodal_audio_fingerprint_pairs,
+        )
+
+        rows = multimodal_audio_fingerprint_pairs(spark, SF_SMALL).collect()
+        assert len(rows) == _WAV_N * (_WAV_N - 1) // 2
+        assert all(0 <= r.hamming <= 8 for r in rows)
+
+    def test_chow_detects_no_break_on_stationary_noise(self, spark):
+        """The fixture's event series have no engineered regime change —
+        the Chow F must exist and be finite for every series, and slopes
+        before/after must both be small relative to the daily scale."""
+        from feature_datalake_sl_mandic_spark.operators.timeseries import (
+            ts_chow_structural_break,
+        )
+
+        rows = ts_chow_structural_break(spark, SF_SMALL).collect()
+        assert rows
+        for r in rows:
+            assert r.chow_f is not None and r.chow_f >= 0
+            assert r.n_days > 8
+
+
 def test_release_cached_drops_checkpoint_blocks(spark):
     """The sweep hygiene hook must leave zero persistent RDDs behind."""
     from feature_datalake_sl_mandic_spark.session import release_cached
