@@ -1452,8 +1452,9 @@ CHOW_F_CRIT = 3.0  # ~F(2, n-4) upper 5% for the fixture's n (fixed contract)
     oracle=f"""
     WITH daily AS ({_DAILY_CTE}),
     idx AS (
-      SELECT event_type, daily_value AS y,
-             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS DOUBLE)
+      SELECT event_type,
+             CAST(round(daily_value * 100, 0) AS BIGINT) AS y,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT)
                AS x,
              CASE WHEN day < DATE '{KS_SPLIT_DAY}' THEN 0 ELSE 1 END AS seg
       FROM daily
@@ -1461,26 +1462,33 @@ CHOW_F_CRIT = 3.0  # ~F(2, n-4) upper 5% for the fixture's n (fixed contract)
     stats AS (
       SELECT event_type, seg, count(*) AS n,
              sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
-             sum(x * y) AS sxy, sum(y * y) AS syy
+             sum(x * y) AS sxy, sum(CAST(y AS HUGEINT) * y) AS syy
       FROM idx GROUP BY 1, 2
     ),
     rss AS (
       SELECT event_type, seg, n,
-             (syy - sy * sy / n)
-               - pow(sxy - sx * sy / n, 2) / (sxx - sx * sx / n) AS r,
-             (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope
+             (CAST(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS DOUBLE)
+               - CAST(CAST(n * sxy - sx * sy AS DOUBLE) AS DOUBLE)
+                 * CAST(CAST(n * sxy - sx * sy AS DOUBLE) AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE))
+               / CAST(n AS DOUBLE) / 10000.0 AS r,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0 AS slope
       FROM stats
     ),
     pooled AS (
       SELECT event_type, count(*) AS n,
              sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
-             sum(x * y) AS sxy, sum(y * y) AS syy
+             sum(x * y) AS sxy, sum(CAST(y AS HUGEINT) * y) AS syy
       FROM idx GROUP BY 1
     ),
     prss AS (
       SELECT event_type, n,
-             (syy - sy * sy / n)
-               - pow(sxy - sx * sy / n, 2) / (sxx - sx * sx / n) AS r
+             (CAST(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS DOUBLE)
+               - CAST(CAST(n * sxy - sx * sy AS DOUBLE) AS DOUBLE)
+                 * CAST(CAST(n * sxy - sx * sy AS DOUBLE) AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE))
+               / CAST(n AS DOUBLE) / 10000.0 AS r
       FROM pooled
     )
     SELECT p.event_type,
@@ -1510,6 +1518,14 @@ def ts_chow_structural_break(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics that drift in slope rather than in level. Per-segment slopes
     ride along so the break's direction is part of the checked output.
 
+    Determinism: daily values are exact cents, so ALL sufficient sums
+    accumulate as exact integers and the slope is a ratio of exact-integer
+    numerators (n*Sxy - Sx*Sy over n*Sxx - Sx*Sx) — no float cancellation
+    before the single IEEE division, because a rational slope CAN land
+    exactly on the 4dp rounding grid's midpoint and a float-summed Sxy
+    flipped one there (caught by the repeated full-registry sweep, same
+    class as the PCA fix). decimal(38,0)/HUGEINT guards the y^2 sums.
+
     Scale shape: one map-side-combined aggregation to 2 rows per series,
     one to 1 row per series, then literal arithmetic — no windows over raw
     data beyond the day-index ranking, no second pass."""
@@ -1517,8 +1533,8 @@ def ts_chow_structural_break(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type").orderBy("day")
     idx = daily.select(
         "event_type",
-        F.col("daily_value").alias("y"),
-        F.row_number().over(w).cast("double").alias("x"),
+        F.round(F.col("daily_value") * 100, 0).cast("bigint").alias("y"),
+        F.row_number().over(w).cast("bigint").alias("x"),
         (F.col("day") >= F.lit(KS_SPLIT_DAY).cast("date")).cast("int").alias("seg"),
     ).localCheckpoint()  # feeds the per-segment AND pooled aggregations
 
@@ -1529,15 +1545,25 @@ def ts_chow_structural_break(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("y").alias("sy"),
             F.sum(F.col("x") * F.col("x")).alias("sxx"),
             F.sum(F.col("x") * F.col("y")).alias("sxy"),
-            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("y").cast("decimal(20,0)") * F.col("y")).alias("syy"),
         )
 
     def rss_cols(df):
-        sxx_c = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
-        sxy_c = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
-        syy_c = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
-        return df.withColumn("r", syy_c - F.pow(sxy_c, 2) / sxx_c).withColumn(
-            "slope", sxy_c / sxx_c
+        sxy_num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+            "double"
+        )
+        sxx_num = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+        syy_num = (
+            F.col("n") * F.col("syy")
+            - F.col("sy").cast("decimal(20,0)") * F.col("sy")
+        ).cast("double")
+        r = (syy_num - sxy_num * sxy_num / sxx_num) / F.col("n").cast(
+            "double"
+        ) / 10000.0
+        return df.withColumn("r", r).withColumn(
+            "slope", sxy_num / sxx_num / 100.0
         )
 
     seg_rss = rss_cols(suff(idx, ["event_type", "seg"]))
