@@ -280,22 +280,24 @@ def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS ({_DAILY_CTE}),
     xy AS (
       SELECT event_type,
-             date_diff('day', DATE '1970-01-01', day) AS x,
-             daily_value AS y
+             CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS x,
+             CAST(round(daily_value * 100, 0) AS BIGINT) AS y
       FROM daily
     ),
     stats AS (
       SELECT event_type,
              CAST(count(*) AS BIGINT) AS n_days,
-             sum(x * 1.0) AS sx, sum(y) AS sy,
-             sum(x * 1.0 * x) AS sxx, sum(x * y) AS sxy
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
       FROM xy GROUP BY event_type
     )
     SELECT event_type, n_days, slope_per_day,
-           round((sy - slope_per_day * sx) / n_days, 4) AS intercept
+           round((CAST(sy AS DOUBLE) / 100.0 - slope_per_day * CAST(sx AS DOUBLE))
+                 / CAST(n_days AS DOUBLE), 4) AS intercept
     FROM (
       SELECT *,
-             round((n_days * sxy - sx * sy) / (n_days * sxx - sx * sx), 6)
+             round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                   / CAST(n_days * sxx - sx * sx AS DOUBLE) / 100.0, 6)
                AS slope_per_day
       FROM stats
     )
@@ -313,12 +315,17 @@ def ts_linear_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents on both sides so the engines aggregate identical inputs; slope and
     intercept round to absorb summation-order epsilon."""
     daily = _daily_series(spark, sf_dir)
+    # Exact-integer sufficient statistics (x = epoch days, y = cents): the
+    # normal-equation numerators are exact, so the slope is ONE IEEE
+    # division — a rational slope can land exactly on the rounding grid's
+    # midpoint, where float-summed statistics flip between engines (the
+    # Chow-test lesson applied here proactively).
     xy = daily.select(
         "event_type",
         F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
-        .cast("double")
+        .cast("bigint")
         .alias("x"),
-        F.col("daily_value").alias("y"),
+        F.round(F.col("daily_value") * 100, 0).cast("bigint").alias("y"),
     )
     stats = xy.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
@@ -328,14 +335,20 @@ def ts_linear_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
     slope = F.round(
-        (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy"))
-        / (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")),
+        (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+        / 100.0,
         6,
     )
     # The ROUNDED slope feeds the intercept on both sides: an unrounded-slope
     # epsilon (~1e-16) is amplified by sx (~epoch-days x n_days) well past
     # any final rounding.
-    intercept = (F.col("sy") - F.col("slope_per_day") * F.col("sx")) / F.col("n_days")
+    intercept = (
+        F.col("sy").cast("double") / 100.0
+        - F.col("slope_per_day") * F.col("sx").cast("double")
+    ) / F.col("n_days").cast("double")
     return (
         stats.withColumn("slope_per_day", slope)
         .select(
