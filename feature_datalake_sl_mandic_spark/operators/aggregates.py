@@ -612,3 +612,87 @@ def customers_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+# ------------------------------------------------ exact weighted median
+
+
+@register(
+    "agg_weighted_median_price",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             l_extendedprice AS price,
+             CAST(l_quantity AS BIGINT) AS wt,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    cum AS (
+      SELECT l_returnflag, price, wt,
+             sum(wt) OVER (PARTITION BY l_returnflag
+                           ORDER BY price, l_orderkey, l_linenumber
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cw,
+             sum(wt) OVER (PARTITION BY l_returnflag) AS tw
+      FROM w
+    ),
+    med AS (
+      SELECT l_returnflag, price, cw, tw,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY cw, price) AS rn
+      FROM cum WHERE 2 * cw >= tw
+    )
+    SELECT l_returnflag,
+           CAST(tw AS BIGINT) AS total_weight,
+           round(price, 2) AS weighted_median_price
+    FROM med WHERE rn = 1
+    ORDER BY l_returnflag
+    """,
+    tags=("aggregation", "weighted-median", "order-statistics", "window"),
+)
+def agg_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median: the price at which half the total QUANTITY
+    (not half the rows) sits on either side — the order statistic a pricing
+    or inventory analysis actually wants when line items carry different
+    volumes, and one Spark has no built-in for (``percentile`` is
+    row-weighted). Computed as a partitioned cumulative-weight scan: first
+    row whose doubled running weight reaches the group total. All
+    comparisons are exact integers (quantities) and the median is a DATA
+    value, not an interpolation — nothing rounds before selection, so the
+    result is engine-exact by construction.
+
+    Scale shape: one shuffle on the group key, one ordered pass per group
+    (the same single-window shape as every windowed aggregate here), and
+    the threshold filter keeps one row per group. No global window, no
+    collect, no approximation."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    ).select(
+        "l_returnflag",
+        "price",
+        F.sum("wt").over(w_cum).alias("cw"),
+        F.sum("wt").over(w_all).alias("tw"),
+    )
+    w_pick = Window.partitionBy("l_returnflag").orderBy("cw", "price")
+    return (
+        cum.where(2 * F.col("cw") >= F.col("tw"))
+        .withColumn("rn", F.row_number().over(w_pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("tw").alias("total_weight"),
+            F.round("price", 2).alias("weighted_median_price"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -159,6 +159,7 @@ REPRESENTATIVE = [
     "customers_pareto_abc",
     "multimodal_audio_fingerprint_pairs",
     "ts_chow_structural_break",
+    "agg_weighted_median_price",
 ]
 
 
