@@ -696,3 +696,98 @@ def agg_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ------------------------------------------------ cohort LTV curves
+
+LTV_HORIZONS = 3  # months after the cohort month (k = 0..3)
+
+
+@register(
+    "customers_cohort_ltv",
+    oracle=f"""
+    WITH first_order AS (
+      SELECT o_custkey,
+             min(date_trunc('month', CAST(o_orderdate AS DATE))) AS cohort_m
+      FROM orders GROUP BY o_custkey
+    ),
+    cohort_sz AS (
+      SELECT cohort_m, count(*) AS cohort_customers
+      FROM first_order GROUP BY cohort_m
+    ),
+    rev AS (
+      SELECT f.cohort_m,
+             datediff('month', f.cohort_m,
+                      date_trunc('month', CAST(o.o_orderdate AS DATE))) AS offs,
+             CAST(o.o_totalprice AS DECIMAL(38,2)) AS price
+      FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+    ),
+    expanded AS (
+      SELECT r.cohort_m, t.k, r.price
+      FROM rev r CROSS JOIN range(0, {LTV_HORIZONS + 1}) t(k)
+      WHERE r.offs <= t.k
+    )
+    SELECT strftime(e.cohort_m, '%Y-%m') AS cohort_month,
+           CAST(e.k AS BIGINT) AS months_out,
+           CAST(s.cohort_customers AS BIGINT) AS cohort_customers,
+           CAST(round(sum(e.price), 2) AS DOUBLE) AS total_revenue,
+           round(CAST(sum(e.price) AS DOUBLE) / s.cohort_customers, 2)
+             AS avg_ltv
+    FROM expanded e JOIN cohort_sz s USING (cohort_m)
+    GROUP BY e.cohort_m, e.k, s.cohort_customers
+    ORDER BY cohort_month, months_out
+    """,
+    tags=("aggregation", "cohort", "ltv", "explode-contribution"),
+)
+def customers_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers cohorted by first-order
+    month; for each horizon k = 0..{LTV_HORIZONS} months, the cohort's
+    cumulative revenue and average LTV per customer — the revenue twin of
+    ``events_cohort_retention`` (retention counts WHO came back, LTV counts
+    WHAT they spent), and the curve a growth model calibrates payback
+    windows against. Denominators are FULL cohort sizes, so customers who
+    never re-ordered correctly drag the average (survivor bias is the
+    classic LTV mistake). Revenue accumulates in DECIMAL; the average is a
+    single division of exact totals.
+
+    Scale shape: the horizon expansion is the explode-contribution rewrite
+    (each order row contributes to every horizon it belongs to, then ONE
+    map-side-combined aggregation on (cohort, k)) — no per-horizon rescan,
+    no window over raw orders; cohort sizes are a bounded relation joined
+    back by broadcast."""
+    (od,) = _t(spark, sf_dir, "orders")
+    first_order = od.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min(F.to_date("o_orderdate"))).alias("cohort_m")
+    )
+    cohort_sz = first_order.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).alias("cohort_customers")
+    )
+    rev = od.join(first_order, "o_custkey").select(
+        "cohort_m",
+        F.months_between(
+            F.date_trunc("month", F.to_date("o_orderdate")), F.col("cohort_m")
+        )
+        .cast("bigint")
+        .alias("offs"),
+        F.col("o_totalprice").cast("decimal(38,2)").alias("price"),
+    )
+    ks = F.array(*[F.lit(k) for k in range(LTV_HORIZONS + 1)])
+    expanded = (
+        rev.select("cohort_m", "offs", "price", F.explode(ks).alias("k"))
+        .where(F.col("offs") <= F.col("k"))
+    )
+    return (
+        expanded.groupBy("cohort_m", "k")
+        .agg(F.sum("price").alias("total"))
+        .join(F.broadcast(cohort_sz), "cohort_m")
+        .select(
+            F.date_format("cohort_m", "yyyy-MM").alias("cohort_month"),
+            F.col("k").cast("bigint").alias("months_out"),
+            F.col("cohort_customers").cast("bigint").alias("cohort_customers"),
+            F.round(F.col("total"), 2).cast("double").alias("total_revenue"),
+            F.round(
+                F.col("total").cast("double") / F.col("cohort_customers"), 2
+            ).alias("avg_ltv"),
+        )
+        .orderBy("cohort_month", "months_out")
+    )

@@ -160,6 +160,7 @@ REPRESENTATIVE = [
     "multimodal_audio_fingerprint_pairs",
     "ts_chow_structural_break",
     "agg_weighted_median_price",
+    "customers_cohort_ltv",
 ]
 
 

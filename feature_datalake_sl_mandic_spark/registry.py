@@ -170,8 +170,9 @@ _PRIORITY: list[str] = [
 # text_tokenizer_fertility, eval_rouge_redaction_impact,
 # eval_langid_confusion, graph_components_star, eval_lsh_band_tuning,
 # customers_pareto_abc, multimodal_audio_fingerprint_pairs,
-# ts_chow_structural_break, agg_weighted_median_price (ann_ivf_pq_packed
-# is already inside this round's window).
+# ts_chow_structural_break, agg_weighted_median_price,
+# customers_cohort_ltv (ann_ivf_pq_packed is already inside this round's
+# window).
 # (multimodal_feature_extract was retired from the registry in round 4: its
 # codec stubs made it permanently rows-only and every registered query must
 # carry an oracle; it stays pytest-covered via tests/test_multimodal.py.)
