@@ -617,6 +617,10 @@ def customers_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------ exact weighted median
 
 
+# price band width for the two-level prefix sum (l_extendedprice spans
+# roughly [900, 110k] -> ~55 populated bands, capped at 61)
+_WMED_BUCKET = 2_000
+
 @register(
     "agg_weighted_median_price",
     oracle="""
@@ -655,34 +659,77 @@ def agg_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     (not half the rows) sits on either side — the order statistic a pricing
     or inventory analysis actually wants when line items carry different
     volumes, and one Spark has no built-in for (``percentile`` is
-    row-weighted). Computed as a partitioned cumulative-weight scan: first
-    row whose doubled running weight reaches the group total. All
-    comparisons are exact integers (quantities) and the median is a DATA
-    value, not an interpolation — nothing rounds before selection, so the
-    result is engine-exact by construction.
+    row-weighted). All comparisons are exact integers (quantities) and the
+    median is a DATA value, not an interpolation — nothing rounds before
+    selection, so the result is engine-exact by construction.
 
-    Scale shape: one shuffle on the group key, one ordered pass per group
-    (the same single-window shape as every windowed aggregate here), and
-    the threshold filter keeps one row per group. No global window, no
-    collect, no approximation."""
+    Scale shape: the two-level banded prefix sum of ``customers_pareto_abc``
+    — l_returnflag has only 3 distinct values, so a raw-data cumulative
+    window partitioned on it would funnel a third of the fact table through
+    one task. Instead the fact table only pays a map-side-combinable
+    groupBy on (flag, price-band); the bounded band-totals relation
+    (3 x <=61 rows) locates the ONE band per group whose cumulative weight
+    crosses half the total, and only THAT band's rows (~1/bands of the
+    group) flow through the ordered scan, entering with the exact integer
+    weight offset of all lower bands. The oracle states the semantics as
+    the plain partitioned-window formulation; hash equality proves the
+    decomposition exact."""
     (li,) = _t(spark, sf_dir, "lineitem")
+    w = (
+        li.select(
+            "l_returnflag",
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_quantity").cast("bigint").alias("wt"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .withColumn(
+            "band",
+            F.least(
+                F.floor(F.col("price") / _WMED_BUCKET).cast("bigint"), F.lit(60)
+            ),
+        )
+        .localCheckpoint()  # feeds the band totals AND the median-band scan
+    )
+    band_tot = w.groupBy("l_returnflag", "band").agg(F.sum("wt").alias("band_wt"))
+    ba, bb = band_tot.alias("ba"), band_tot.alias("bb")
+    # offset of a band = total weight of all LOWER price bands; bounded
+    # self-join over 3 x <=61 rows
+    offsets = (
+        ba.join(
+            F.broadcast(bb),
+            (F.col("bb.l_returnflag") == F.col("ba.l_returnflag"))
+            & (F.col("bb.band") < F.col("ba.band")),
+            "left",
+        )
+        .groupBy(
+            F.col("ba.l_returnflag").alias("l_returnflag"),
+            F.col("ba.band").alias("band"),
+            F.col("ba.band_wt").alias("band_wt"),
+        )
+        .agg(F.coalesce(F.sum("bb.band_wt"), F.lit(0)).alias("offset"))
+    )
+    tw = band_tot.groupBy("l_returnflag").agg(F.sum("band_wt").alias("tw"))
+    # the unique band whose cumulative weight crosses tw/2: weight before it
+    # is strictly under half, weight through it reaches half
+    med_band = (
+        offsets.join(F.broadcast(tw), "l_returnflag")
+        .where(
+            (2 * F.col("offset") < F.col("tw"))
+            & (2 * (F.col("offset") + F.col("band_wt")) >= F.col("tw"))
+        )
+        .select("l_returnflag", "band", "offset", "tw")
+    )
     w_cum = (
         Window.partitionBy("l_returnflag")
         .orderBy("price", "l_orderkey", "l_linenumber")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_all = Window.partitionBy("l_returnflag")
-    cum = li.select(
-        "l_returnflag",
-        F.col("l_extendedprice").alias("price"),
-        F.col("l_quantity").cast("bigint").alias("wt"),
-        "l_orderkey",
-        "l_linenumber",
-    ).select(
+    cum = w.join(F.broadcast(med_band), ["l_returnflag", "band"]).select(
         "l_returnflag",
         "price",
-        F.sum("wt").over(w_cum).alias("cw"),
-        F.sum("wt").over(w_all).alias("tw"),
+        (F.col("offset") + F.sum("wt").over(w_cum)).alias("cw"),
+        "tw",
     )
     w_pick = Window.partitionBy("l_returnflag").orderBy("cw", "price")
     return (

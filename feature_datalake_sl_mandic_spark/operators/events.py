@@ -1179,42 +1179,56 @@ NEYMAN_BUDGET = 500  # total sampled rows across all strata
     "sample_stratified_neyman",
     oracle=f"""
     WITH base AS (
-      SELECT event_type, value,
-             ('0x' || substr(md5(event_type || '|' || CAST(user_id AS VARCHAR)
+      SELECT event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             ('0x' || substr(md5(coalesce(event_type, '__null__') || '|'
+                 || coalesce(CAST(user_id AS VARCHAR), '__null__')
                  || '|' || CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR)),
                  1, 15))::BIGINT AS hk
       FROM events WHERE value IS NOT NULL
     ),
     stats AS (
       SELECT event_type, count(*) AS n_pop,
-             round(sqrt(sum(value * value) / count(*)
-                        - pow(sum(value) / count(*), 2)), 6) AS std_pop,
-             round(sum(value) / count(*), 4) AS pop_mean
+             sum(cents) AS s1,
+             sum(CAST(cents AS HUGEINT) * cents) AS s2
       FROM base GROUP BY event_type
     ),
-    wsum AS (SELECT sum(n_pop * std_pop) AS w FROM stats),
+    stats2 AS (
+      SELECT event_type, n_pop,
+             CAST(round(sqrt(CAST(CAST(n_pop AS HUGEINT) * s2
+                                  - CAST(s1 AS HUGEINT) * s1 AS DOUBLE))
+                        * 10000.0 / CAST(n_pop AS DOUBLE), 0) AS BIGINT)
+               AS std_micros,
+             round(CAST(s1 AS DOUBLE) / (CAST(n_pop AS DOUBLE) * 100.0), 4)
+               AS pop_mean
+      FROM stats
+    ),
+    wsum AS (SELECT sum(n_pop * std_micros) AS w FROM stats2),
     alloc AS (
-      SELECT s.event_type, s.n_pop, s.std_pop, s.pop_mean,
+      SELECT s.event_type, s.n_pop,
+             CAST(s.std_micros AS DOUBLE) / 1000000.0 AS std_pop,
+             s.pop_mean,
              least(s.n_pop,
-                   CAST(floor({NEYMAN_BUDGET} * (s.n_pop * s.std_pop) / t.w)
-                        AS BIGINT)) AS n_alloc
-      FROM stats s CROSS JOIN wsum t
+                   ({NEYMAN_BUDGET} * s.n_pop * s.std_micros) // t.w) AS n_alloc
+      FROM stats2 s CROSS JOIN wsum t
     ),
     ranked AS (
-      SELECT b.event_type, b.value,
+      SELECT b.event_type, b.cents,
              row_number() OVER (PARTITION BY b.event_type
-                                ORDER BY b.hk, b.value) AS rn
+                                ORDER BY b.hk, b.cents) AS rn
       FROM base b
     ),
     sampled AS (
-      SELECT r.event_type, avg(r.value) AS m, count(*) AS n_sampled
+      SELECT r.event_type, sum(r.cents) AS sc, count(*) AS n_sampled
       FROM ranked r JOIN alloc a USING (event_type)
       WHERE r.rn <= a.n_alloc
       GROUP BY r.event_type
     )
     SELECT a.event_type, CAST(a.n_pop AS BIGINT) AS n_pop, a.std_pop,
-           a.pop_mean, a.n_alloc, CAST(s.n_sampled AS BIGINT) AS n_sampled,
-           round(s.m, 4) AS sample_mean
+           a.pop_mean, CAST(a.n_alloc AS BIGINT) AS n_alloc,
+           CAST(s.n_sampled AS BIGINT) AS n_sampled,
+           round(CAST(s.sc AS DOUBLE) / (CAST(s.n_sampled AS DOUBLE) * 100.0), 4)
+             AS sample_mean
     FROM alloc a JOIN sampled s USING (event_type)
     ORDER BY a.event_type
     """,
@@ -1233,21 +1247,27 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one pass for the sufficient statistics (count/sum/sum-sq
     per stratum — map-side combined), the bounded allocation broadcast back,
-    and ONE rank window partitioned by stratum for selection. Population
-    std via the sum-of-squares identity so both engines compute the same
-    closed form; boundary-sensitive floor() operates on 6-dp-rounded stds
-    to keep the allocation integer identical cross-engine."""
+    and ONE rank window partitioned by stratum for selection. The
+    boundary-sensitive allocation is EXACT-INTEGER end to end: values are
+    cents, so count / sum(cents) / sum(cents^2) accumulate as exact
+    integers in any partition order; the stratum std becomes ONE sqrt +
+    one rounding on exact operands (micro-units, bigint), the Neyman weight
+    total is an exact integer sum, and the floor is integer division — no
+    float accumulation ever reaches the allocation, so which rows are
+    sampled is identical across runs, partitionings, and engines. Selection
+    keys coalesce NULL parts to a '__null__' sentinel on BOTH engines
+    (concat_ws silently drops NULLs; the oracle's || nulls the whole key)."""
     (ev,) = _t(spark, sf_dir, "events")
     from feature_datalake_sl_mandic_spark.functions.hashing import md5_int60_col
 
     base = ev.where(F.col("value").isNotNull()).select(
         "event_type",
-        "value",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
         md5_int60_col(
             F.concat_ws(
                 "|",
-                F.col("event_type"),
-                F.col("user_id").cast("string"),
+                F.coalesce(F.col("event_type"), F.lit("__null__")),
+                F.coalesce(F.col("user_id").cast("string"), F.lit("__null__")),
                 F.round(F.col("value") * 100, 0).cast("bigint").cast("string"),
             )
         ).alias("hk"),
@@ -1258,43 +1278,56 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_pop"),
+            F.sum("cents").alias("s1"),
+            F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias("s2"),
+        )
+        .select(
+            "event_type",
+            "n_pop",
+            # variance numerator n*s2 - s1^2 is exact in decimal; ONE cast to
+            # double + sqrt + scale + round = deterministic std in micro-units
             F.round(
                 F.sqrt(
-                    F.sum(F.col("value") * F.col("value")) / F.count(F.lit(1))
-                    - F.pow(F.sum("value") / F.count(F.lit(1)), 2)
-                ),
-                6,
-            ).alias("std_pop"),
-            F.round(F.sum("value") / F.count(F.lit(1)), 4).alias("pop_mean"),
+                    (
+                        F.col("n_pop").cast("decimal(38,0)") * F.col("s2")
+                        - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+                    ).cast("double")
+                )
+                * 10000.0
+                / F.col("n_pop").cast("double"),
+                0,
+            )
+            .cast("bigint")
+            .alias("std_micros"),
+            F.round(
+                F.col("s1").cast("double") / (F.col("n_pop").cast("double") * 100.0), 4
+            ).alias("pop_mean"),
         )
         .localCheckpoint()
     )
-    wsum = stats.agg(F.sum(F.col("n_pop") * F.col("std_pop")).alias("w"))
+    wsum = stats.agg(F.sum(F.col("n_pop") * F.col("std_micros")).alias("w"))
     alloc = (
         stats.crossJoin(F.broadcast(wsum))
         .select(
             "event_type",
             "n_pop",
-            "std_pop",
+            (F.col("std_micros").cast("double") / 1000000.0).alias("std_pop"),
             "pop_mean",
+            # exact-integer Neyman floor: bigint multiply then integer div
             F.least(
                 F.col("n_pop"),
-                F.floor(
-                    F.lit(NEYMAN_BUDGET)
-                    * (F.col("n_pop") * F.col("std_pop"))
-                    / F.col("w")
-                ).cast("bigint"),
+                F.expr(f"({NEYMAN_BUDGET} * n_pop * std_micros) div w"),
             ).alias("n_alloc"),
         )
         .localCheckpoint()
     )
-    w = Window.partitionBy("event_type").orderBy("hk", "value")
+    w = Window.partitionBy("event_type").orderBy("hk", "cents")
     ranked = base.withColumn("rn", F.row_number().over(w))
     sampled = (
         ranked.join(F.broadcast(alloc.select("event_type", "n_alloc")), "event_type")
         .where(F.col("rn") <= F.col("n_alloc"))
         .groupBy("event_type")
-        .agg(F.avg("value").alias("m"), F.count(F.lit(1)).alias("n_sampled"))
+        .agg(F.sum("cents").alias("sc"), F.count(F.lit(1)).alias("n_sampled"))
     )
     return (
         alloc.join(sampled, "event_type")
@@ -1305,7 +1338,11 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pop_mean",
             "n_alloc",
             "n_sampled",
-            F.round("m", 4).alias("sample_mean"),
+            F.round(
+                F.col("sc").cast("double")
+                / (F.col("n_sampled").cast("double") * 100.0),
+                4,
+            ).alias("sample_mean"),
         )
         .orderBy("event_type")
     )

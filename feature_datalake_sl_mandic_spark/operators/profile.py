@@ -624,14 +624,18 @@ _BOOT_RES = 1 << 30
     "stats_bootstrap_ci_mean",
     oracle=f"""
     WITH base AS (
-      SELECT event_type, value,
-             ('0x' || substr(md5(event_type || '|' || CAST(user_id AS VARCHAR)
+      SELECT event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             ('0x' || substr(md5(coalesce(event_type, '__null__') || '|'
+                 || coalesce(CAST(user_id AS VARCHAR), '__null__')
                  || '|' || CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR)),
                  1, 15))::BIGINT AS hk
       FROM events WHERE value IS NOT NULL
     ),
     reps AS (
-      SELECT b.b, base.event_type, avg(base.value) AS rep_mean
+      SELECT b.b, base.event_type,
+             CAST(round(CAST(sum(base.cents) AS DOUBLE) * 100.0
+                        / CAST(count(*) AS DOUBLE), 0) AS BIGINT) AS rep_m4
       FROM base CROSS JOIN range(0, {BOOT_B}) b(b)
       WHERE ('0x' || substr(md5(CAST(b.b AS VARCHAR) || '#'
                || CAST(base.hk AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
@@ -640,15 +644,20 @@ _BOOT_RES = 1 << 30
     summ AS (
       SELECT event_type,
              count(*) AS n_reps,
-             round(quantile_cont(rep_mean, 0.05), 4) AS ci_lo,
-             round(quantile_cont(rep_mean, 0.95), 4) AS ci_hi,
-             round(sqrt((sum(rep_mean * rep_mean)
-                         - pow(sum(rep_mean), 2) / count(*))
-                        / (count(*) - 1)), 6) AS se_boot
+             round(quantile_cont(CAST(rep_m4 AS DOUBLE) / 10000.0, 0.05), 4)
+               AS ci_lo,
+             round(quantile_cont(CAST(rep_m4 AS DOUBLE) / 10000.0, 0.95), 4)
+               AS ci_hi,
+             round(sqrt(CAST(CAST(count(*) AS HUGEINT) * sum(CAST(rep_m4 AS HUGEINT) * rep_m4)
+                             - CAST(sum(rep_m4) AS HUGEINT) * sum(rep_m4) AS DOUBLE)
+                        / (CAST(count(*) AS DOUBLE) * (count(*) - 1.0)))
+                   / 10000.0, 6) AS se_boot
       FROM reps GROUP BY event_type
     ),
     pt AS (
-      SELECT event_type, round(avg(value), 4) AS mean_full,
+      SELECT event_type,
+             round(CAST(sum(cents) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * 100.0), 4) AS mean_full,
              count(*) AS n_rows
       FROM base GROUP BY event_type
     )
@@ -673,19 +682,26 @@ def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the replicate fan-out is a broadcast range-join (B small
     ints) that partial-aggregates per (replicate, stratum) in the same map
     pass — B x |strata| rows reach the shuffle, NOT B x |rows|. The
-    percentile runs over B values per stratum. Nothing here is
-    driver-side."""
+    percentile runs over B values per stratum. Nothing here is driver-side.
+    Determinism: replicate sums accumulate exact integer cents (any
+    partition order), each replicate mean is fixed to 4dp micro-units
+    (bigint) by two IEEE ops on exact operands, and the bootstrap SE comes
+    from exact integer sums of those micro-means — so percentile inputs and
+    the SE are bit-identical across runs and engines. Membership keys
+    coalesce NULL parts to '__null__' on BOTH engines (concat_ws drops
+    NULLs silently; the oracle's || nulls the whole key, which would desync
+    replicate membership on nullable lakes)."""
     from feature_datalake_sl_mandic_spark.functions.hashing import md5_int60_col
 
     (ev,) = _t(spark, sf_dir, "events")
     base = ev.where(F.col("value").isNotNull()).select(
         "event_type",
-        "value",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
         md5_int60_col(
             F.concat_ws(
                 "|",
-                F.col("event_type"),
-                F.col("user_id").cast("string"),
+                F.coalesce(F.col("event_type"), F.lit("__null__")),
+                F.coalesce(F.col("user_id").cast("string"), F.lit("__null__")),
                 F.round(F.col("value") * 100, 0).cast("bigint").cast("string"),
             )
         ).alias("hk"),
@@ -702,26 +718,45 @@ def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.crossJoin(F.broadcast(bs))
         .where(keep)
         .groupBy("b", "event_type")
-        .agg(F.avg("value").alias("rep_mean"))
+        .agg(
+            F.round(
+                F.sum("cents").cast("double") * 100.0
+                / F.count(F.lit(1)).cast("double"),
+                0,
+            )
+            .cast("bigint")
+            .alias("rep_m4")
+        )
     )
     n_reps = F.count(F.lit(1))
+    var_num = (
+        n_reps.cast("decimal(38,0)")
+        * F.sum(F.col("rep_m4").cast("decimal(38,0)") * F.col("rep_m4"))
+        - F.sum("rep_m4").cast("decimal(38,0)") * F.sum("rep_m4")
+    )
     summ = reps.groupBy("event_type").agg(
         n_reps.alias("n_reps"),
-        F.round(F.expr("percentile(rep_mean, 0.05)"), 4).alias("ci_lo"),
-        F.round(F.expr("percentile(rep_mean, 0.95)"), 4).alias("ci_hi"),
+        F.round(F.expr("percentile(CAST(rep_m4 AS DOUBLE) / 10000.0, 0.05)"), 4).alias(
+            "ci_lo"
+        ),
+        F.round(F.expr("percentile(CAST(rep_m4 AS DOUBLE) / 10000.0, 0.95)"), 4).alias(
+            "ci_hi"
+        ),
         F.round(
             F.sqrt(
-                (
-                    F.sum(F.col("rep_mean") * F.col("rep_mean"))
-                    - F.pow(F.sum("rep_mean"), 2) / n_reps
-                )
-                / (n_reps - 1)
-            ),
+                var_num.cast("double")
+                / (n_reps.cast("double") * (n_reps - F.lit(1.0)))
+            )
+            / 10000.0,
             6,
         ).alias("se_boot"),
     )
     pt = base.groupBy("event_type").agg(
-        F.round(F.avg("value"), 4).alias("mean_full"),
+        F.round(
+            F.sum("cents").cast("double")
+            / (F.count(F.lit(1)).cast("double") * 100.0),
+            4,
+        ).alias("mean_full"),
         F.count(F.lit(1)).alias("n_rows"),
     )
     return (

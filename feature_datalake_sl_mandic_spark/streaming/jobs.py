@@ -254,11 +254,18 @@ def matview_maintenance_foreach_batch(
     Idempotence caveat, stated honestly: additive merges are NOT naturally
     idempotent under foreachBatch's at-least-once retries — replaying a
     micro-batch would double-count its deltas. The guard is the applied-
-    batch ledger (`_applied/` marker per batch_id, the txlog-style commit
-    record): a retried batch_id is skipped before any write. Production
-    systems put that ledger in the ACID sink's own commit (Delta's
-    txnAppId/txnVersion); the parquet demo spells the mechanism out.
-    Stream == batch equality is pinned in tests/test_streaming.py."""
+    batch ledger: a ``_applied_batch_<id>`` marker file written INSIDE the
+    staging directory BEFORE the swap, so the rename publishes the merged
+    view and its commit record in the same atomic step — there is no window
+    where the view holds a batch's deltas without the marker (underscore
+    prefix: parquet readers ignore it, like _SUCCESS). A retried batch_id
+    finds its marker under the live view and skips before any write; only
+    the last in-flight batch can ever be retried (the checkpoint gates
+    progression), so the current view always carries the marker that
+    matters. Production systems put that ledger in the ACID sink's own
+    commit (Delta's txnAppId/txnVersion); the parquet demo spells the
+    mechanism out. Stream == batch equality is pinned in
+    tests/test_streaming.py."""
     import os
     import shutil
 
@@ -267,12 +274,10 @@ def matview_maintenance_foreach_batch(
         incremental_refresh,
     )
 
-    applied_dir = f"{view_dir}._applied"
-
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(applied_dir, str(batch_id))
-        if os.path.exists(marker):  # retried batch: already merged, skip
-            return
+        marker_name = f"_applied_batch_{batch_id}"
+        if os.path.exists(os.path.join(view_dir, marker_name)):
+            return  # retried batch: already published atomically with the view
         spark = batch_df.sparkSession
         delta = aggregate_batch(
             batch_df.select(F.to_date("ts").alias("day"), "value"),
@@ -286,13 +291,13 @@ def matview_maintenance_foreach_batch(
             refreshed = delta
         staging = f"{view_dir}.staging-{batch_id}"
         refreshed.write.mode("overwrite").parquet(staging)
+        # ledger record rides the directory swap: marker + data publish together
+        open(os.path.join(staging, marker_name), "w").close()
         old_dir = f"{view_dir}.old-{batch_id}"
         if os.path.isdir(view_dir):
             os.rename(view_dir, old_dir)
         os.rename(staging, view_dir)
         shutil.rmtree(old_dir, ignore_errors=True)
-        os.makedirs(applied_dir, exist_ok=True)
-        open(marker, "w").close()
 
     q = (
         stream_df.writeStream.foreachBatch(write_batch)
