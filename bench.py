@@ -106,20 +106,46 @@ HEAVY = [
 
 
 def _run_queries(spark, specs, names, sf_dir, n_runs):
-    """Best-of-n wall clock per query (dict name -> seconds)."""
+    """Wall clock per query over n runs.
+
+    Returns (min_times, rows, samples) where samples keeps EVERY run's
+    seconds — the bench's headline stays best-of-n (the min measures the
+    engine; co-tenant load adds 50-100% run-to-run noise), but the JSON
+    also reports median and spread per query so a round-over-round drift
+    can be attributed to noise vs a plan change instead of standing
+    unexplained (round-4 lesson: an 11% uniform drift with zero plan
+    changes was unattributable from a single number per query)."""
     from feature_datalake_sl_mandic_spark.session import release_cached
 
-    times: dict[str, float] = {}
+    samples: dict[str, list[float]] = {name: [] for name in names}
     rows: dict[str, int] = {}
-    for run in range(n_runs):
+    for _run in range(n_runs):
         for name in names:
             t0 = time.perf_counter()
             df = specs[name].fn(spark, sf_dir)
             rows[name] = df.count()  # force full execution
-            t = round(time.perf_counter() - t0, 4)
-            times[name] = min(times.get(name, t), t)
+            samples[name].append(round(time.perf_counter() - t0, 4))
         release_cached(spark)
-    return times, rows
+    times = {name: min(ts) for name, ts in samples.items()}
+    return times, rows, samples
+
+
+def _dispersion(samples):
+    """Per-query {min, median, max, spread} from raw run samples; spread is
+    (max-min)/min — the noise band a regression must exceed to be real."""
+    out = {}
+    for name, ts in samples.items():
+        s = sorted(ts)
+        n = len(s)
+        med = s[n // 2] if n % 2 else round((s[n // 2 - 1] + s[n // 2]) / 2, 4)
+        out[name] = {
+            "min": s[0],
+            "median": med,
+            "max": s[-1],
+            "spread": round((s[-1] - s[0]) / max(s[0], 1e-9), 3),
+            "runs": s,
+        }
+    return out
 
 
 def main() -> None:
@@ -144,12 +170,19 @@ def main() -> None:
     warm = "q3_shipping_priority" if "q3_shipping_priority" in specs else names[0]
     specs[warm].fn(spark, bench_dir).count()
 
-    # Best-of-3 per query: co-tenant machine load adds 50-100% run-to-run
-    # noise; the min of three runs measures the engine, not the neighbors.
-    N_RUNS = 3
-    times, rows = _run_queries(spark, specs, names, bench_dir, N_RUNS)
+    # Best-of-5 per query (round-4 verdict ask: n>=5 with dispersion so
+    # regressions are triageable): co-tenant machine load adds 50-100%
+    # run-to-run noise; the min measures the engine, not the neighbors.
+    N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    times, rows, samples = _run_queries(spark, specs, names, bench_dir, N_RUNS)
+    disp = _dispersion(samples)
     for name in names:
-        print(f"# {name}: {times[name]:.3f}s ({rows[name]} rows)", file=sys.stderr)
+        d = disp[name]
+        print(
+            f"# {name}: min {d['min']:.3f}s median {d['median']:.3f}s "
+            f"spread {d['spread']:.0%} ({rows[name]} rows)",
+            file=sys.stderr,
+        )
 
     # Scale-ratio evidence: the same queries at sf0.01 (10x less data).
     # wall(sf0.1)/wall(sf0.01) per query empirically backs the linear-scaling
@@ -162,7 +195,7 @@ def main() -> None:
         sf_dir
     ):
         small_dir = prepare_bench_dir(spark, small_src)
-        t_small, _ = _run_queries(spark, specs, names, small_dir, 2)
+        t_small, _, _s2 = _run_queries(spark, specs, names, small_dir, 2)
         for name in names:
             scale[name] = {
                 "sf001": t_small[name],
@@ -183,6 +216,7 @@ def main() -> None:
                     "heavy_llm": round(sum(times[n] for n in heavy), 4),
                 },
                 "scale_ratio": scale,
+                "dispersion": disp,
                 "runs_per_query": N_RUNS,
                 "agg": "min",
                 "sf": sf,

@@ -745,6 +745,46 @@ def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame
 
 PHASH_GRID = 8  # 8x8 block-mean hash -> 64 bits
 PHASH_NEAR = 12  # hamming distance at or under this -> near-duplicate
+PHASH_BANDS = 16  # 4 bits/band: any pair with hamming <= 12 < 16 shares a band
+
+
+def _phash_bits(spark: SparkSession):
+    """(media_id, k, bit) relation of 8x8 block-mean perceptual-hash bits,
+    Arrow-batched over the real PPM decoder — shared by the all-pairs
+    verifier and the banded-LSH scale path. Bit k is an exact integer
+    cross-multiplication test, so the relation is deterministic."""
+    import numpy as np
+    import pandas as pd
+
+    df = make_ppm_media(spark, n=16, partitions=3)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        g = PHASH_GRID
+        for pdf in it:
+            out_id, out_k, out_bit = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = decode_ppm(bytes(payload))
+                p = px.astype("int64")
+                lum = 299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]
+                tsum = int(lum.sum())
+                npx = w * h
+                xs = (np.arange(w) * g) // w
+                ys = (np.arange(h) * g) // h
+                for by in range(g):
+                    rows_mask = ys == by
+                    for bx in range(g):
+                        cols_mask = xs == bx
+                        block = lum[np.ix_(rows_mask, cols_mask)]
+                        bsum = int(block.sum())
+                        bnpx = int(block.size)
+                        out_id.append(int(mid))
+                        out_k.append(by * g + bx)
+                        out_bit.append(bsum * npx > tsum * bnpx)
+            yield pd.DataFrame(
+                {"media_id": out_id, "k": out_k, "bit": out_bit}
+            )
+
+    return df.mapInPandas(batches, schema="media_id long, k long, bit boolean")
 
 
 @register(
@@ -809,39 +849,9 @@ def multimodal_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exhaustive checking, but the emitted (media_id, k, bit) relation is
     exactly what a banded-LSH join would bucket on (split the 64 bits into
     bands, equi-join on band value — the dedup_minhash_lsh shape) when the
-    corpus outgrows all-pairs."""
-    import numpy as np
-    import pandas as pd
-
-    df = make_ppm_media(spark, n=16, partitions=3)
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        g = PHASH_GRID
-        for pdf in it:
-            out_id, out_k, out_bit = [], [], []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, px = decode_ppm(bytes(payload))
-                p = px.astype("int64")
-                lum = 299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]
-                tsum = int(lum.sum())
-                npx = w * h
-                xs = (np.arange(w) * g) // w
-                ys = (np.arange(h) * g) // h
-                for by in range(g):
-                    rows_mask = ys == by
-                    for bx in range(g):
-                        cols_mask = xs == bx
-                        block = lum[np.ix_(rows_mask, cols_mask)]
-                        bsum = int(block.sum())
-                        bnpx = int(block.size)
-                        out_id.append(int(mid))
-                        out_k.append(by * g + bx)
-                        out_bit.append(bsum * npx > tsum * bnpx)
-            yield pd.DataFrame(
-                {"media_id": out_id, "k": out_k, "bit": out_bit}
-            )
-
-    bits = df.mapInPandas(batches, schema="media_id long, k long, bit boolean")
+    corpus outgrows all-pairs (that banded variant is registered as
+    ``multimodal_phash_banded_pairs``, which this query's output verifies)."""
+    bits = _phash_bits(spark)
     a = bits.select(
         F.col("media_id").alias("media_a"), "k", F.col("bit").alias("bit_a")
     )
@@ -871,6 +881,38 @@ def multimodal_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AFP_BLOCKS = 8  # energy-profile blocks per clip -> 8-bit fingerprint
 AFP_NEAR = 2  # hamming distance at or under this -> near-duplicate
+AFP_BANDS = 4  # 2 bits/band: any pair with hamming <= 2 < 4 shares a band
+
+
+def _afp_bits(spark: SparkSession):
+    """(media_id, k, bit) relation of energy-profile fingerprint bits,
+    Arrow-batched over the real RIFF/WAVE decoder — shared by the
+    all-pairs verifier and the banded-LSH scale path. Bit k is an exact
+    integer cross-multiplication test (sum-of-squares), so the relation
+    is deterministic."""
+    import numpy as np
+    import pandas as pd
+
+    df = make_wav_media(spark, n=_WAV_N, partitions=3)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        g = AFP_BLOCKS
+        for pdf in it:
+            out_id, out_k, out_bit = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _rate, s = decode_wav(bytes(payload))
+                sq = s.astype("int64") ** 2
+                n = len(sq)
+                tsum = int(sq.sum())
+                blk = (np.arange(n) * g) // n
+                for k in range(g):
+                    bsum = int(sq[blk == k].sum())
+                    out_id.append(int(mid))
+                    out_k.append(k)
+                    out_bit.append(bsum * g > tsum)
+            yield pd.DataFrame({"media_id": out_id, "k": out_k, "bit": out_bit})
+
+    return df.mapInPandas(batches, schema="media_id long, k long, bit boolean")
 
 
 @register(
@@ -926,30 +968,10 @@ def multimodal_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> Data
     {AFP_BLOCKS} bit-rows per clip (audio bytes never shuffle); the
     all-pairs comparison here is exhaustive-check sized, and the
     (media_id, k, bit) relation is exactly what a banded equi-join buckets
-    on at catalog scale (the dedup_minhash_lsh shape)."""
-    import numpy as np
-    import pandas as pd
-
-    df = make_wav_media(spark, n=_WAV_N, partitions=3)
-
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        g = AFP_BLOCKS
-        for pdf in it:
-            out_id, out_k, out_bit = [], [], []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                _rate, s = decode_wav(bytes(payload))
-                sq = s.astype("int64") ** 2
-                n = len(sq)
-                tsum = int(sq.sum())
-                blk = (np.arange(n) * g) // n
-                for k in range(g):
-                    bsum = int(sq[blk == k].sum())
-                    out_id.append(int(mid))
-                    out_k.append(k)
-                    out_bit.append(bsum * g > tsum)
-            yield pd.DataFrame({"media_id": out_id, "k": out_k, "bit": out_bit})
-
-    bits = df.mapInPandas(batches, schema="media_id long, k long, bit boolean")
+    on at catalog scale (registered as
+    ``multimodal_audio_fp_banded_pairs``, which this query's output
+    verifies)."""
+    bits = _afp_bits(spark)
     a = bits.select(
         F.col("media_id").alias("media_a"), "k", F.col("bit").alias("bit_a")
     )
@@ -973,3 +995,147 @@ def multimodal_audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("media_a", "media_b")
     )
+
+
+# --------------------------- banded-LSH pair generation (the scale path)
+
+
+def _banded_hamming_pairs(bits: DataFrame, n_bits: int, n_bands: int, near: int) -> DataFrame:
+    """Banded equi-join near-dup pairs over a (media_id, k, bit) relation —
+    the ``dedup_minhash_lsh`` shape applied to fixed-width binary
+    fingerprints. The signature packs into <=2 longs and each band's bits
+    into a small int in ONE groupBy; banding is an explode of a literal
+    array (one pass, no per-band re-aggregation); candidates come from the
+    (band, value) equi-join; verification is two XOR+popcount ops on the
+    carried packed signature — no per-bit join, no all-pairs stage.
+
+    EXACT by pigeonhole, not approximate: a pair within Hamming distance
+    ``near`` differs in at most ``near`` bands, so with ``n_bands > near``
+    at least one band matches exactly and the pair MUST surface as a
+    candidate — recall is 100% by construction, which is why the all-pairs
+    oracle filtered to near-dups can hash-check this plan."""
+    assert n_bands > near, "pigeonhole exactness needs more bands than the threshold"
+    bpb = n_bits // n_bands
+    sig_cols = [
+        F.expr(
+            "sum(CASE WHEN k < 32 AND bit THEN shiftleft(1L, CAST(k AS INT)) "
+            "ELSE 0L END)"
+        ).alias("lo"),
+        F.expr(
+            "sum(CASE WHEN k >= 32 AND bit THEN shiftleft(1L, CAST(k - 32 AS INT)) "
+            "ELSE 0L END)"
+        ).alias("hi"),
+    ] + [
+        F.expr(
+            f"sum(CASE WHEN k div {bpb} = {b} AND bit "
+            f"THEN shiftleft(1L, CAST(k % {bpb} AS INT)) ELSE 0L END)"
+        ).alias(f"bv{b}")
+        for b in range(n_bands)
+    ]
+    sig = bits.groupBy("media_id").agg(*sig_cols)
+    bands = sig.select(
+        "media_id",
+        "lo",
+        "hi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"bv{b}").alias("bv"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "media_id", "lo", "hi", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("a.lo").alias("lo_a"),
+            F.col("a.hi").alias("hi_a"),
+            F.col("b.lo").alias("lo_b"),
+            F.col("b.hi").alias("hi_b"),
+        )
+        .dropDuplicates(["media_a", "media_b"])
+    )
+    ham = F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))) + F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("bigint"))
+        .where(F.col("hamming") <= near)
+        .select("media_a", "media_b", "hamming")
+        .orderBy("media_a", "media_b")
+    )
+
+
+from feature_datalake_sl_mandic_spark.registry import _REGISTRY as _MEDIA_REG  # noqa: E402
+
+
+@register(
+    "multimodal_phash_banded_pairs",
+    oracle=f"""
+    WITH allp AS ({{PHASH_ALLPAIRS}})
+    SELECT media_a, media_b, hamming FROM allp WHERE near_dup
+    ORDER BY media_a, media_b
+    """,
+    tags=("multimodal", "phash", "near-dup", "lsh", "banded", "image"),
+)
+def multimodal_phash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-scale form of ``multimodal_image_phash_pairs``: the 64-bit
+    perceptual hash splits into 16 bands of 4 bits, candidates
+    come from a (band, value) equi-join, and Hamming verification is two
+    XOR+popcount ops on the packed signature carried through the join —
+    NO all-pairs stage anywhere in the plan. Because a pair within the
+    Hamming threshold (12) can differ in at most 12 < 16 of the
+    bands, pigeonhole guarantees at least one exactly-matching
+    band: recall vs exhaustive comparison is 100% BY CONSTRUCTION, and the
+    oracle (the all-pairs formulation filtered to near-dups) hash-checks
+    that claim end to end. (sf_dir unused — payloads are deterministic
+    synthetic media.)
+
+    Scale shape: pair-generation cost is governed by band-bucket occupancy
+    (4-bit values here for fixture-sized buckets; production widens bands
+    to keep buckets small), the image bytes never shuffle, and the decode
+    runs once per image inside Arrow batches."""
+    return _banded_hamming_pairs(
+        _phash_bits(spark), PHASH_GRID * PHASH_GRID, PHASH_BANDS, PHASH_NEAR
+    )
+
+
+@register(
+    "multimodal_audio_fp_banded_pairs",
+    oracle=f"""
+    WITH allp AS ({{AFP_ALLPAIRS}})
+    SELECT media_a, media_b, hamming FROM allp WHERE near_dup
+    ORDER BY media_a, media_b
+    """,
+    tags=("multimodal", "audio", "fingerprint", "near-dup", "lsh", "banded"),
+)
+def multimodal_audio_fp_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-scale form of ``multimodal_audio_fingerprint_pairs``: the
+    8-bit energy fingerprint splits into 4 bands of 2 bits with a
+    (band, value) equi-join generating candidates and XOR+popcount
+    verifying them — same pigeonhole-exact recall argument as
+    ``multimodal_phash_banded_pairs`` (hamming <= 2 < 4 bands), hash-checked against the all-pairs oracle filtered to
+    near-dups. (sf_dir unused — payloads are deterministic synthetic
+    media.)"""
+    return _banded_hamming_pairs(_afp_bits(spark), AFP_BLOCKS, AFP_BANDS, AFP_NEAR)
+
+
+# The banded oracles wrap the registered all-pairs oracles so the two
+# formulations can never drift: patch the placeholders now that both exist.
+_MEDIA_REG["multimodal_phash_banded_pairs"].oracle = _MEDIA_REG[
+    "multimodal_phash_banded_pairs"
+].oracle.format(PHASH_ALLPAIRS=_MEDIA_REG["multimodal_image_phash_pairs"].oracle)
+_MEDIA_REG["multimodal_audio_fp_banded_pairs"].oracle = _MEDIA_REG[
+    "multimodal_audio_fp_banded_pairs"
+].oracle.format(AFP_ALLPAIRS=_MEDIA_REG["multimodal_audio_fingerprint_pairs"].oracle)

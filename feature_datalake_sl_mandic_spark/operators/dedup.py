@@ -39,6 +39,9 @@ MINHASH_K = 8
 LSH_BANDS = 4  # 2 rows per band
 MINHASH_MAX_DF = 64  # drop shingles shared by more docs: pair-blowup guard
 JACCARD_THRESHOLD = 0.2
+# exact rational form of the threshold for integer boundary comparisons
+_JACCARD_NUM, _JACCARD_DEN = 1, 5
+assert _JACCARD_NUM / _JACCARD_DEN == JACCARD_THRESHOLD
 COSINE_NEARDUP_THRESHOLD = 0.35
 
 # ---------------------------------------------------------------- shingles
@@ -353,6 +356,18 @@ def dedup_minhash_lsh(
             F.col("a.n").alias("n_a"),
             *[F.col(f"b.m{j}").alias(f"bm{j}") for j in range(MINHASH_K)],
             F.col("b.n").alias("n_b"),
+        )
+        # Size-bound prefilter BEFORE the exact-Jaccard verify: |A∩B| <=
+        # min(|A|,|B|) and |A∪B| >= max(|A|,|B|), so jaccard <= min/max —
+        # a pair whose already-computed set sizes violate min/max >=
+        # threshold cannot survive the final filter and skips the shingle
+        # intersection join entirely. Integer cross-multiplication
+        # (min*DEN >= max*NUM) keeps the boundary exact: with t = 1/5 a
+        # (1, 5)-sized containment pair sits AT the threshold and must be
+        # kept, which float '1 >= 0.2*5' can get wrong by an ulp.
+        .where(
+            F.least("n_a", "n_b") * _JACCARD_DEN
+            >= F.greatest("n_a", "n_b") * _JACCARD_NUM
         )
         .dropDuplicates(["doc_a", "doc_b"])
         # Candidate pairs (band-collision-bounded) feed the intersection

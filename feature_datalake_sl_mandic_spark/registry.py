@@ -79,100 +79,62 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 # The driver's correctness gate checks the FIRST 50 entries in iteration
-# order. Rounds 1-3 drove 146 distinct queries green; this list pins the
-# round-4 window: the 14 queries carried since round 2 (never driver-checked,
-# all green in the repo's oracle mirror), then 35 round-3 registrations, plus
-# ann_ivf_pq_packed (new this round — the production PQ scoring path, put in
-# the window immediately so its driver row lands with its registration).
-# Names not listed follow in registration order (all already driver-green in
-# r1-r3). Rotate per round until every query has a driver-green row.
+# order. Rounds 1-4 drove 196 distinct queries green; this list pins the
+# round-5 window: the FINAL 39 never-driver-checked queries (16 carried from
+# round 3 — the timeseries/stats tail — and the 23 round-4 registrations),
+# plus the two banded multimodal pair queries registered this round. 41
+# names; the remaining 9 slots fall through to registration order and
+# re-verify round-1 rows. After this window EVERY registered query has a
+# driver-green row in some CORRECTNESS_r*.json — the rotation debt is
+# retired.
 _PRIORITY: list[str] = [
-    # --- the 14 round-2 leftovers, oldest debt first
-    "udaf_median_session_value",
-    "recursive_cte_customer_chain",
-    "arrow_batch_embedding_norms",
-    "maps_zipwith_type_rates",
-    "variant_props_events",
-    "arrays_setops_adjacent_docs",
-    "agg_winsorized_event_values",
-    "join_interval_overlap_campaigns",
-    "join_lateral_topn_customers",
-    "join_null_safe_profiles",
-    "embedding_standardize_dims",
-    "corpus_quality_weighted_sample",
-    "checksum_orders_content",
-    "kanon_release_customers",
-    # --- new in round 4: packed-code PQ ADC scoring
-    "ann_ivf_pq_packed",
-    # --- retrieval evaluation family
-    "eval_retrieval_metrics",
-    "text_hybrid_rrf_search",
-    "eval_matryoshka_recall",
-    "eval_dedup_lsh_recall",
-    # --- incremental dedup
-    "dedup_incremental_batch",
-    "dedup_incremental_minhash",
-    # --- layout / data-skipping
-    "layout_zorder_files",
-    "layout_skipping_scorecard",
-    # --- sketches family (HLL integer-math + KMV checkpoint fixed this round)
-    "sketch_hll_manual_users",
-    "sketch_hll_daily_to_weekly_merge",
-    "sketch_kmv_set_algebra_users",
-    "sketch_ddsketch_order_quantiles",
-    # --- real codecs (WAV PCM16, PVID video)
-    "multimodal_wav_decode",
-    "multimodal_video_frame_sample",
-    # --- ANN tail
-    "ann_ivf_cells_nprobe2",
-    "ann_two_stage_rerank",
-    "ann_pq_lloyd_refined",
-    # --- queries touched by round-3 ADVICE fixes (verify the fixes under
-    #     the driver's own hash, not just the mirror)
-    "validate_referential_integrity",
-    "ts_ks_two_sample_drift",
-    "privacy_dp_noisy_counts",
-    # --- corpus curation / dedup tail
-    "corpus_dsir_importance",
-    "dedup_duplicate_ngram_spans",
-    "dedup_ngram_containment",
-    "corpus_temperature_resample",
-    # --- events tail
-    "events_hopping_3h_1h",
-    "events_time_to_convert",
-    # --- profile / graph / segmentation
-    "profile_partition_skew",
-    "graph_link_prediction_jaccard",
-    "customers_rfm_segments",
-    # --- validation / aggregation / joins tail
-    "validate_benford_order_values",
-    "agg_exact_mode_priority",
-    "join_asof_nearest_view",
-    # --- entity resolution, custom data source, BPE
-    "er_parts_scored_matches",
-    "pyds_training_shards_roundtrip",
-    "text_bpe_pair_stats",
+    # --- the 16 round-3 stragglers, oldest debt first (timeseries/stats)
+    "ts_autocorrelation",
+    "ts_cross_correlation_lags",
+    "ts_seasonal_dow_index",
+    "ts_seasonal_adjusted_anomalies",
+    "ts_seasonal_naive_backtest",
+    "ts_cusum_mean_shift",
+    "ts_theilsen_trend",
+    "ts_mann_kendall_test",
+    "ts_brown_double_smoothing",
+    "events_capped_running_balance",
+    "corpus_zipf_fit",
+    "corpus_js_divergence_sources",
+    "sample_weighted_reservoir",
+    "drift_embedding_centroid_shift",
+    "stats_welch_ttest_priority",
+    "stats_anova_order_priority",
+    # --- the 23 round-4 registrations (registry.py order of that round)
+    "ts_trend_pair_sampled",
+    "kanon_l_diversity",
+    "sample_stratified_neyman",
+    "dedup_url_canonical",
+    "stats_bootstrap_ci_mean",
+    "embedding_pca_power_iteration",
+    "corpus_cdc_chunking",
+    "events_ab_test_proportions",
+    "quality_lexicon_screen",
+    "multimodal_image_phash_pairs",
+    "events_survival_kaplan_meier",
+    "lm_bigram_kneser_ney",
+    "embedding_outliers_mahalanobis",
+    "text_tokenizer_fertility",
+    "eval_rouge_redaction_impact",
+    "eval_langid_confusion",
+    "graph_components_star",
+    "eval_lsh_band_tuning",
+    "customers_pareto_abc",
+    "multimodal_audio_fingerprint_pairs",
+    "ts_chow_structural_break",
+    "agg_weighted_median_price",
+    "customers_cohort_ltv",
+    # --- new in round 5: banded-LSH multimodal pair generation (the scale
+    #     path for the two all-pairs verifiers above) — windowed immediately
+    #     so their driver rows land with their registration
+    "multimodal_phash_banded_pairs",
+    "multimodal_audio_fp_banded_pairs",
 ]
-# Round-5 rotation candidates — the 16 remaining never-driver-checked queries
-# (every one green in the repo's oracle mirror; mostly the timeseries tail):
-# ts_autocorrelation, ts_cross_correlation_lags, ts_seasonal_dow_index,
-# ts_seasonal_adjusted_anomalies, ts_seasonal_naive_backtest,
-# ts_cusum_mean_shift, ts_theilsen_trend, ts_mann_kendall_test,
-# ts_brown_double_smoothing, events_capped_running_balance, corpus_zipf_fit,
-# corpus_js_divergence_sources, sample_weighted_reservoir,
-# drift_embedding_centroid_shift, stats_welch_ttest_priority,
-# stats_anova_order_priority — plus the queries newly registered in round 4:
-# ts_trend_pair_sampled, kanon_l_diversity, sample_stratified_neyman,
-# dedup_url_canonical, stats_bootstrap_ci_mean, embedding_pca_power_iteration,
-# corpus_cdc_chunking, events_ab_test_proportions, quality_lexicon_screen,
-# multimodal_image_phash_pairs, events_survival_kaplan_meier,
-# lm_bigram_kneser_ney, embedding_outliers_mahalanobis,
-# text_tokenizer_fertility, eval_rouge_redaction_impact,
-# eval_langid_confusion, graph_components_star, eval_lsh_band_tuning,
-# customers_pareto_abc, multimodal_audio_fingerprint_pairs,
-# ts_chow_structural_break, agg_weighted_median_price,
-# customers_cohort_ltv (ann_ivf_pq_packed is already inside this round's
-# window).
 # (multimodal_feature_extract was retired from the registry in round 4: its
 # codec stubs made it permanently rows-only and every registered query must
 # carry an oracle; it stays pytest-covered via tests/test_multimodal.py.)

@@ -237,3 +237,53 @@ class TestRealVideoCodec:
             r = rows[i]
             assert (r["lum_sum_milli"], r["sampled_frames"]) == (lum, kept)
             assert r["n_frames"] == 2 + (i % 5) * 2
+
+
+class TestBandedHammingPairs:
+    """Banded-LSH pair generation must have exactly 100% recall of the
+    all-pairs near-dups (pigeonhole: n_bands > threshold), emit NOTHING
+    beyond them, and agree on every Hamming distance."""
+
+    def _allpairs_neardups(self, df):
+        return {
+            (r["media_a"], r["media_b"]): r["hamming"]
+            for r in df.collect()
+            if r["near_dup"]
+        }
+
+    def test_phash_banded_equals_allpairs_neardups(self, spark):
+        from feature_datalake_sl_mandic_spark.multimodal import media as mm
+
+        truth = self._allpairs_neardups(
+            mm.multimodal_image_phash_pairs(spark, "unused")
+        )
+        banded = {
+            (r["media_a"], r["media_b"]): r["hamming"]
+            for r in mm.multimodal_phash_banded_pairs(spark, "unused").collect()
+        }
+        assert banded == truth
+        assert len(truth) > 0  # fixture must actually exercise the join
+
+    def test_audio_banded_equals_allpairs_neardups(self, spark):
+        from feature_datalake_sl_mandic_spark.multimodal import media as mm
+
+        truth = self._allpairs_neardups(
+            mm.multimodal_audio_fingerprint_pairs(spark, "unused")
+        )
+        banded = {
+            (r["media_a"], r["media_b"]): r["hamming"]
+            for r in mm.multimodal_audio_fp_banded_pairs(spark, "unused").collect()
+        }
+        assert banded == truth
+
+    def test_banded_plan_has_no_allpairs_stage(self, spark):
+        """The banded plan's only join condition is the (band, value)
+        equality + id ordering — no cross-product of media ids. Checked
+        structurally: the physical plan contains a SortMergeJoin or
+        ShuffledHashJoin / BroadcastHashJoin with equi-keys, not a
+        BroadcastNestedLoopJoin or CartesianProduct."""
+        from feature_datalake_sl_mandic_spark.multimodal import media as mm
+
+        plan = mm.multimodal_phash_banded_pairs(spark, "unused")._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
