@@ -276,7 +276,10 @@ def _duck_minhash_lsh_sql(batch_min: int | None = None) -> str:
     tags=("dedup", "near-dedup", "minhash", "lsh"),
 )
 def dedup_minhash_lsh(
-    spark: SparkSession, sf_dir: str, batch_min: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    batch_min: int | None = None,
+    max_df: int = MINHASH_MAX_DF,
 ) -> DataFrame:
     """MinHash(k=8) + LSH(4 bands × 2 rows) near-dup: sub-quadratic candidate
     generation by equality on banded signatures, then exact-Jaccard verify.
@@ -298,7 +301,7 @@ def dedup_minhash_lsh(
     # explode+df-cap subtree in all three plan branches (the bulk of this
     # query's former 36-shuffle plan), while eager lineage truncation
     # materializes it once.
-    sh = hashed_shingles_with_df_cap(dc, MINHASH_MAX_DF).localCheckpoint()
+    sh = hashed_shingles_with_df_cap(dc, max_df).localCheckpoint()
 
     # One aggregation produces the signature AND the shingle-set size: the
     # size rides along instead of needing its own groupBy + two extra joins.
@@ -1068,7 +1071,7 @@ def eval_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     you run this on a stratified pair sample — the plan is unchanged."""
     (dc,) = _t(spark, sf_dir, "documents")
     dc.createOrReplaceTempView("documents")
-    sh = hashed_shingles_with_df_cap(dc, MINHASH_MAX_DF).localCheckpoint()
+    sh = hashed_shingles_with_df_cap(dc, max_df).localCheckpoint()
     sig = (
         sh.groupBy("doc_id")
         .agg(

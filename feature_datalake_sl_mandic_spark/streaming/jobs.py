@@ -306,3 +306,168 @@ def matview_maintenance_foreach_batch(
         .start()
     )
     q.awaitTermination(300)
+
+
+def incremental_minhash_foreach_batch(
+    stream_df: DataFrame, index_dir: str, pairs_dir: str, checkpoint: str
+) -> None:
+    """Streaming LSH near-dup index maintenance — the daily-pipeline
+    "documents arrive continuously" form of ``dedup_incremental_minhash``:
+    each micro-batch of documents MinHash-signs itself, band-joins against
+    the STORED band index plus itself (never index x index), verifies
+    candidates by exact Jaccard over stored shingles, emits the verified
+    pairs, and appends its own shingles + band rows to the index. A pair
+    (a, b) surfaces exactly once — in the micro-batch where the
+    later-arriving document lands (both orientations are normalized to
+    (least, greatest) and deduplicated within the batch).
+
+    Idempotence: every write lands in a per-batch subdirectory
+    (``batch=<id>``) with overwrite mode, so a retried batch_id rewrites
+    byte-identical content instead of appending duplicates — no ledger
+    needed; a half-written index part from a crashed attempt is likewise
+    overwritten, and reads exclude the in-flight batch's own subdirectory.
+
+    Scale shape: per-batch cost is the batch's shingle pass + one band
+    equi-join against the index (production buckets the stored band index
+    by (band, sig) so this join co-locates with ZERO index shuffle; the
+    parquet demo rescans it) + a verify join over shingles PRUNED to
+    candidate doc_ids by a semi-join — verification cost follows the
+    candidate count, not the index size. No document-frequency cap is
+    applied: the cap is a corpus-global property that would make emitted
+    pairs depend on arrival order; the batch equivalence
+    (tests/test_streaming.py) is pinned against the uncapped batch run.
+    Archive never re-compares against itself — daily cost scales with the
+    batch, as in the registered batch form (operators/dedup.py)."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from feature_datalake_sl_mandic_spark.functions.hashing import md5_int60_col
+    from feature_datalake_sl_mandic_spark.operators import dedup as D
+
+    sh_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("h", LongType())]
+    )
+    band_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n", LongType()),
+            StructField("band", LongType()),
+            StructField("sig", StringType()),
+        ]
+    )
+
+    def read_parts(spark, root, schema, exclude_batch):
+        if not os.path.isdir(root):
+            return spark.createDataFrame([], schema)
+        parts = [
+            os.path.join(root, d)
+            for d in sorted(os.listdir(root))
+            if d.startswith("batch=") and d != f"batch={exclude_batch}"
+        ]
+        if not parts:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*parts)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select("doc_id", "text").dropDuplicates(["doc_id"])
+        batch_sh = (
+            D._spark_shingles(batch)
+            .select("doc_id", md5_int60_col(F.col("s")).alias("h"))
+            .localCheckpoint()
+        )
+        sig = batch_sh.groupBy("doc_id").agg(
+            *[F.min(D._minhash_col(j)).alias(f"m{j}") for j in range(D.MINHASH_K)],
+            F.count(F.lit(1)).alias("n"),
+        )
+        bands_new = (
+            sig.select(
+                "doc_id",
+                "n",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(b).cast("long").alias("band"),
+                                F.concat_ws("_", f"m{2*b}", f"m{2*b+1}").alias("sig"),
+                            )
+                            for b in range(D.LSH_BANDS)
+                        ]
+                    )
+                ).alias("bs"),
+            )
+            .select(
+                "doc_id", "n", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+            )
+            .localCheckpoint()
+        )
+        idx_bands = read_parts(spark, os.path.join(index_dir, "bands"), band_schema, batch_id)
+        idx_sh = read_parts(spark, os.path.join(index_dir, "shingles"), sh_schema, batch_id)
+        all_bands = idx_bands.unionByName(bands_new)
+        a, b = all_bands.alias("a"), bands_new.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+                F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("a.n"))
+                .otherwise(F.col("b.n"))
+                .alias("n_a"),
+                F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("b.n"))
+                .otherwise(F.col("a.n"))
+                .alias("n_b"),
+            )
+            .where(
+                F.least("n_a", "n_b") * D._JACCARD_DEN
+                >= F.greatest("n_a", "n_b") * D._JACCARD_NUM
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+            .localCheckpoint()
+        )
+        all_sh = idx_sh.unionByName(batch_sh)
+        cand_docs = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
+            cand.select(F.col("doc_b").alias("doc_id"))
+        ).distinct()
+        sh_pruned = all_sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        x, y = sh_pruned.alias("x"), sh_pruned.alias("y")
+        inter = (
+            cand.select("doc_a", "doc_b")
+            .alias("c")
+            .join(x, F.col("x.doc_id") == F.col("c.doc_a"))
+            .join(
+                y,
+                (F.col("y.doc_id") == F.col("c.doc_b")) & (F.col("y.h") == F.col("x.h")),
+            )
+            .groupBy("c.doc_a", "c.doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        n_inter = F.coalesce(F.col("n_inter"), F.lit(0))
+        jac = n_inter / (F.col("n_a") + F.col("n_b") - n_inter)
+        pairs = (
+            cand.join(inter, ["doc_a", "doc_b"], "left")
+            .where(jac >= D.JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"batch={batch_id}")
+        )
+        batch_sh.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "shingles", f"batch={batch_id}")
+        )
+        bands_new.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "bands", f"batch={batch_id}")
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)

@@ -212,3 +212,79 @@ def test_matview_maintenance_stream_equals_batch(spark, events_dir, tmp_path):
         .collect()
     }
     assert got2 == got
+
+
+def test_incremental_minhash_stream_equals_batch(spark, tmp_path):
+    """The streaming LSH index maintenance job, fed the whole corpus in
+    4 micro-batches from an empty index, must emit EXACTLY the pair set of
+    the one-shot batch computation (uncapped — the df cap is corpus-global
+    and would make streamed pairs order-dependent): every near-dup pair
+    surfaces once, in the batch where its later document arrives, with the
+    identical exact-Jaccard value."""
+    from feature_datalake_sl_mandic_spark.operators.dedup import dedup_minhash_lsh
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    src = str(tmp_path / "docs_src")
+    docs.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    jobs.incremental_minhash_foreach_batch(
+        stream,
+        str(tmp_path / "lsh_index"),
+        str(tmp_path / "lsh_pairs"),
+        str(tmp_path / "ckpt_lsh"),
+    )
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in spark.read.parquet(str(tmp_path / "lsh_pairs")).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup_minhash_lsh(spark, SF_SMALL, max_df=10**9).collect()
+    }
+    assert got == want and len(want) > 0
+
+    # restart on the same checkpoint with no new files: nothing re-emitted
+    stream2 = spark.readStream.schema(docs.schema).parquet(src)
+    jobs.incremental_minhash_foreach_batch(
+        stream2,
+        str(tmp_path / "lsh_index"),
+        str(tmp_path / "lsh_pairs"),
+        str(tmp_path / "ckpt_lsh"),
+    )
+    got2 = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in spark.read.parquet(str(tmp_path / "lsh_pairs")).collect()
+    }
+    assert got2 == got
+
+
+def test_matview_retried_batch_skips_via_in_view_marker(spark, events_dir, tmp_path):
+    """A retried batch_id (same data, fresh checkpoint => Spark re-delivers
+    batch 0) must find its marker INSIDE the published view and skip the
+    merge — the additive delta is not double-counted. The marker rides the
+    directory swap, so there is no crash window where the view holds the
+    deltas without the ledger record."""
+    import os
+
+    view = str(tmp_path / "mv")
+    stream = jobs.read_events_stream(spark, events_dir)  # single batch 0
+    jobs.matview_maintenance_foreach_batch(stream, view, str(tmp_path / "c1"))
+    assert os.path.exists(os.path.join(view, "_applied_batch_0"))
+    before = {
+        (str(r["day"]), r["n_rows"]) for r in spark.read.parquet(view).collect()
+    }
+
+    # fresh checkpoint replays the same data as batch 0 — the in-view marker
+    # must prevent the re-merge
+    stream2 = jobs.read_events_stream(spark, events_dir)
+    jobs.matview_maintenance_foreach_batch(stream2, view, str(tmp_path / "c2"))
+    after = {
+        (str(r["day"]), r["n_rows"]) for r in spark.read.parquet(view).collect()
+    }
+    assert after == before
