@@ -1071,7 +1071,7 @@ def eval_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     you run this on a stratified pair sample — the plan is unchanged."""
     (dc,) = _t(spark, sf_dir, "documents")
     dc.createOrReplaceTempView("documents")
-    sh = hashed_shingles_with_df_cap(dc, max_df).localCheckpoint()
+    sh = hashed_shingles_with_df_cap(dc, MINHASH_MAX_DF).localCheckpoint()
     sig = (
         sh.groupBy("doc_id")
         .agg(

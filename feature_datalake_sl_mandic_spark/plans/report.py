@@ -161,6 +161,8 @@ REPRESENTATIVE = [
     "ts_chow_structural_break",
     "agg_weighted_median_price",
     "customers_cohort_ltv",
+    "multimodal_phash_banded_pairs",
+    "multimodal_audio_fp_banded_pairs",
 ]
 
 
