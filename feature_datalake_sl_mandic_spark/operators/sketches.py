@@ -44,11 +44,28 @@ BLOOM_NATIONS = 5  # member set: suppliers with s_nationkey < 5
 
 
 def _cms_bucket_col(j, key) -> F.Column:
-    return md5_int60_col(F.concat_ws(":", j.cast("string"), key.cast("string"))) % CMS_WIDTH
+    # NULL keys hash as an explicit sentinel on BOTH engines: concat_ws
+    # silently drops NULL parts (degrading the key to the row index) while
+    # the oracle's || nulls the whole key — the engines would bucket NULL
+    # keys differently on a nullable lake (same class as the
+    # privacy_dp_noisy_counts fix).
+    return (
+        md5_int60_col(
+            F.concat_ws(
+                ":",
+                j.cast("string"),
+                F.coalesce(key.cast("string"), F.lit("__null__")),
+            )
+        )
+        % CMS_WIDTH
+    )
 
 
 def _cms_bucket_sql(j_expr: str, key_expr: str) -> str:
-    h = md5_int60_sql(f"CAST({j_expr} AS VARCHAR) || ':' || CAST({key_expr} AS VARCHAR)")
+    h = md5_int60_sql(
+        f"CAST({j_expr} AS VARCHAR) || ':' "
+        f"|| coalesce(CAST({key_expr} AS VARCHAR), '__null__')"
+    )
     return f"{h} % {CMS_WIDTH}"
 
 

@@ -1210,7 +1210,9 @@ TS_ANCHOR_K = 8  # sampled-pair variant: anchors per series
     FROM slopes
     GROUP BY event_type
     ORDER BY event_type
-    """.format(h=md5_int60_sql("event_type || '|' || CAST(day AS VARCHAR)")),
+    """.format(h=md5_int60_sql(
+        "coalesce(event_type, '__null__') || '|' || CAST(day AS VARCHAR)"
+    )),
     tags=("timeseries", "theil-sen", "mann-kendall", "pair-sampling", "sampled"),
 )
 def ts_trend_pair_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1242,8 +1244,15 @@ def pair_sampled_trend(daily: DataFrame, k: int = TS_ANCHOR_K) -> DataFrame:
     disagrees with the exact one)."""
     w = Window.partitionBy("event_type").orderBy("day")
     idx = daily.withColumn("i", F.row_number().over(w)).localCheckpoint(eager=False)
+    # NULL event_type coalesces to a sentinel on both engines (concat_ws
+    # drops NULL parts; the oracle's || nulls the key) so anchor ranking
+    # cannot desync on a nullable lake.
     hv = md5_int60_col(
-        F.concat_ws("|", F.col("event_type"), F.col("day").cast("string"))
+        F.concat_ws(
+            "|",
+            F.coalesce(F.col("event_type"), F.lit("__null__")),
+            F.col("day").cast("string"),
+        )
     )
     wa = Window.partitionBy("event_type").orderBy(hv.asc(), F.col("day").asc())
     anch = (
