@@ -150,12 +150,17 @@ class TestRegistryHygiene:
         assert len(out) >= 2  # at least two media kinds aggregated
         assert {"kind", "n_items", "avg_aspect"} <= set(out[0].asDict())
 
-    def test_window_is_exactly_priority(self):
+    def test_window_starts_with_priority(self):
+        """The driver checks the first 50 queries; _PRIORITY must lead the
+        iteration order exactly and fit inside the window (round 5 lists
+        only the rotation targets — 41 names — and lets registration order
+        fill the remaining driver-window slots with already-green rows)."""
         from feature_datalake_sl_mandic_spark import registry
 
         names = list(registry.load_all())
-        assert names[:50] == registry._PRIORITY
-        assert len(registry._PRIORITY) == 50
+        k = len(registry._PRIORITY)
+        assert 0 < k <= 50
+        assert names[:k] == registry._PRIORITY
 
 
 class TestHilbertLayout:
