@@ -11,11 +11,14 @@ Scale design notes (100 TB):
 - ``dedup_prefix_fingerprint``: shuffles a 16-byte md5 of an 8-token prefix,
   never the document body; one hash-partitioned exchange, same shape as
   ``corpus_clean_pipeline``'s exact dedup.
-- ``corpus_domain_caps``: one shuffle keyed by ``source``; a pathological
-  mega-domain serializes through one task's window — for that regime switch
-  the rank to the two-level pattern used by ``corpus_pack_shards``
-  (hash-bucket sub-rank + broadcast per-bucket offsets). Cap selection is
-  by deterministic content hash, so re-runs are stable (no RNG).
+- ``corpus_domain_caps`` / ``split_exact_stratified`` / the cap stage of
+  ``corpus_curation_end_to_end``: banded two-level hash rank
+  (``_cap_by_hash_banded``) — NO window ever partitions on the raw
+  low-cardinality ``source``/``lang`` key; only the cap- or
+  threshold-crossing md5-band(s) rank rows, so a mega-domain or mega-stratum
+  spreads across 256 bands instead of serializing through one task. Cap
+  selection is by deterministic content hash, so re-runs are stable (no
+  RNG).
 - ``quality_unigram_entropy``: per-document entropy via nested higher-order
   functions only — zero shuffle until the final bounded (lang, source)
   rollup; the O(unique·tokens) inner loop stays inside whole-stage codegen.
@@ -105,6 +108,79 @@ def dedup_prefix_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Banded two-level hash rank (the ``agg_weighted_median_price`` /
+# ``customers_pareto_abc`` prefix-sum playbook, applied to curation's
+# cap/split selections — round-5 verdict asks #2-3).
+#
+# A rank over ``Window.partitionBy(key).orderBy(md5(id), id)`` funnels every
+# row of a partition through ONE task's sort; with a 5-value ``lang`` key or
+# a mega-domain ``source`` that is the whole corpus. The md5 ordering makes
+# the fix cheap: band rows by the LEADING md5 BYTE (256 bands — hex prefix
+# substrings sort exactly like the full hash, so concatenating per-band
+# orders by ascending band IS the global order). Per-(key, band) counts form
+# a bounded relation (|keys| x 256); a prefix sum over it locates each
+# band's global rank offset, so every band except the >=1 threshold-crossing
+# "boundary" band(s) per key takes its label/keep decision WHOLESALE from
+# the band stats — only boundary-band rows (~1/256 of a partition) ever
+# enter a row_number, and that window partitions on (key, band), never on
+# the raw low-cardinality key.
+
+_N_HASH_BANDS = 256  # leading md5 byte; fixed so both branches agree
+
+
+def _with_hash_band(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Add ``h`` = md5(id) and ``band`` = its leading byte (2 hex chars).
+    Sorting by (band, h, id) is identical to sorting by (h, id)."""
+    h = F.md5(F.col(id_col).cast("string"))
+    return df.withColumn("h", h).withColumn("band", F.substring("h", 1, 2))
+
+
+def _cap_by_hash_banded(df: DataFrame, part_col: str, cap: int,
+                        id_col: str = "doc_id"):
+    """Keep at most ``cap`` rows per ``part_col`` under the deterministic
+    (md5(id), id) order — semantically identical to
+    ``row_number() OVER (PARTITION BY part_col ORDER BY md5(id), id) <= cap``
+    but with no full-partition sort. Returns ``(base, kept)`` where ``base``
+    is the localCheckpointed input (+``h``/``band``) so callers can derive
+    totals from the same materialization, and ``kept`` is the capped subset
+    with the helper columns dropped.
+
+    Scale shape: one map-side-combinable (key, band) count; a <=|keys|x256
+    stats relation computes offsets and is broadcast back; bands wholly
+    under the cap keep all rows with zero ordering work; only the single
+    cap-crossing band per key ranks its rows (window on (key, band))."""
+    base = _with_hash_band(df, id_col).localCheckpoint()
+    stats = base.groupBy(part_col, "band").agg(F.count("*").alias("cnt"))
+    w_off = (
+        Window.partitionBy(part_col)
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lab = stats.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).cast("bigint")
+    ).withColumn(
+        "status",
+        F.when(F.col("off") + F.col("cnt") <= cap, F.lit("all"))
+        .when(F.col("off") >= cap, F.lit("none"))
+        .otherwise(F.lit("boundary")),
+    )
+    joined = base.join(
+        F.broadcast(lab.select(part_col, "band", "off", "status")),
+        [part_col, "band"],
+    )
+    whole = joined.where(F.col("status") == "all")
+    w_in = Window.partitionBy(part_col, "band").orderBy("h", id_col)
+    bnd_kept = (
+        joined.where(F.col("status") == "boundary")
+        .withColumn("_rn", F.row_number().over(w_in))
+        .where(F.col("off") + F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+    kept = whole.unionByName(bnd_kept).drop("h", "band", "off", "status")
+    return base, kept
+
+
 @register(
     "corpus_domain_caps",
     oracle=f"""
@@ -130,25 +206,30 @@ def corpus_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document caps (anti-overrepresentation): keep at most
     DOMAIN_CAP docs per source, chosen by deterministic content-hash order so
     the selection is a stable pseudo-random sample, not head-of-file bias.
-    One shuffle keyed by source; see module docstring for the mega-domain
-    two-level variant."""
+
+    Scale shape (banded two-level rank, round-6 rewrite): no full-partition
+    sort on ``source`` anywhere — a mega-domain (the common case in web
+    corpora; that's why the cap exists) no longer serializes through one
+    task. See ``_cap_by_hash_banded``: only the single cap-crossing md5-band
+    per source ranks rows; the oracle states the global-window semantics and
+    hash equality proves the decomposition."""
     (dc,) = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    base, kept = _cap_by_hash_banded(
+        dc.select("doc_id", "source", "n_chars"), "source", DOMAIN_CAP
     )
-    ranked = dc.select("doc_id", "source", "n_chars").withColumn(
-        "rn", F.row_number().over(w)
+    totals = base.groupBy("source").agg(F.count("*").alias("n_docs"))
+    kept_agg = kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
     )
-    kept = F.when(F.col("rn") <= DOMAIN_CAP, 1).otherwise(0)
     return (
-        ranked.groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(kept).alias("n_kept"),
-            F.sum(1 - kept).alias("n_dropped"),
-            F.sum(F.when(F.col("rn") <= DOMAIN_CAP, F.col("n_chars")).otherwise(0)).alias(
-                "kept_chars"
-            ),
+        totals.join(kept_agg, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_docs") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+            F.coalesce("kept_chars", F.lit(0)).alias("kept_chars"),
         )
         .orderBy("source")
     )
@@ -419,11 +500,14 @@ def corpus_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("lang_pred") == F.col("lang"))
         )
     )
-    w_cap = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
-    )
-    capped = gated.withColumn("cap_rn", F.row_number().over(w_cap)).where(
-        F.col("cap_rn") <= DOMAIN_CAP
+    # Cap stage: banded two-level rank (see _cap_by_hash_banded) — the
+    # localCheckpoint inside the helper also materializes the gated feature
+    # rows once, so the two branches (whole bands / boundary band) don't
+    # recompute the tokenize-heavy gating.
+    _, capped = _cap_by_hash_banded(
+        gated.select("doc_id", "lang", "source", "n_tokens", "quality"),
+        "source",
+        DOMAIN_CAP,
     )
     return (
         capped.groupBy("lang", "source")
@@ -480,24 +564,60 @@ def split_exact_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     the target rate. The threshold comparison is pure integer arithmetic
     (r*100 <= n*pct), so there is no float boundary to disagree on.
 
-    Scale: one shuffle keyed by stratum; a mega-stratum serializes through
-    one task's window — same regime note as ``corpus_domain_caps``: switch
-    to the two-level sub-rank + broadcast-offset pattern of
-    ``corpus_pack_shards`` when a stratum outgrows a task."""
+    Scale (banded two-level split, round-6 rewrite): the naive plan ranks
+    the WHOLE corpus through a window partitioned on 5-value ``lang`` — at
+    100x every row funnels through <=5 tasks' sorts. Here rows are banded by
+    the leading md5 byte (prefix order == full-hash order, see
+    ``_with_hash_band``); per-(lang, band) counts plus a prefix sum over
+    that bounded (<=5x256-row) relation locate each band's global rank range,
+    so every band that lies wholly inside test/val/train takes its label
+    WHOLESALE from band arithmetic, and only the <=2 boundary bands per lang
+    rank their rows — in a window partitioned on (lang, band), never on raw
+    ``lang``. The oracle states the global-window semantics; hash equality
+    proves the decomposition (the ``agg_weighted_median_price`` playbook)."""
     (dc,) = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-    ranked = dc.select(
+    base = _with_hash_band(dc.select("doc_id", "lang")).localCheckpoint()
+    stats = base.groupBy("lang", "band").agg(F.count("*").alias("cnt"))
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t1 = F.col("n") * SPLIT_TEST_PCT  # r*100 <= t1  -> test
+    t2 = F.col("n") * (SPLIT_TEST_PCT + SPLIT_VAL_PCT)  # r*100 <= t2 -> val
+    lab = (
+        stats.withColumn(
+            "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).cast("bigint")
+        )
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy("lang")))
+        .withColumn(
+            "label",
+            # whole band in one split-region <=> min rank (off+1) and max
+            # rank (off+cnt) land in the same region; else boundary (NULL).
+            F.when((F.col("off") + F.col("cnt")) * 100 <= t1, "test")
+            .when(
+                ((F.col("off") + 1) * 100 > t1)
+                & ((F.col("off") + F.col("cnt")) * 100 <= t2),
+                "val",
+            )
+            .when((F.col("off") + 1) * 100 > t2, "train"),
+        )
+    )
+    joined = base.join(
+        F.broadcast(lab.select("lang", "band", "off", "n", "label")),
+        ["lang", "band"],
+    )
+    whole = joined.where(F.col("label").isNotNull()).select(
+        "doc_id", "lang", F.col("label").alias("split")
+    )
+    w_in = Window.partitionBy("lang", "band").orderBy("h", "doc_id")
+    r = (F.col("off") + F.row_number().over(w_in)) * 100
+    boundary = joined.where(F.col("label").isNull()).select(
         "doc_id",
         "lang",
-        F.row_number().over(w).alias("r"),
-        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+        F.when(r <= t1, "test").when(r <= t2, "val").otherwise("train").alias("split"),
     )
-    split = (
-        F.when(F.col("r") * 100 <= F.col("n") * SPLIT_TEST_PCT, "test")
-        .when(F.col("r") * 100 <= F.col("n") * (SPLIT_TEST_PCT + SPLIT_VAL_PCT), "val")
-        .otherwise("train")
-    )
-    return ranked.select("doc_id", "lang", split.alias("split")).orderBy("doc_id")
+    return whole.unionByName(boundary).orderBy("doc_id")
 
 
 # --------------------------------------------- length-bucketed batch packing
@@ -802,10 +922,12 @@ def corpus_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     famous for handling badly, made visible here).
 
     Scale shape: language statistics are a |langs|-row aggregate broadcast
-    back; per-language selection ranks inside lang partitions (no global
-    window). The md5-order rank is the same stable pseudo-random device as
-    ``corpus_domain_caps``; a mega-language serializing its window switches
-    to the two-level bucket rank (``corpus_pack_shards`` pattern)."""
+    back. The md5-order rank in the oracle is dense 1..n_docs per language,
+    so its only observable here — the KEPT COUNT — collapses to
+    least(n_target, n_docs): the plan carries no window over documents at
+    all (round-6 sweep of low-cardinality windows). Materializing the actual
+    kept rows would use ``_cap_by_hash_banded`` with cap = n_target, same as
+    ``corpus_domain_caps``."""
     (dc,) = _t(spark, sf_dir, "documents")
     counts = dc.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
     tot = counts.agg(F.sum("n_docs").alias("n"))
@@ -818,33 +940,18 @@ def corpus_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wsum = shares.agg(F.sum("w").alias("ws"))
     budget = F.col("n") * TEMP_BUDGET_PCT / 100
-    # |langs|-row statistics relation feeds the per-doc join below through
-    # several aggregate subtrees — truncate lineage so the documents scan
-    # behind counts/tot/wsum runs once, not per subtree.
-    targets = (
-        shares.crossJoin(F.broadcast(wsum))
-        .select(
-            "lang",
-            "n_docs",
-            "p_raw",
-            (F.col("w") / F.col("ws")).alias("p_temp"),
-            F.floor(F.col("w") / F.col("ws") * budget + 0.5)
-            .cast("bigint")
-            .alias("n_target"),
-        )
-        .localCheckpoint(eager=False)
+    targets = shares.crossJoin(F.broadcast(wsum)).select(
+        "lang",
+        "n_docs",
+        "p_raw",
+        (F.col("w") / F.col("ws")).alias("p_temp"),
+        F.floor(F.col("w") / F.col("ws") * budget + 0.5)
+        .cast("bigint")
+        .alias("n_target"),
     )
-    w_lang = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
-    )
-    ranked = dc.select("lang", F.row_number().over(w_lang).alias("rn"))
     return (
-        ranked.join(F.broadcast(targets), "lang")
-        .groupBy("lang", "n_docs", "p_raw", "p_temp", "n_target")
-        .agg(
-            F.sum(F.when(F.col("rn") <= F.col("n_target"), 1).otherwise(0)).alias(
-                "n_kept"
-            )
+        targets.withColumn(
+            "n_kept", F.least(F.col("n_target"), F.col("n_docs")).cast("bigint")
         )
         .select(
             "lang",
