@@ -303,3 +303,65 @@ class TestRound4PlanCuts:
         )
 
         assert plans.count_shuffles(kmeans_lloyd_embeddings(spark, SF_SMALL)) <= 14
+
+
+class TestRound6BandedCurationPlans:
+    """Round-6 rewrites (verdict asks #2-3): the curation cap/split plans
+    must never rank document rows in a window partitioned on the raw
+    low-cardinality key — every row_number windowspecdefinition has to
+    carry the md5 ``band`` column. (Prefix-sum windows partitioned on
+    lang/source alone are fine: they run over the bounded <=|keys|x256
+    per-band count relation, not over documents.)"""
+
+    @staticmethod
+    def _row_number_specs(plan: str) -> list[str]:
+        return [
+            ln
+            for ln in plan.splitlines()
+            if "row_number() windowspecdefinition" in ln
+        ]
+
+    def _assert_banded(self, df):
+        specs = self._row_number_specs(plans.formatted_plan(df))
+        assert specs, "expected a boundary-band row_number in the plan"
+        for ln in specs:
+            assert "band#" in ln, f"unbanded document-level rank window: {ln}"
+
+    def test_split_exact_stratified_ranks_only_inside_bands(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.curation import (
+            split_exact_stratified,
+        )
+
+        self._assert_banded(split_exact_stratified(spark, SF_SMALL))
+
+    def test_corpus_domain_caps_ranks_only_inside_bands(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.curation import (
+            corpus_domain_caps,
+        )
+
+        self._assert_banded(corpus_domain_caps(spark, SF_SMALL))
+
+    def test_curation_end_to_end_cap_stage_is_banded(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.curation import (
+            corpus_curation_end_to_end,
+        )
+
+        # The dedup stages rank on 16-byte content hashes (high-cardinality,
+        # skew-free) — only the cap stage's rank must carry the band. All
+        # row_number windows here partition on either a hash column or
+        # (source, band); none on bare source/lang.
+        plan = plans.formatted_plan(corpus_curation_end_to_end(spark, SF_SMALL))
+        for ln in self._row_number_specs(plan):
+            assert (
+                "band#" in ln or "_w0#" in ln or "fp#" in ln or "md5(" in ln
+            ), f"cap-stage rank window lost its band: {ln}"
+
+    def test_temperature_resample_has_no_document_window(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.curation import (
+            corpus_temperature_resample,
+        )
+
+        # n_kept = least(n_target, n_docs): pure arithmetic over the
+        # |langs|-row statistics relation — no Window operator anywhere.
+        plan = plans.formatted_plan(corpus_temperature_resample(spark, SF_SMALL))
+        assert "Window" not in plan
