@@ -104,6 +104,18 @@ HEAVY = [
     "corpus_curation_end_to_end",
 ]
 
+# Round-6 widening (verdict ask #6): the top-shuffle plans per PLANS.md that
+# had no bench row, so a regression in them was invisible. Kept in their own
+# subtotal (`heavy_wide`) and OUT of `value`, so both `headline_12` and
+# `heavy_llm` stay comparable across rounds r3+.
+HEAVY_WIDE = [
+    "embedding_pca_power_iteration",
+    "customers_pareto_abc",
+    "lm_bigram_kneser_ney",
+    "eval_rouge_redaction_impact",
+    "multimodal_phash_banded_pairs",
+]
+
 
 def _run_queries(spark, specs, names, sf_dir, n_runs):
     """Wall clock per query over n runs.
@@ -160,7 +172,8 @@ def main() -> None:
     specs = registry.load_all()
     headline = [n for n in HEADLINE if n in specs] or sorted(specs)
     heavy = [n for n in HEAVY if n in specs]
-    names = headline + heavy
+    heavy_wide = [n for n in HEAVY_WIDE if n in specs]
+    names = headline + heavy + heavy_wide
 
     # Warm the JVM + parquet footer caches AND the shuffle/codegen machinery:
     # one cheap scan probe, then one full join-heavy query. Without the full
@@ -203,24 +216,46 @@ def main() -> None:
                 "ratio": round(times[name] / max(t_small[name], 1e-6), 2),
             }
 
-    total = round(sum(times.values()), 4)
+    # `value` spans headline + the original HEAVY set only (comparable with
+    # rounds 3-5); the round-6 HEAVY_WIDE additions report through their own
+    # subtotal and the per-query dict.
+    total = round(sum(times[n] for n in headline + heavy), 4)
+    subtotals = {
+        "headline_12": round(sum(times[n] for n in headline), 4),
+        "heavy_llm": round(sum(times[n] for n in heavy), 4),
+        "heavy_wide": round(sum(times[n] for n in heavy_wide), 4),
+    }
+    # The driver captures only ~2 KB of stdout (round-5 lesson: the inline
+    # dispersion arrays made BENCH_r05 unparseable — `"parsed": null`). Keep
+    # the final stdout line compact (metric, value, subtotals, per-query
+    # mins; ~1 KB) and write dispersion/scale/rows to a side artifact.
+    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "scale_ratio": scale,
+                "dispersion": disp,
+                "rows": rows,
+                "runs_per_query": N_RUNS,
+                "sf": sf,
+            },
+            f,
+            indent=1,
+        )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
-                "subtotals": {
-                    "headline_12": round(sum(times[n] for n in headline), 4),
-                    "heavy_llm": round(sum(times[n] for n in heavy), 4),
-                },
-                "scale_ratio": scale,
-                "dispersion": disp,
+                "queries": {n: round(t, 3) for n, t in times.items()},
+                "subtotals": subtotals,
                 "runs_per_query": N_RUNS,
                 "agg": "min",
                 "sf": sf,
-            }
+                "detail": "BENCH_DETAIL.json",
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

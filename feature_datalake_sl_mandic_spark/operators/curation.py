@@ -149,8 +149,13 @@ def _cap_by_hash_banded(df: DataFrame, part_col: str, cap: int,
     Scale shape: one map-side-combinable (key, band) count; a <=|keys|x256
     stats relation computes offsets and is broadcast back; bands wholly
     under the cap keep all rows with zero ordering work; only the single
-    cap-crossing band per key ranks its rows (window on (key, band))."""
-    base = _with_hash_band(df, id_col).localCheckpoint()
+    cap-crossing band per key ranks its rows (window on (key, band)).
+
+    The checkpoint is lazy (eager=False): it materializes inside the first
+    consuming job (the stats count) instead of paying a separate job, and
+    the three downstream reads (stats, whole-band branch, boundary branch)
+    hit the cached blocks."""
+    base = _with_hash_band(df, id_col).localCheckpoint(eager=False)
     stats = base.groupBy(part_col, "band").agg(F.count("*").alias("cnt"))
     w_off = (
         Window.partitionBy(part_col)
@@ -576,7 +581,7 @@ def split_exact_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``lang``. The oracle states the global-window semantics; hash equality
     proves the decomposition (the ``agg_weighted_median_price`` playbook)."""
     (dc,) = _t(spark, sf_dir, "documents")
-    base = _with_hash_band(dc.select("doc_id", "lang")).localCheckpoint()
+    base = _with_hash_band(dc.select("doc_id", "lang")).localCheckpoint(eager=False)
     stats = base.groupBy("lang", "band").agg(F.count("*").alias("cnt"))
     w_off = (
         Window.partitionBy("lang")
