@@ -79,61 +79,76 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 # The driver's correctness gate checks the FIRST 50 entries in iteration
-# order. Rounds 1-4 drove 196 distinct queries green; this list pins the
-# round-5 window: the FINAL 39 never-driver-checked queries (16 carried from
-# round 3 — the timeseries/stats tail — and the 23 round-4 registrations),
-# plus the two banded multimodal pair queries registered this round. 41
-# names; the remaining 9 slots fall through to registration order and
-# re-verify round-1 rows. After this window EVERY registered query has a
-# driver-green row in some CORRECTNESS_r*.json — the rotation debt is
-# retired.
+# order. After round 5 every one of the 237 registered queries has a
+# driver-green row in some CORRECTNESS_r*.json, so from round 6 on the
+# window is chosen by STALENESS-AFTER-CHANGE (round-5 verdict ask #5):
+#
+#   1. Queries whose SOURCE changed after their last driver-green row,
+#      newest change first — a green row predating a plan rewrite proves
+#      nothing about the code that ships.
+#   2. Then oldest-green-first (ties alphabetical), so every query's green
+#      row is re-earned on a bounded rotation (~2 rounds behind at 50/round).
+#
+# Round-6 window: the four banded-curation rewrites + corpus_temperature_
+# resample (changed this round), dedup_minhash_lsh (r5 prefilter/max_df
+# change, last green r2), cms_heavy_hitters_events + ts_trend_pair_sampled
+# (null-sentinel commit 2a6979e landed at round-5 end, possibly after the
+# driver ran); then the 38 queries last green in round 1 and the first 5
+# of round 2, alphabetical.
 _PRIORITY: list[str] = [
-    # --- the 16 round-3 stragglers, oldest debt first (timeseries/stats)
-    "ts_autocorrelation",
-    "ts_cross_correlation_lags",
-    "ts_seasonal_dow_index",
-    "ts_seasonal_adjusted_anomalies",
-    "ts_seasonal_naive_backtest",
-    "ts_cusum_mean_shift",
-    "ts_theilsen_trend",
-    "ts_mann_kendall_test",
-    "ts_brown_double_smoothing",
-    "events_capped_running_balance",
-    "corpus_zipf_fit",
-    "corpus_js_divergence_sources",
-    "sample_weighted_reservoir",
-    "drift_embedding_centroid_shift",
-    "stats_welch_ttest_priority",
-    "stats_anova_order_priority",
-    # --- the 23 round-4 registrations (registry.py order of that round)
+    # --- changed since their last driver-green row
+    "split_exact_stratified",
+    "corpus_domain_caps",
+    "corpus_curation_end_to_end",
+    "corpus_temperature_resample",
+    "dedup_minhash_lsh",
+    "cms_heavy_hitters_events",
     "ts_trend_pair_sampled",
-    "kanon_l_diversity",
-    "sample_stratified_neyman",
-    "dedup_url_canonical",
-    "stats_bootstrap_ci_mean",
-    "embedding_pca_power_iteration",
-    "corpus_cdc_chunking",
-    "events_ab_test_proportions",
-    "quality_lexicon_screen",
-    "multimodal_image_phash_pairs",
-    "events_survival_kaplan_meier",
-    "lm_bigram_kneser_ney",
-    "embedding_outliers_mahalanobis",
-    "text_tokenizer_fertility",
-    "eval_rouge_redaction_impact",
-    "eval_langid_confusion",
-    "graph_components_star",
-    "eval_lsh_band_tuning",
-    "customers_pareto_abc",
-    "multimodal_audio_fingerprint_pairs",
-    "ts_chow_structural_break",
-    "agg_weighted_median_price",
-    "customers_cohort_ltv",
-    # --- new in round 5: banded-LSH multimodal pair generation (the scale
-    #     path for the two all-pairs verifiers above) — windowed immediately
-    #     so their driver rows land with their registration
-    "multimodal_phash_banded_pairs",
-    "multimodal_audio_fp_banded_pairs",
+    # --- oldest green rows first: the 38 last verified in round 1
+    "agg_argmax_order_per_customer",
+    "agg_conditional_pivot",
+    "agg_cube_lineitem",
+    "agg_distinct_suppliers",
+    "agg_grouping_sets_events",
+    "agg_histogram_order_value",
+    "agg_rollup_orders",
+    "agg_stats_acctbal",
+    "agg_unpivot_nation_metrics",
+    "groupmap_user_value_trend",
+    "join_anti_customers_no_urgent",
+    "join_asof_purchase_after_click",
+    "join_broadcast_order_priority",
+    "join_full_outer_nation_activity",
+    "join_not_in_null_aware",
+    "join_range_lineitem_shipped_late",
+    "join_semi_customers_with_urgent_orders",
+    "maps_event_type_counts",
+    "merge_upsert_orders",
+    "pivot_status_by_nation",
+    "q13_customer_order_distribution",
+    "q16_supplier_count_by_part",
+    "q17_small_quantity_revenue",
+    "q21_sole_late_supplier",
+    "q22_inactive_high_balance",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "sample_deterministic_hash",
+    "scalar_string_part",
+    "set_ops_nations",
+    "subquery_above_segment_avg",
+    "text_tokenize_vectorized_udf",
+    "topk_orders",
+    "window_first_last_nth_order",
+    "window_lag_order_gaps",
+    "window_range_frame_moving_avg",
+    "window_rank_orders",
+    "window_running_totals",
+    # --- then the round-2 tail begins (alphabetical)
+    "agg_approx_sketches",
+    "ann_ivf_cells",
+    "ann_lsh_bucketed",
+    "ann_scalar_quantized",
+    "arrays_collect_per_order",
 ]
 # (multimodal_feature_extract was retired from the registry in round 4: its
 # codec stubs made it permanently rows-only and every registered query must
