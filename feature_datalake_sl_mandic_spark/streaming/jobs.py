@@ -329,8 +329,10 @@ def incremental_minhash_foreach_batch(
 
     Scale shape: per-batch cost is the batch's shingle pass + one band
     equi-join against the index (production buckets the stored band index
-    by (band, sig) so this join co-locates with ZERO index shuffle; the
-    parquet demo rescans it) + a verify join over shingles PRUNED to
+    by the fused (band, sig) key so this join co-locates with ZERO index
+    shuffle — plan-asserted in tests/test_streaming.py::
+    test_bucketed_band_index_joins_with_zero_index_shuffle; the parquet
+    demo rescans it) + a verify join over shingles PRUNED to
     candidate doc_ids by a semi-join — verification cost follows the
     candidate count, not the index size. No document-frequency cap is
     applied: the cap is a corpus-global property that would make emitted
