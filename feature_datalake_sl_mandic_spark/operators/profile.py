@@ -300,6 +300,10 @@ def stats_mutual_info_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame
 
 # ------------------------------------------------------- Gini coefficient
 
+# price-band width (cents) for the two-level prefix sum over distinct order
+# values: o_totalprice spans ~[900, 560k] dollars -> ~56 populated bands
+_GINI_BAND_CENTS = 1_000_000
+
 
 @register(
     "stats_gini_order_values",
@@ -334,31 +338,63 @@ def stats_gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of order values per market segment — the inequality
     summary (0 = all orders equal, →1 = one order dominates) that answers
     'is this segment's revenue concentration healthy'. Computed by the
-    sorted-rank formula G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over integer cents;
-    values stay exact BIGINT cents while the rank-weighted sum and the n·Σx
-    denominator are accumulated in double — their exact products exceed 2^63
-    at large SF, and both feed a 6-decimal rounding. One shuffle sorts
-    within each segment; the rank
-    window's partition is the segment key (bounded partitions at any scale
-    since segments are an enum)."""
+    sorted-rank formula G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over integer cents.
+
+    Scale shape (round-6 sweep: this was the last fact-scale rank window on
+    a low-cardinality key — 5-value mktsegment over every order). The rank
+    only ever feeds Σ(i·v), and tied rows share v, so the rank order among
+    ties is immaterial: grouping to DISTINCT (seg, v) with multiplicity k
+    makes each value's rank-sum pure arithmetic — ranks off+1..off+k
+    contribute v·(k·off + k(k+1)/2). The fact table pays one map-side
+    combinable groupBy(seg, v); the prefix sum that produces ``off`` runs
+    over the distinct-VALUE relation only, two-level (price bands ->
+    broadcast band offsets + per-(seg, band) running count), so no window
+    partition is ever keyed on bare ``seg`` and none touches O(rows) data.
+    All rank-weighted sums accumulate as exact decimal(38,0) (the per-value
+    products overflow int64 at large SF; a double sum would be
+    order-dependent); the only floats are the final IEEE divisions, same as
+    the oracle's. The oracle states the per-row window semantics — hash
+    equality proves the tie-arithmetic decomposition."""
     (od, cu) = _t(spark, sf_dir, "orders", "customer")
     cents = (
         od.join(cu, od["o_custkey"] == cu["c_custkey"])
         .select(
-            "o_orderkey",
             F.col("c_mktsegment").alias("seg"),
             F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
         )
     )
-    w = Window.partitionBy("seg").orderBy("v", "o_orderkey")
-    ranked = cents.withColumn("i", F.row_number().over(w).cast("bigint"))
-    agg = ranked.groupBy("seg").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("v").alias("total"),
-        # rank*value summed in double: at large SF the exact-BIGINT product
-        # overflows (i ~ 1e9 rows x v ~ 1e7 cents > 2^63); double costs ~1
-        # ulp on a quantity that feeds a 6-decimal rounding anyway.
-        F.sum(F.col("i").cast("double") * F.col("v")).alias("weighted"),
+    by_val = cents.groupBy("seg", "v").agg(F.count(F.lit(1)).alias("k"))
+    by_val = by_val.withColumn("pband", F.expr(f"v DIV {_GINI_BAND_CENTS}"))
+    w_band = (
+        Window.partitionBy("seg")
+        .orderBy("pband")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    band_off = (
+        by_val.groupBy("seg", "pband")
+        .agg(F.sum("k").alias("bk"))
+        .withColumn("boff", F.coalesce(F.sum("bk").over(w_band), F.lit(0)))
+        .select("seg", "pband", "boff")
+    )
+    w_in = (
+        Window.partitionBy("seg", "pband")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.col("boff") + F.coalesce(F.sum("k").over(w_in), F.lit(0))
+    # ranks off+1..off+k give Σ i = k·off + k(k+1)/2 (triangular part is an
+    # exact bigint; the cross terms go decimal to survive n² at large SF)
+    tri = F.expr("k * (k + 1) DIV 2").cast("decimal(38,0)")
+    contrib = F.col("v").cast("decimal(38,0)") * (
+        F.col("k").cast("decimal(38,0)") * F.col("off") + tri
+    )
+    per_val = by_val.join(F.broadcast(band_off), ["seg", "pband"]).withColumn(
+        "off", off.cast("decimal(38,0)")
+    )
+    agg = per_val.groupBy("seg").agg(
+        F.sum("k").alias("n"),
+        F.sum(F.col("v") * F.col("k")).alias("total"),
+        F.sum(contrib).cast("double").alias("weighted"),
     )
     # n * total likewise in double (mirrors the oracle's n*1.0*total).
     gini = (2.0 * F.col("weighted")) / (F.col("n").cast("double") * F.col("total")) - (

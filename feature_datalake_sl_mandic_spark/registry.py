@@ -93,8 +93,9 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # resample (changed this round), dedup_minhash_lsh (r5 prefilter/max_df
 # change, last green r2), cms_heavy_hitters_events + ts_trend_pair_sampled
 # (null-sentinel commit 2a6979e landed at round-5 end, possibly after the
-# driver ran); then the 38 queries last green in round 1 and the first 5
-# of round 2, alphabetical.
+# driver ran), stats_gini_order_values (round-6 tie-arithmetic rewrite);
+# then the 38 queries last green in round 1 and the first 4 of round 2,
+# alphabetical.
 _PRIORITY: list[str] = [
     # --- changed since their last driver-green row
     "split_exact_stratified",
@@ -104,6 +105,7 @@ _PRIORITY: list[str] = [
     "dedup_minhash_lsh",
     "cms_heavy_hitters_events",
     "ts_trend_pair_sampled",
+    "stats_gini_order_values",
     # --- oldest green rows first: the 38 last verified in round 1
     "agg_argmax_order_per_customer",
     "agg_conditional_pivot",
@@ -148,7 +150,6 @@ _PRIORITY: list[str] = [
     "ann_ivf_cells",
     "ann_lsh_bucketed",
     "ann_scalar_quantized",
-    "arrays_collect_per_order",
 ]
 # (multimodal_feature_extract was retired from the registry in round 4: its
 # codec stubs made it permanently rows-only and every registered query must

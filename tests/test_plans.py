@@ -365,3 +365,14 @@ class TestRound6BandedCurationPlans:
         # |langs|-row statistics relation — no Window operator anywhere.
         plan = plans.formatted_plan(corpus_temperature_resample(spark, SF_SMALL))
         assert "Window" not in plan
+
+    def test_gini_has_no_row_level_rank_window(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.profile import (
+            stats_gini_order_values,
+        )
+
+        # ranks collapse to tie arithmetic over distinct (seg, v): the plan
+        # must carry no row_number at all, and its running-sum windows key
+        # on (seg, pband) / band totals, never on bare seg over fact rows.
+        plan = plans.formatted_plan(stats_gini_order_values(spark, SF_SMALL))
+        assert "row_number" not in plan
