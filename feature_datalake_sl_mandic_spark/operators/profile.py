@@ -363,8 +363,14 @@ def stats_gini_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
         )
     )
-    by_val = cents.groupBy("seg", "v").agg(F.count(F.lit(1)).alias("k"))
-    by_val = by_val.withColumn("pband", F.expr(f"v DIV {_GINI_BAND_CENTS}"))
+    by_val = (
+        cents.groupBy("seg", "v")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .withColumn("pband", F.expr(f"v DIV {_GINI_BAND_CENTS}"))
+        # distinct-value relation feeds band offsets AND the per-value pass;
+        # pin it so the fact join+aggregation runs once, not per subtree
+        .localCheckpoint(eager=False)
+    )
     w_band = (
         Window.partitionBy("seg")
         .orderBy("pband")
