@@ -530,15 +530,19 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     import pandas as pd
 
     (em,) = _t(spark, sf_dir, "embeddings")
+    # NOT pinned: the means pass and the covariance pass each rescan parquet
+    # — measured faster than checkpointing the array column through the
+    # block manager (array<double> round-trips cost more than the scan)
     e = em.where(F.col("embedding").isNotNull()).select(
         F.col("embedding").cast("array<double>").alias("emb")
     )
     # bounded control plane: n and the 64 per-dim means (rounded so both
-    # engines center with identical values)
+    # engines center with identical values) — one corpus pass yields both
+    # (the per-dim count IS the row count)
     mu_rows = (
         e.select(F.posexplode("emb").alias("i", "v"))
         .groupBy("i")
-        .agg(F.round(F.avg("v"), 6).alias("m"))
+        .agg(F.round(F.avg("v"), 6).alias("m"), F.count(F.lit(1)).alias("cnt"))
         .collect()
     )
     if not mu_rows:
@@ -549,7 +553,7 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     mu = np.zeros(dim)
     for r in mu_rows:
         mu[r["i"]] = r["m"]
-    n = e.count()
+    n = max(r["cnt"] for r in mu_rows)
 
     def partials(it):
         idx = np.arange(dim, dtype="int64")
@@ -569,7 +573,7 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         e.mapInPandas(partials, schema="i bigint, j bigint, s bigint")
         .groupBy("i", "j")
         .agg(F.sum("s").alias("s"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # lazy: folds into the first job
     )
 
     def _int_normalize(p: DataFrame, col: str) -> DataFrame:
@@ -591,7 +595,7 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
                 .cast("bigint")
                 .alias("c"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
 
     # The fixture's covariance is near-isotropic (lambda2/lambda1 ~ 0.93), so
@@ -639,7 +643,7 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
                 .cast("bigint")
                 .alias("val"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     # Rayleigh quotient as one exact decimal quadratic form over the integer
     # covariance numerators and integer vector, divided by |v|^2 and the

@@ -93,9 +93,10 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # resample (changed this round), dedup_minhash_lsh (r5 prefilter/max_df
 # change, last green r2), cms_heavy_hitters_events + ts_trend_pair_sampled
 # (null-sentinel commit 2a6979e landed at round-5 end, possibly after the
-# driver ran), stats_gini_order_values (round-6 tie-arithmetic rewrite);
-# then the 38 queries last green in round 1 and the first 4 of round 2,
-# alphabetical.
+# driver ran), stats_gini_order_values (round-6 tie-arithmetic rewrite),
+# embedding_pca_power_iteration (round-6 fused means/count pass + lazy
+# checkpoints); then the 38 queries last green in round 1 and the first 3
+# of round 2, alphabetical.
 _PRIORITY: list[str] = [
     # --- changed since their last driver-green row
     "split_exact_stratified",
@@ -106,6 +107,7 @@ _PRIORITY: list[str] = [
     "cms_heavy_hitters_events",
     "ts_trend_pair_sampled",
     "stats_gini_order_values",
+    "embedding_pca_power_iteration",
     # --- oldest green rows first: the 38 last verified in round 1
     "agg_argmax_order_per_customer",
     "agg_conditional_pivot",
@@ -149,7 +151,6 @@ _PRIORITY: list[str] = [
     "agg_approx_sketches",
     "ann_ivf_cells",
     "ann_lsh_bucketed",
-    "ann_scalar_quantized",
 ]
 # (multimodal_feature_extract was retired from the registry in round 4: its
 # codec stubs made it permanently rows-only and every registered query must
