@@ -940,7 +940,13 @@ def corpus_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept rows would use ``_cap_by_hash_banded`` with cap = n_target, same as
     ``corpus_domain_caps``."""
     (dc,) = _t(spark, sf_dir, "documents")
-    counts = dc.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    # |langs|-row relation feeds tot/shares/wsum subtrees — pin it so the
+    # documents scan+aggregate runs once, not once per derived aggregate
+    counts = (
+        dc.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .localCheckpoint(eager=False)
+    )
     tot = counts.agg(F.sum("n_docs").alias("n"))
     shares = counts.crossJoin(F.broadcast(tot)).select(
         "lang",

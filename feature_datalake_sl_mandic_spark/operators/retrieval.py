@@ -187,7 +187,13 @@ def eval_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: both inputs are per-query top-k lists (≤ 5 rows × 10
     queries here; ≤ k × |queries| generally), so the hit-join and the metric
     aggregation are bounded by the query workload, never the corpus."""
-    gt = knn_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    # gt feeds the hit-join AND the query roster — pin the tiny (k x
+    # |queries|) list so the exact-kNN corpus pass behind it runs once
+    gt = (
+        knn_cosine_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
     sys_ = ivf_topk(spark, sf_dir, nprobe=1).select(
         "query_id", "neighbor_id", "rank"
     )
