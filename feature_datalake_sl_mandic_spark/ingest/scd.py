@@ -57,7 +57,14 @@ def scd2_apply(
     # for the untouched anti-join on the same key (AQE reuses the exchange),
     # instead of once per branch. on=key (string) coalesces the key into one
     # unqualified output column; other columns stay alias-qualified.
-    matched = upd.alias("upd").join(current.alias("cur"), on=key, how="left")
+    # O(batch)-sized: pin it so closed/opened/changed-keys branches read one
+    # materialization instead of re-running the join (and the update source)
+    # once per branch.
+    matched = (
+        upd.alias("upd")
+        .join(current.alias("cur"), on=key, how="left")
+        .localCheckpoint(eager=False)
+    )
     is_new = F.col("cur.valid_from").isNull()
     is_changed = F.col("cur.valid_from").isNotNull() & differs()
     non_tracked = [c for c in attr_cols if c != key and c not in tracked]
