@@ -337,7 +337,10 @@ def dedup_minhash_lsh(
         "n",
         F.col("bs.band").alias("band"),
         F.col("bs.sig").alias("sig"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ the band join below is a SELF-join: without the pin each side re-runs
+    # the signature aggregation over the shingle relation (the heaviest
+    # shuffle in this plan); pinned, both sides read one materialization.
     ba, bb = bands.alias("a"), bands.alias("b")
     # A pair colliding in multiple bands appears once per band; rows are
     # identical in every carried column, so dropDuplicates on the pair key is
