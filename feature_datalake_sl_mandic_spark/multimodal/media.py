@@ -1032,7 +1032,10 @@ def _banded_hamming_pairs(bits: DataFrame, n_bits: int, n_bands: int, near: int)
         ).alias(f"bv{b}")
         for b in range(n_bands)
     ]
-    sig = bits.groupBy("media_id").agg(*sig_cols)
+    # one narrow row per media (2 packed longs + n_bands band values) — pin
+    # it so the band SELF-join below reads one materialization instead of
+    # re-running the decode/fingerprint chain behind ``bits`` per side
+    sig = bits.groupBy("media_id").agg(*sig_cols).localCheckpoint(eager=False)
     bands = sig.select(
         "media_id",
         "lo",
