@@ -243,16 +243,24 @@ def events_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     forward-filled average (``last`` with ignorenulls over an ordered frame).
 
     Scale shape: the spine is tiny (days x types) and broadcasts; the only
-    big-data shuffle is the daily groupBy. The forward-fill window partitions
-    by type over the small grid, never over raw events."""
+    big-data shuffle is the daily groupBy — pinned, because the date bounds
+    and the type dimension both derive from it (ONE events scan total; the
+    naive form scanned events separately for bounds, types, and dailies).
+    The forward-fill window partitions by type over the small grid, never
+    over raw events."""
     (ev,) = _t(spark, sf_dir, "events")
     evd = ev.select("event_type", F.to_date("ts").alias("d"), "value")
-    bounds = evd.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
-    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
-    types = evd.select("event_type").distinct()
-    daily = evd.groupBy("event_type", "d").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
+    daily = (
+        evd.groupBy("event_type", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .localCheckpoint(eager=False)
     )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    types = daily.select("event_type").distinct()
     w = (
         Window.partitionBy("event_type")
         .orderBy("d")
@@ -918,7 +926,13 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops the leading days whose partial windows would bias stickiness
     toward 1.0."""
     (ev,) = _t(spark, sf_dir, "events")
-    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    # (user, day) pairs feed DAU, the WAU explode, and the first-full-day
+    # scalar — pin so the events scan + distinct run once, not thrice
+    ud = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     contrib = ud.select(
         "user_id",
@@ -1034,25 +1048,35 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     what funnel dashboards page on; exact interpolated percentiles
     (``percentile``/``quantile_cont``) agree across engines.
 
-    Scale shape: two per-user min-aggregations (map-side combined) and a
-    user-keyed join — never an event-by-event pairing; the final percentile
-    aggregate sees one row per user. At much larger cohorts swap the exact
+    Scale shape (round-6 single-scan form): ONE events scan, one shuffle on
+    high-cardinality user_id — a per-user window computes the first-signup
+    timestamp, the same exchange feeds the per-user min-purchase-after-it
+    aggregation (never an event-by-event pairing), and the final percentile
+    aggregate sees one row per user. The previous two-aggregation + join
+    form read events three times. At much larger cohorts swap the exact
     percentile for ``approx_percentile`` with a pinned error budget (the
     ``agg_approx_sketches`` contract shows how to oracle that)."""
     (ev,) = _t(spark, sf_dir, "events")
-    first_from = (
-        ev.where(F.col("event_type") == CONVERT_FROM)
+    w_u = Window.partitionBy("user_id")
+    t0 = F.min(F.when(F.col("event_type") == CONVERT_FROM, F.col("ts"))).over(w_u)
+    per_user = (
+        ev.where(F.col("event_type").isin(CONVERT_FROM, CONVERT_TO))
+        .select("user_id", "event_type", "ts")
+        .withColumn("t0", t0)
+        .where(F.col("t0").isNotNull())
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t0"))
+        .agg(
+            F.min("t0").alias("t0"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == CONVERT_TO)
+                    & (F.col("ts") >= F.col("t0")),
+                    F.col("ts"),
+                )
+            ).alias("t1"),
+        )
     )
-    first_to = (
-        ev.where(F.col("event_type") == CONVERT_TO)
-        .join(first_from, "user_id")
-        .where(F.col("ts") >= F.col("t0"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    delays = first_from.join(first_to, "user_id", "left").select(
+    delays = per_user.select(
         "user_id",
         (
             (F.unix_micros("t1") - F.unix_micros("t0")) / 60000000.0

@@ -538,9 +538,15 @@ def drift_psi_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket"),
         "is_ref",
     )
-    counts = bucketed.groupBy("bucket").agg(
-        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
-        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+    # 11-row bucket relation feeds the totals scalar AND the final PSI terms
+    # — pin so the bucketing pass over events runs once, not per subtree
+    counts = (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+        )
+        .localCheckpoint(eager=False)
     )
     tot = counts.agg(
         F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
