@@ -83,20 +83,19 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # driver-green row in some CORRECTNESS_r*.json, so from round 6 on the
 # window is chosen by STALENESS-AFTER-CHANGE (round-5 verdict ask #5):
 #
-#   1. Queries whose SOURCE changed after their last driver-green row,
-#      newest change first — a green row predating a plan rewrite proves
-#      nothing about the code that ships.
+#   1. Queries whose SOURCE changed after their last driver-green row —
+#      a green row predating a plan rewrite proves nothing about the code
+#      that ships.
 #   2. Then oldest-green-first (ties alphabetical), so every query's green
-#      row is re-earned on a bounded rotation (~2 rounds behind at 50/round).
+#      row is re-earned on a bounded rotation.
 #
-# Round-6 window: the four banded-curation rewrites + corpus_temperature_
-# resample (changed this round), dedup_minhash_lsh (r5 prefilter/max_df
-# change, last green r2), cms_heavy_hitters_events + ts_trend_pair_sampled
-# (null-sentinel commit 2a6979e landed at round-5 end, possibly after the
-# driver ran), stats_gini_order_values (round-6 tie-arithmetic rewrite),
-# embedding_pca_power_iteration (round-6 fused means/count pass + lazy
-# checkpoints); then the 38 queries last green in round 1 and the first 3
-# of round 2, alphabetical.
+# Round-6 window: the 20 queries whose plans changed this round (banded
+# curation rewrites, temperature window removal, Gini tie-arithmetic, the
+# minhash band pin + its incremental/recall dependents, PCA pass fusion,
+# retrieval ground-truth pin, SCD2 join pin, multimodal signature pin,
+# the four single-scan event rewrites, plus the two r5-end null-sentinel
+# fixes and minhash's r5 prefilter), then the 30 alphabetically-first
+# queries last green in round 1.
 _PRIORITY: list[str] = [
     # --- changed since their last driver-green row
     "split_exact_stratified",
@@ -104,11 +103,22 @@ _PRIORITY: list[str] = [
     "corpus_curation_end_to_end",
     "corpus_temperature_resample",
     "dedup_minhash_lsh",
+    "dedup_incremental_minhash",
+    "eval_dedup_lsh_recall",
     "cms_heavy_hitters_events",
     "ts_trend_pair_sampled",
     "stats_gini_order_values",
     "embedding_pca_power_iteration",
-    # --- oldest green rows first: the 38 last verified in round 1
+    "eval_retrieval_metrics",
+    "scd2_customer_dim",
+    "scd2_point_in_time_join",
+    "multimodal_phash_banded_pairs",
+    "multimodal_audio_fp_banded_pairs",
+    "events_time_to_convert",
+    "events_dau_wau_stickiness",
+    "drift_psi_event_values",
+    "events_gapfill_resample",
+    # --- oldest green rows first (round 1)
     "agg_argmax_order_per_customer",
     "agg_conditional_pivot",
     "agg_cube_lineitem",
@@ -139,18 +149,6 @@ _PRIORITY: list[str] = [
     "sample_deterministic_hash",
     "scalar_string_part",
     "set_ops_nations",
-    "subquery_above_segment_avg",
-    "text_tokenize_vectorized_udf",
-    "topk_orders",
-    "window_first_last_nth_order",
-    "window_lag_order_gaps",
-    "window_range_frame_moving_avg",
-    "window_rank_orders",
-    "window_running_totals",
-    # --- then the round-2 tail begins (alphabetical)
-    "agg_approx_sketches",
-    "ann_ivf_cells",
-    "ann_lsh_bucketed",
 ]
 # (multimodal_feature_extract was retired from the registry in round 4: its
 # codec stubs made it permanently rows-only and every registered query must
