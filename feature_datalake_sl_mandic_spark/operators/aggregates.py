@@ -803,8 +803,12 @@ def customers_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     no window over raw orders; cohort sizes are a bounded relation joined
     back by broadcast."""
     (od,) = _t(spark, sf_dir, "orders")
-    first_order = od.groupBy("o_custkey").agg(
-        F.date_trunc("month", F.min(F.to_date("o_orderdate"))).alias("cohort_m")
+    # customer-grain relation feeds the cohort sizes AND the revenue join —
+    # pin so the orders scan + first-order aggregation runs once, not twice
+    first_order = (
+        od.groupBy("o_custkey")
+        .agg(F.date_trunc("month", F.min(F.to_date("o_orderdate"))).alias("cohort_m"))
+        .localCheckpoint(eager=False)
     )
     cohort_sz = first_order.groupBy("cohort_m").agg(
         F.count(F.lit(1)).alias("cohort_customers")

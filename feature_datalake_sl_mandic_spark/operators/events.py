@@ -412,36 +412,48 @@ def events_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict-order three-step funnel: first signup, first click AFTER that
-    signup, first purchase AFTER that click — each stage is a filtered min
-    aggregate joined back on user_id, so ordering is enforced by data
-    (timestamp comparisons), not by assuming event-log order. Three
-    partial-aggregated shuffles on the same user key; at scale the three
-    stages co-partition, so AQE collapses the stage joins into local joins
-    after the first exchange."""
+    signup, first purchase AFTER that click — ordering is enforced by data
+    (timestamp comparisons), not by assuming event-log order.
+
+    Scale shape (round-6 single-scan form): ONE events scan and one shuffle
+    on high-cardinality user_id; the three stage timestamps are chained
+    per-user window minimums over the SAME exchange (each conditions on the
+    previous stage's window column), then one map-side-combined per-user
+    aggregate keeps converting users. The previous three-aggregation + join
+    cascade re-derived the earlier stages per consumer — six events scans."""
     (ev,) = _t(spark, sf_dir, "events")
-    e = ev.select("user_id", "ts", "event_type")
-    su = (
-        e.where(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("s_ts"))
+    e = ev.select("user_id", "ts", "event_type").where(
+        F.col("event_type").isin("signup", "click", "purchase")
     )
-    cl = (
-        e.where(F.col("event_type") == "click")
-        .join(su, "user_id")
-        .where(F.col("ts") > F.col("s_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("c_ts"))
-    )
-    pu = (
-        e.where(F.col("event_type") == "purchase")
-        .join(cl, "user_id")
-        .where(F.col("ts") > F.col("c_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("p_ts"))
-    )
+    w = Window.partitionBy("user_id")
+    s_ts = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    staged = e.withColumn("s_ts", s_ts)
+    c_ts = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("s_ts")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("c_ts", c_ts)
+    p_ts = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_ts")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("p_ts", p_ts)
     return (
-        su.join(cl, "user_id")
-        .join(pu, "user_id")
+        staged.groupBy("user_id")
+        .agg(
+            F.min("s_ts").alias("s_ts"),
+            F.min("c_ts").alias("c_ts"),
+            F.min("p_ts").alias("p_ts"),
+        )
+        .where(
+            F.col("s_ts").isNotNull()
+            & F.col("c_ts").isNotNull()
+            & F.col("p_ts").isNotNull()
+        )
         .select(
             "user_id",
             F.unix_micros("s_ts").alias("signup_us"),
@@ -487,7 +499,13 @@ def events_dedup_replayed(spark: SparkSession, sf_dir: str) -> DataFrame:
     at-least-once source is simulated by replaying a deterministic 10%
     md5-bucket of events, then exact dedup on event_id restores
     effectively-once. Non-vacuous by construction (input > output); the
-    streaming variant bounds the same dedup state by the watermark."""
+    streaming variant bounds the same dedup state by the watermark.
+
+    Plan (round-6 single-chain form): one per-event copy count (replay
+    copies are byte-identical, so grouping on the full row is the dedup)
+    feeds both the raw input tally (sum of copies) and the deduped
+    aggregates in a single map-side-combined chain — no separate
+    input-count branch re-scanning the union, no rejoin."""
     from feature_datalake_sl_mandic_spark.functions.hashing import md5_bucket_col
 
     (ev,) = _t(spark, sf_dir, "events")
@@ -495,18 +513,19 @@ def events_dedup_replayed(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayed = base.unionAll(
         base.where(md5_bucket_col(F.col("event_id").cast("string"), 10) == 0)
     )
-    inp = replayed.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_replayed_input")
+    per_event = replayed.groupBy("event_id", "event_type", "value").agg(
+        F.count(F.lit(1)).alias("copies")
     )
-    ded = (
-        replayed.dropDuplicates(["event_id"])
-        .groupBy("event_type")
+    return (
+        per_event.groupBy("event_type")
         .agg(
+            F.sum("copies").alias("n_replayed_input"),
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
+        .select("event_type", "n_replayed_input", "n_events", "total_value")
+        .orderBy("event_type")
     )
-    return inp.join(ded, "event_type").orderBy("event_type")
 
 
 @register(
@@ -636,10 +655,19 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     |days|-row relation and broadcast back for the rate division.
     """
     (ev,) = _t(spark, sf_dir, "events")
-    ud = ev.select(
-        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
-    ).distinct()
-    first_d = ud.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    # ud feeds first-day AND the activity join; first_d feeds sizes AND the
+    # activity join — pin both narrow relations so the events scan+distinct
+    # and the per-user min each run once, not per consumer
+    ud = (
+        ev.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    first_d = (
+        ud.groupBy("user_id")
+        .agg(F.min("d").alias("cohort_day"))
+        .localCheckpoint(eager=False)
+    )
     sizes = first_d.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_n"))
     act = (
         ud.join(first_d, "user_id")

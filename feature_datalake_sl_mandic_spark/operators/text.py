@@ -707,7 +707,10 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array().cast("array<string>")
             )
         ).alias("s"),
-    )
+    ).localCheckpoint()
+    # ^ eager, same trade as dedup's shingle relation: the n-gram explode
+    # (the tokenize-heavy pass) feeds BOTH sides of the contamination join;
+    # materializing once beats re-tokenizing the corpus per side.
     is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
     eval_sh = sh.where(is_eval).select(F.col("doc_id").alias("eval_doc_id"), "s")
     train_sh = sh.where(~is_eval)
