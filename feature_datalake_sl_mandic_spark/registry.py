@@ -93,8 +93,9 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # curation rewrites, temperature window removal, Gini tie-arithmetic, the
 # minhash band pin + its incremental/recall dependents, PCA pass fusion,
 # retrieval ground-truth pin, SCD2 join pin, multimodal signature pin,
-# the four single-scan event rewrites, plus the two r5-end null-sentinel
-# fixes and minhash's r5 prefilter), then the 30 alphabetically-first
+# the single-scan event/funnel/cohort rewrites, the replay-dedup chain
+# fold, the decontamination n-gram pin, plus the two r5-end null-sentinel
+# fixes and minhash's r5 prefilter), then the 25 alphabetically-first
 # queries last green in round 1.
 _PRIORITY: list[str] = [
     # --- changed since their last driver-green row
@@ -118,6 +119,11 @@ _PRIORITY: list[str] = [
     "events_dau_wau_stickiness",
     "drift_psi_event_values",
     "events_gapfill_resample",
+    "events_funnel_three_step",
+    "events_dedup_replayed",
+    "events_cohort_retention",
+    "customers_cohort_ltv",
+    "corpus_decontaminate",
     # --- oldest green rows first (round 1)
     "agg_argmax_order_per_customer",
     "agg_conditional_pivot",
@@ -144,11 +150,6 @@ _PRIORITY: list[str] = [
     "q17_small_quantity_revenue",
     "q21_sole_late_supplier",
     "q22_inactive_high_balance",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "sample_deterministic_hash",
-    "scalar_string_part",
-    "set_ops_nations",
 ]
 # (multimodal_feature_extract was retired from the registry in round 4: its
 # codec stubs made it permanently rows-only and every registered query must
