@@ -422,48 +422,63 @@ def validate_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFram
     reference pipeline (SURVEY §0 census) ingests parent and child tables
     independently and would land exactly this failure mode unflagged.
 
-    Scale shape: ALL SIX edges share ONE aggregation and ONE join. Every
-    edge's child keys union into a single tall (fk_edge, key) relation that
-    collapses to (fk_edge, key, count) via one map-side-combined
-    aggregation; every edge's parent keys union into a tall distinct
-    relation keyed the same way; the existence check is one left join on
-    (fk_edge, key) — and because both aggregations leave their outputs
-    hash-partitioned on exactly that pair, the join adds NO exchange
-    (EnsureRequirements reuses both partitionings). The whole audit is 4
-    exchanges total regardless of how many edges the schema has (child agg,
-    parent distinct, 6-row final agg, output sort), versus ~6 per edge in
-    the row-level formulation (was 36 in PLANS.md units). Unioning before
-    aggregating also load-balances: one edge's skewed fk domain shares the
-    shuffle with all others."""
+    Scale shape: ALL SIX edges share ONE aggregation and ONE join, and each
+    physical table is SCANNED ONCE PER ROLE: a table carrying several edges
+    (lineitem is the child of three; nation the parent of two) reads all
+    its key columns in one column-pruned scan and explodes a literal
+    (fk_edge, key) struct array — one output row per edge — instead of one
+    scan per edge (was 3 lineitem scans; at fact scale the extra scans ARE
+    the audit's cost). Every edge's child keys then union into a single
+    tall (fk_edge, key) relation that collapses to (fk_edge, key, count)
+    via one map-side-combined aggregation; every edge's parent keys union
+    into a tall distinct relation keyed the same way; the existence check
+    is one left join on (fk_edge, key) — and because both aggregations
+    leave their outputs hash-partitioned on exactly that pair, the join
+    adds NO exchange (EnsureRequirements reuses both partitionings). The
+    whole audit is 4 exchanges total regardless of how many edges the
+    schema has (child agg, parent distinct, 6-row final agg, output sort),
+    versus ~6 per edge in the row-level formulation (was 36 in PLANS.md
+    units). Unioning before aggregating also load-balances: one edge's
+    skewed fk domain shares the shuffle with all others."""
     tables = sorted({t for e in _FK_EDGES for t in (e[0], e[2])})
     dfs = dict(zip(tables, _t(spark, sf_dir, *tables)))
 
     def _label(child, fk, parent, pk):
         return f"{child}.{fk} -> {parent}.{pk}"
 
-    child_parts = [
-        dfs[child].select(
-            F.lit(_label(child, fk, parent, pk)).alias("fk_edge"),
-            F.col(fk).cast("bigint").alias("__fk"),
-        )
-        for child, fk, parent, pk in _FK_EDGES
-    ]
-    tall_child = child_parts[0]
-    for part in child_parts[1:]:
-        tall_child = tall_child.unionAll(part)
-    cnt = tall_child.groupBy("fk_edge", "__fk").agg(F.count(F.lit(1)).alias("__n"))
+    def _tall(edges_by_table: dict, out_key: str) -> DataFrame:
+        """One scan per table: explode its [(edge label, key)] pairs."""
+        parts = []
+        for table, pairs in sorted(edges_by_table.items()):
+            entry = F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(label).alias("fk_edge"),
+                            F.col(key_col).cast("bigint").alias(out_key),
+                        )
+                        for label, key_col in pairs
+                    ]
+                )
+            ).alias("e")
+            parts.append(dfs[table].select(entry).select("e.fk_edge", f"e.{out_key}"))
+        tall = parts[0]
+        for part in parts[1:]:
+            tall = tall.unionAll(part)
+        return tall
 
-    parent_parts = [
-        dfs[parent].select(
-            F.lit(_label(child, fk, parent, pk)).alias("fk_edge"),
-            F.col(pk).cast("bigint").alias("__pk"),
-        )
-        for child, fk, parent, pk in _FK_EDGES
-    ]
-    tall_parent = parent_parts[0]
-    for part in parent_parts[1:]:
-        tall_parent = tall_parent.unionAll(part)
-    keys = tall_parent.distinct()
+    child_edges: dict[str, list] = {}
+    parent_edges: dict[str, list] = {}
+    for child, fk, parent, pk in _FK_EDGES:
+        child_edges.setdefault(child, []).append((_label(child, fk, parent, pk), fk))
+        parent_edges.setdefault(parent, []).append((_label(child, fk, parent, pk), pk))
+
+    cnt = (
+        _tall(child_edges, "__fk")
+        .groupBy("fk_edge", "__fk")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    keys = _tall(parent_edges, "__pk").distinct()
 
     joined = cnt.join(
         keys,
