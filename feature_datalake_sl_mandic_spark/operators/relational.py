@@ -725,43 +725,39 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (lateness = shipped >90 days after order date, since
     the fixture has no receipt/commit dates): suppliers who were the ONLY
-    late supplier on a multi-supplier order. EXISTS becomes a left-semi join
-    and NOT EXISTS a left-anti join on (orderkey, other-supplier) — both
-    shuffle only key pairs, never payloads, which is why the exists-chain
-    form scales where a per-row subquery would not."""
+    late supplier on a multi-supplier order. The EXISTS / NOT EXISTS pair
+    collapses to per-order conditional aggregation over ONE lineitem scan:
+    an order qualifies iff it has >=2 distinct suppliers and exactly 1
+    distinct late supplier, and that late supplier is max(late suppkey)
+    (well-defined because there is exactly one). Both aggregations —
+    (orderkey, suppkey) pair dedup, then per-order counts — group on a
+    superset/prefix of the li⋈od join's orderkey partitioning, so
+    EnsureRequirements adds NO exchange for either; the whole query
+    shuffles lineitem's 3 key columns once (was 3 lineitem scans + two
+    exists-chain joins shuffling the pair relation twice more)."""
     li, od, su = _t(spark, sf_dir, "lineitem", "orders", "supplier")
-    late = (
+    flagged = (
         li.join(od, F.col("o_orderkey") == F.col("l_orderkey"))
-        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    # no distinct: a left-semi probe side needs no dedup, and dropping it
-    # saves a full shuffle of lineitem's key pairs
-    all_supp = li.select("l_orderkey", "l_suppkey")
-
-    other = all_supp.select(
-        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
-    )
-    late_other = late.select(
-        F.col("l_orderkey").alias("lo_key"), F.col("l_suppkey").alias("lo_supp")
-    )
-    l1 = (
-        late.join(
-            other,
-            (F.col("o_key") == F.col("l_orderkey"))
-            & (F.col("o_supp") != F.col("l_suppkey")),
-            "left_semi",
-        )
-        .join(
-            late_other,
-            (F.col("lo_key") == F.col("l_orderkey"))
-            & (F.col("lo_supp") != F.col("l_suppkey")),
-            "left_anti",
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ).alias("is_late"),
         )
     )
+    pair = flagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("late")
+    )
+    per_order = pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("late").cast("int")).alias("n_late"),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
+    )
+    qualifying = per_order.where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
     return (
-        l1.join(su, F.col("s_suppkey") == F.col("l_suppkey"))
+        qualifying.join(F.broadcast(su), F.col("s_suppkey") == F.col("late_supp"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
