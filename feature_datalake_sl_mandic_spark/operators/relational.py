@@ -654,30 +654,31 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17: revenue lost to small-quantity orders. The correlated
-    per-part average decorrelates into one aggregate + an equi-join back to
-    lineitem (Catalyst's plan for the subquery form, written explicitly):
-    both sides shuffle on partkey once; the brand filter prunes part before
-    the join. DECIMAL accumulation keeps the /7 division engine-exact."""
+    per-part average decorrelates into a WINDOW over partkey rather than an
+    aggregate + join-back: one lineitem scan, one shuffle on partkey, and
+    every line compares against its part's average in the same pass (the
+    join-back form scans the brand-pruned fact twice — once to aggregate,
+    once to probe). A per-part window partition is a handful of lines at
+    any scale (partkey cardinality grows with the corpus), so nothing
+    funnels. The brand semi-join broadcasts and prunes ~96% of lineitem
+    BEFORE the shuffle; DECIMAL accumulation keeps the /7 division
+    engine-exact, and the per-part avg is exact decimal division on both
+    engines (quantities are decimals)."""
     li, pt = _t(spark, sf_dir, "lineitem", "part")
     brand_parts = pt.where(F.col("p_brand") == "Brand#1").select("p_partkey")
     # semi-join first: the per-part average only matters for Brand#1 parts
     # (~1/25 of them), so don't aggregate the other 96% of lineitem
     li_brand = li.join(
-        brand_parts, F.col("p_partkey") == F.col("l_partkey"), "left_semi"
+        F.broadcast(brand_parts),
+        F.col("p_partkey") == F.col("l_partkey"),
+        "left_semi",
     )
-    part_avg = li_brand.groupBy("l_partkey").agg(
-        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
-    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey")
     return (
-        li_brand.join(
-            pt.where(F.col("p_brand") == "Brand#1"),
-            F.col("p_partkey") == F.col("l_partkey"),
-        )
-        .join(
-            part_avg.select(
-                F.col("l_partkey").alias("pa_partkey"), "qty_threshold"
-            ),
-            F.col("pa_partkey") == F.col("l_partkey"),
+        li_brand.withColumn(
+            "qty_threshold", F.avg("l_quantity").over(w) * 0.2
         )
         .where(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
