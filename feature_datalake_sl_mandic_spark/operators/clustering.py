@@ -497,9 +497,9 @@ def _pca_oracle() -> str:
 )
 def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the embedding corpus: distributed
-    covariance accumulation + {PCA_ITERS} relational power iterations —
-    iterative linear algebra as DataFrame ops, nothing driver-side but two
-    bounded scalars (row count, 64 means).
+    covariance accumulation + a power-iteration trajectory replayed in one
+    bounded in-plan task — nothing driver-side but two bounded scalars
+    (row count, 64 means).
 
     Determinism design: floating-point SUM is order-dependent, and a
     covariance cell summed in different orders on different engines (or
@@ -510,8 +510,9 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     batches) — the reduction is associative, so any partitioning yields
     bit-identical covariance. The iteration itself stays in EXACT integer
     arithmetic too: normalized-matrix entries are int64 in 1e-9 units,
-    the vector in 1e-8 units, and every running sum accumulates as
-    decimal(38,0) (a bigint sum would wrap; a float sum would be
+    the vector in 1e-8 units, and every running sum is an
+    arbitrary-precision Python int replaying the exact decimal(38,0)
+    sums the r5 relational form used (a bigint sum would wrap; a float sum would be
     order-dependent — measured as a per-run grid flip in the 221-query
     sweep before this form). The only floating-point steps are single IEEE
     divisions/sqrt of exact integers, which every engine computes
@@ -522,10 +523,11 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Scale shape: one Arrow-batched pass emits 64x64 integer partials per
     batch (the classic one-pass distributed Gram/covariance: shuffle carries
-    |batches| x 4096 longs, never the corpus); each power iteration is a
-    4096-row x 64-row broadcast join — microscopic. The covariance relation
-    is localCheckpoint-ed once and reused by all iterations, the Rayleigh
-    quotient, and the trace."""
+    |batches| x 4096 longs, never the corpus); the squaring/iteration
+    trajectory then runs in ONE bounded applyInPandas task over the
+    <=4096-row covariance relation — see the inline comment for why that
+    beats both the relational iteration (~10 sequential barrier jobs of
+    pure scheduling overhead) and a driver collect (MLlib's choice)."""
     import numpy as np
     import pandas as pd
 
@@ -573,125 +575,102 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         e.mapInPandas(partials, schema="i bigint, j bigint, s bigint")
         .groupBy("i", "j")
         .agg(F.sum("s").alias("s"))
-        .localCheckpoint(eager=False)  # lazy: folds into the first job
     )
 
-    def _int_normalize(p: DataFrame, col: str) -> DataFrame:
-        """entries -> int64 in 1e-9 units of entry/trace; the division is
-        one IEEE op on two EXACT integers, so it is bit-identical on every
-        engine and partitioning."""
-        t = p.where(F.col("i") == F.col("j")).agg(F.sum(col).alias("tr_"))
-        return (
-            p.crossJoin(F.broadcast(t))
-            .select(
-                "i",
-                "j",
-                F.round(
-                    F.col(col).cast("double")
-                    / F.col("tr_").cast("double")
-                    * _PCA_M_SCALE,
-                    0,
+    # The squaring/iteration trajectory operates on a BOUNDED dim x dim
+    # relation (<=4096 rows regardless of corpus size). The r5 form iterated
+    # it relationally — ~10 sequential barrier jobs whose per-job scheduling
+    # cost dwarfed their microsecond compute, with zero distribution benefit
+    # (nothing in them scales with the corpus). MLlib's
+    # RowMatrix.computePrincipalComponents collects the Gram matrix to the
+    # driver for exactly this reason; we keep it IN the plan as one bounded
+    # applyInPandas task instead (no driver round-trip, composes lazily),
+    # reproducing the r5 relational trajectory bit-for-bit: Python
+    # arbitrary-precision ints replay the decimal(38,0) exact sums, and
+    # every rounding replays Spark's HALF_UP-on-shortest-decimal-repr
+    # round() via the decimal module (numpy divisions keep IEEE semantics
+    # for the single float ops between exact integers). The oracle — which
+    # pins every squaring's and iteration's intermediate rounding — is
+    # unchanged, so hash equality proves the replay is exact.
+    def eigensolve(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+        from decimal import ROUND_HALF_UP, Decimal, InvalidOperation
+
+        def rnd_int(x: float) -> int:
+            # Spark round(double): BigDecimal.valueOf(x).setScale(0, HALF_UP)
+            # == HALF_UP on the shortest decimal repr (Python repr matches)
+            return int(Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+        def rnd(x: float, digits: int) -> float:
+            try:
+                return float(
+                    Decimal(repr(x)).quantize(
+                        Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP
+                    )
                 )
-                .cast("bigint")
-                .alias("c"),
+            except InvalidOperation:  # nan/inf: Spark round passes through
+                return x
+
+        C = [[0] * dim for _ in range(dim)]
+        for i_, j_, s_ in zip(pdf["i"], pdf["j"], pdf["s"]):
+            C[int(i_)][int(j_)] = int(s_)
+        tr0 = sum(C[d][d] for d in range(dim))
+        if tr0 == 0:
+            # all centered values quantized to zero (constant corpus): the
+            # relational form's 0/0 would null-cascade; emit the same shape
+            return pd.DataFrame(
+                {
+                    "dim": list(range(dim)),
+                    "loading": [None] * dim,
+                    "eigenvalue": [None] * dim,
+                    "explained_share": [None] * dim,
+                }
             )
-            .localCheckpoint(eager=False)
+
+        def normalize(M):
+            tr = float(sum(M[d][d] for d in range(dim)))
+            return [
+                [rnd_int(float(M[a][b]) / tr * _PCA_M_SCALE) for b in range(dim)]
+                for a in range(dim)
+            ]
+
+        m = normalize(C)
+        for _ in range(PCA_SQUARINGS):
+            p = [
+                [sum(m[a][k] * m[k][b] for k in range(dim)) for b in range(dim)]
+                for a in range(dim)
+            ]
+            m = normalize(p)
+        v = [_PCA_V_SCALE // 8] * dim
+        for _ in range(PCA_ITERS):
+            w = [sum(m[a][k] * v[k] for k in range(dim)) for a in range(dim)]
+            nrm = math.sqrt(float(sum(x * x for x in w)))
+            v = [rnd_int(float(x) / nrm * _PCA_V_SCALE) for x in w]
+        # Rayleigh quotient over the exact covariance numerators
+        qf = sum(C[a][b] * v[a] * v[b] for a in range(dim) for b in range(dim))
+        v2 = sum(x * x for x in v)
+        denom = float(_PCA_SCALE2) * n
+        ev = float(qf) / float(v2) / denom
+        trace = float(tr0) / denom
+        # sign: largest-|loading| component (ties -> lowest dim) positive
+        big = max(range(dim), key=lambda d: (abs(v[d]), -d))
+        s = -1 if v[big] < 0 else 1
+        return pd.DataFrame(
+            {
+                "dim": list(range(dim)),
+                "loading": [float(v[d] * s) / _PCA_V_SCALE for d in range(dim)],
+                "eigenvalue": [rnd(ev, 4)] * dim,
+                "explained_share": [rnd(ev / trace, 6)] * dim,
+            }
         )
 
-    # The fixture's covariance is near-isotropic (lambda2/lambda1 ~ 0.93), so
-    # plain power iteration needs ~50 steps. Squaring the operator doubles
-    # the effective exponent per squaring: m = (C/tr)^(2^PCA_SQUARINGS) up
-    # to scale, and PCA_ITERS iterations with it walk ~C^80 — convergent
-    # even on a 0.93 gap. Trace normalization after every squaring keeps
-    # entries in int64 range; decimal(38,0) sums keep every running total
-    # exact (a bigint sum would silently wrap; a double sum would be
-    # order-dependent).
-    m = _int_normalize(cnum, "s")
-    for _ in range(PCA_SQUARINGS):
-        a, b = m.alias("a"), m.alias("b")
-        p = (
-            a.join(b, F.col("a.j") == F.col("b.i"))
-            .groupBy(F.col("a.i").alias("i"), F.col("b.j").alias("j"))
-            .agg(
-                F.sum(
-                    F.col("a.c").cast("decimal(20,0)") * F.col("b.c")
-                ).alias("p")
-            )
-        )
-        m = _int_normalize(p, "p")
-    v = spark.createDataFrame(
-        [(i, _PCA_V_SCALE // 8) for i in range(dim)], "dim bigint, val bigint"
-    )
-    for _ in range(PCA_ITERS):
-        w = (
-            m.join(v, m["j"] == v["dim"])
-            .groupBy(m["i"].alias("dim"))
-            .agg(F.sum(F.col("c").cast("decimal(20,0)") * F.col("val")).alias("w"))
-        )
-        nrm = w.agg(
-            F.sqrt(
-                F.sum(F.col("w") * F.col("w")).cast("double")
-            ).alias("nrm")
-        )
-        v = (
-            w.crossJoin(F.broadcast(nrm))
-            .select(
-                "dim",
-                F.round(
-                    F.col("w").cast("double") / F.col("nrm") * _PCA_V_SCALE, 0
-                )
-                .cast("bigint")
-                .alias("val"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    # Rayleigh quotient as one exact decimal quadratic form over the integer
-    # covariance numerators and integer vector, divided by |v|^2 and the
-    # fixed-point denominator — three IEEE ops on exact operands.
-    va = v.select(F.col("dim").alias("i"), F.col("val").alias("va"))
-    vb = v.select(F.col("dim").alias("j"), F.col("val").alias("vb"))
-    qf = (
-        cnum.join(F.broadcast(va), "i")
-        .join(F.broadcast(vb), "j")
-        .agg(
-            F.sum(
-                F.col("s").cast("decimal(20,0)")
-                * F.col("va").cast("decimal(9,0)")
-                * F.col("vb").cast("decimal(9,0)")
-            ).alias("qf")
-        )
-    )
-    sumv2 = v.agg(
-        F.sum(F.col("val").cast("decimal(9,0)") * F.col("val")).alias("v2")
-    )
-    lam = (
-        qf.crossJoin(F.broadcast(sumv2))
-        .select(
-            (
-                F.col("qf").cast("double")
-                / F.col("v2").cast("double")
-                / F.lit(float(_PCA_SCALE2) * n)
-            ).alias("ev")
-        )
-    )
-    tr = cnum.where(F.col("i") == F.col("j")).agg(
-        (F.sum("s").cast("double") / F.lit(float(_PCA_SCALE2) * n)).alias("trace")
-    )
-    pick = F.max(
-        F.struct(F.abs("val").alias("a"), (-F.col("dim")).alias("nd"), F.col("val"))
-    )
-    sgn = v.agg(F.when(pick.getField("val") < 0, -1).otherwise(1).alias("s"))
     return (
-        v.crossJoin(F.broadcast(lam))
-        .crossJoin(F.broadcast(tr))
-        .crossJoin(F.broadcast(sgn))
-        .select(
-            "dim",
-            (
-                (F.col("val") * F.col("s")).cast("double") / _PCA_V_SCALE
-            ).alias("loading"),
-            F.round("ev", 4).alias("eigenvalue"),
-            F.round(F.col("ev") / F.col("trace"), 6).alias("explained_share"),
+        cnum.withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(
+            lambda pdf: eigensolve(pdf),
+            schema="dim bigint, loading double, eigenvalue double,"
+            " explained_share double",
         )
         .orderBy("dim")
     )
