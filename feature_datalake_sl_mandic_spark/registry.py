@@ -95,10 +95,16 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # retrieval ground-truth pin, SCD2 join pin, multimodal signature pin,
 # the single-scan event/funnel/cohort rewrites, the replay-dedup chain
 # fold, the decontamination n-gram pin, plus the two r5-end null-sentinel
-# fixes and minhash's r5 prefilter), then the 25 alphabetically-first
-# queries last green in round 1.
+# fixes and minhash's r5 prefilter; late-round additions: the Q21/Q17
+# single-scan decorrelations, the per-role referential-integrity scan
+# fold, the ROUGE one-explosion fold, and the PCA trajectory task), then
+# the alphabetically-first queries last green in round 1.
 _PRIORITY: list[str] = [
     # --- changed since their last driver-green row
+    "q21_sole_late_supplier",
+    "q17_small_quantity_revenue",
+    "validate_referential_integrity",
+    "eval_rouge_redaction_impact",
     "split_exact_stratified",
     "corpus_domain_caps",
     "corpus_curation_end_to_end",
@@ -147,8 +153,6 @@ _PRIORITY: list[str] = [
     "pivot_status_by_nation",
     "q13_customer_order_distribution",
     "q16_supplier_count_by_part",
-    "q17_small_quantity_revenue",
-    "q21_sole_late_supplier",
     "q22_inactive_high_balance",
 ]
 # (multimodal_feature_extract was retired from the registry in round 4: its
