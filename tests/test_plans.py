@@ -376,3 +376,73 @@ class TestRound6BandedCurationPlans:
         # on (seg, pband) / band totals, never on bare seg over fact rows.
         plan = plans.formatted_plan(stats_gini_order_values(spark, SF_SMALL))
         assert "row_number" not in plan
+
+
+class TestRound6SingleScanFolds:
+    """Late-round-6 single-scan rewrites: each plan must scan its fact
+    table once (plan-probe finding: repeated same-table scans re-execute
+    the scan subtree per consumer — at 100 TB the extra scans dominate).
+    Formatted plans list each scan in both tree and detail sections, so a
+    substring count of 2 means ONE physical scan."""
+
+    @staticmethod
+    def _scan_count(df, table: str) -> int:
+        plan = plans.formatted_plan(df)
+        import re
+
+        return len(
+            re.findall(
+                rf"Location: InMemoryFileIndex[^\[]*\[[^\]]*?{table}\.parquet",
+                plan,
+            )
+        )
+
+    def test_q21_scans_lineitem_once(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.relational import (
+            q21_sole_late_supplier,
+        )
+
+        df = q21_sole_late_supplier(spark, SF_SMALL)
+        assert self._scan_count(df, "lineitem") == 1
+        assert self._scan_count(df, "orders") == 1
+
+    def test_q17_scans_each_table_once(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.relational import (
+            q17_small_quantity_revenue,
+        )
+
+        df = q17_small_quantity_revenue(spark, SF_SMALL)
+        assert self._scan_count(df, "lineitem") == 1
+        assert self._scan_count(df, "part") == 1
+
+    def test_referential_integrity_scans_lineitem_once(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.validation import (
+            validate_referential_integrity,
+        )
+
+        df = validate_referential_integrity(spark, SF_SMALL)
+        # lineitem carries three FK edges; one exploded scan serves all
+        assert self._scan_count(df, "lineitem") == 1
+        assert self._scan_count(df, "nation") == 1
+
+    def test_rouge_single_gram_aggregation(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.text import (
+            eval_rouge_redaction_impact,
+        )
+
+        plan = plans.formatted_plan(eval_rouge_redaction_impact(spark, SF_SMALL))
+        # both ROUGE sides share one explosion: exactly one generate node
+        # and no (doc, gram) join remain
+        assert plan.count("Generate explode") <= 2  # tree + detail section
+
+    def test_pca_iteration_is_one_bounded_task(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.clustering import (
+            embedding_pca_power_iteration,
+        )
+
+        df = embedding_pca_power_iteration(spark, SF_SMALL)
+        plan = plans.formatted_plan(df)
+        # corpus pass + covariance agg + single-group solve: the ~10-job
+        # relational squaring/iteration chain must not reappear
+        assert self._scan_count(df, "embeddings") <= 2  # corpus + means pass
+        assert plan.count("FlatMapGroupsInPandas") >= 1
