@@ -650,7 +650,7 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
     JOIN part_avg pa ON pa.l_partkey = l.l_partkey
     WHERE l.l_quantity < pa.qty_threshold
     """,
-    tags=("join", "correlated-subquery", "groupby-agg", "global-agg"),
+    tags=("join", "correlated-subquery", "window-decorrelation", "global-agg"),
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17: revenue lost to small-quantity orders. The correlated
@@ -721,7 +721,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY s.s_name
     ORDER BY numwait DESC, s.s_name
     """,
-    tags=("join", "semi-join", "anti-join", "exists-subquery", "groupby-agg"),
+    tags=("join", "exists-subquery", "decorrelated-conditional-agg", "groupby-agg"),
 )
 def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (lateness = shipped >90 days after order date, since
