@@ -83,3 +83,47 @@ def topk_with_rank(
         .agg(rnk.alias(rank_col))
         .orderBy(rank_col)
     )
+
+
+def grouped_topk(
+    df: DataFrame,
+    groups: list[str],
+    order: OrderSpec,
+    k: int,
+    salt_col: str,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Exact top-k PER GROUP without a fact-scale window on the bare group
+    key. ``row_number() OVER (PARTITION BY <low-cardinality key>)`` funnels
+    the whole input through |groups| tasks' sorts — the scale-killer class
+    the banded curation caps were cured of. Here rows band by the top 8
+    bits of md5(``salt_col``) (any deterministic high-cardinality column);
+    a first window takes the local top-k per (group, band) fully in
+    parallel — a group's global top-k rows are necessarily inside some
+    band's local top-k, so no candidate is lost — and only the <=256*k
+    survivors per group enter the final group-partitioned rank, whose
+    partitions are bounded regardless of input size.
+
+    ``order`` must be a total order (unique tie-break), exactly as
+    ``row_number`` requires for determinism. With ``rank_col`` the 1-based
+    BIGINT ordinal is kept in the output; otherwise only the top-k rows
+    survive, unranked.
+    """
+    from pyspark.sql.window import Window
+
+    from feature_datalake_sl_mandic_spark.functions.hashing import md5_int60_col
+
+    band = F.shiftright(md5_int60_col(F.col(salt_col).cast("string")), 52)
+    w_local = Window.partitionBy(*groups, "__band").orderBy(*_sort_cols(order))
+    cand = (
+        df.withColumn("__band", band)
+        .withColumn("__lrn", F.row_number().over(w_local))
+        .where(F.col("__lrn") <= k)
+        .drop("__band", "__lrn")
+    )
+    w_final = Window.partitionBy(*groups).orderBy(*_sort_cols(order))
+    out_rank = rank_col or "__rn"
+    ranked = cand.withColumn(
+        out_rank, F.row_number().over(w_final).cast("bigint")
+    ).where(F.col(out_rank) <= k)
+    return ranked if rank_col else ranked.drop("__rn")

@@ -164,14 +164,24 @@ def kmeans_lloyd_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kmeans_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced subsample: cap each k-means cluster at 10 vectors
     chosen by stable md5 order — diversity-preserving corpus downsampling
-    (the per-cluster cap pattern of SemDeDup-style curation)."""
-    a = _final_assignments(spark, sf_dir)
-    w = Window.partitionBy("cluster_final").orderBy(
-        md5_int60_col(F.col("vec_id").cast("string")), "vec_id"
+    (the per-cluster cap pattern of SemDeDup-style curation). Selection is
+    a banded two-phase ``grouped_topk``: a window partitioned on the bare
+    64-value cluster id would funnel the whole corpus through 64 tasks'
+    sorts at 100x; the band stage keeps it fully parallel."""
+    from feature_datalake_sl_mandic_spark.functions.ranking import grouped_topk
+
+    a = _final_assignments(spark, sf_dir).withColumn(
+        "_h", md5_int60_col(F.col("vec_id").cast("string"))
     )
     return (
-        a.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("sample_rank") <= SAMPLE_PER_CLUSTER)
+        grouped_topk(
+            a,
+            ["cluster_final"],
+            [("_h", "asc"), ("vec_id", "asc")],
+            SAMPLE_PER_CLUSTER,
+            salt_col="vec_id",
+            rank_col="sample_rank",
+        )
         .select(
             F.col("cluster_final").cast("bigint").alias("cluster_final"),
             "vec_id",

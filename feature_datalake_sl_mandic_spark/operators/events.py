@@ -1323,7 +1323,7 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("value") * 100, 0).cast("bigint").cast("string"),
             )
         ).alias("hk"),
-    )
+    ).localCheckpoint(eager=False)  # feeds the stats pass + banded selection
     # |strata| rows feeding the weight total, the allocation, AND the final
     # join — checkpoint so the full sufficient-statistics pass runs once.
     stats = (
@@ -1373,11 +1373,51 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    w = Window.partitionBy("event_type").orderBy("hk", "cents")
-    ranked = base.withColumn("rn", F.row_number().over(w))
+    # Banded two-level selection (the corpus_domain_caps playbook, with a
+    # per-stratum cap column instead of a constant): ranking every event row
+    # in a window partitioned on low-cardinality event_type would funnel the
+    # fact table through |strata| tasks' sorts at 100x. Instead rows band by
+    # the TOP 8 bits of the selection hash (band order is a prefix of the
+    # (hk, cents) order, so banding preserves the global rank); a bounded
+    # <=|strata|x256 count relation locates each stratum's n_alloc-crossing
+    # band; bands wholly inside the allocation keep all rows with zero
+    # ordering work; only the single boundary band per stratum ranks rows —
+    # in a window partitioned on (event_type, band), never on bare
+    # event_type. Same oracle (global-rank semantics); hash equality proves
+    # the decomposition.
+    banded = base.withColumn("band", F.shiftright("hk", 52))
+    bstats = banded.groupBy("event_type", "band").agg(F.count("*").alias("cnt"))
+    w_off = (
+        Window.partitionBy("event_type")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lab = (
+        bstats.withColumn(
+            "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).cast("bigint")
+        )
+        .join(alloc.select("event_type", "n_alloc"), "event_type")
+        .withColumn(
+            "status",
+            F.when(F.col("off") + F.col("cnt") <= F.col("n_alloc"), F.lit("all"))
+            .when(F.col("off") >= F.col("n_alloc"), F.lit("none"))
+            .otherwise(F.lit("boundary")),
+        )
+    )
+    joined = banded.join(
+        F.broadcast(lab.select("event_type", "band", "off", "n_alloc", "status")),
+        ["event_type", "band"],
+    )
+    w_in = Window.partitionBy("event_type", "band").orderBy("hk", "cents")
+    bnd_kept = (
+        joined.where(F.col("status") == "boundary")
+        .withColumn("_rn", F.row_number().over(w_in))
+        .where(F.col("off") + F.col("_rn") <= F.col("n_alloc"))
+        .drop("_rn")
+    )
     sampled = (
-        ranked.join(F.broadcast(alloc.select("event_type", "n_alloc")), "event_type")
-        .where(F.col("rn") <= F.col("n_alloc"))
+        joined.where(F.col("status") == "all")
+        .unionByName(bnd_kept)
         .groupBy("event_type")
         .agg(F.sum("cents").alias("sc"), F.count(F.lit(1)).alias("n_sampled"))
     )

@@ -438,14 +438,19 @@ def sketch_kmv_set_algebra_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["event_type", "hv"])
         .localCheckpoint()
     )
-    wk = _W.partitionBy("event_type").orderBy("hv")
-    # The sketch (|types| x k rows) feeds the pair grid AND the pair
-    # combine; checkpoint so each branch reads kilobytes instead of
-    # re-running the window (this plan was the repo's heaviest at 38
-    # shuffles before; array-fold rank below cut it again to ~16).
+    # k smallest hashes per type via banded two-phase grouped_topk: a window
+    # partitioned on bare low-cardinality event_type would funnel every
+    # distinct user hash through |types| tasks' sorts at 100x. The sketch
+    # (|types| x k rows) feeds the pair grid AND the pair combine;
+    # checkpoint so each branch reads kilobytes instead of re-running the
+    # selection (this plan was the repo's heaviest at 38 shuffles before;
+    # array-fold rank below cut it again to ~16).
+    from feature_datalake_sl_mandic_spark.functions.ranking import grouped_topk
+
     sk = (
-        hvs.withColumn("rn", F.row_number().over(wk))
-        .where(F.col("rn") <= KMV_K)
+        grouped_topk(
+            hvs, ["event_type"], [("hv", "asc")], KMV_K, salt_col="hv"
+        )
         .select("event_type", "hv")
         .localCheckpoint()
     )

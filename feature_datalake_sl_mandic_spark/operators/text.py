@@ -1508,26 +1508,32 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering never hinges on a last-ulp ln() difference between engines.
 
     Scale: one narrow projection computes the key inside the scan, then a
-    single per-stratum top-k — row_number over a window PARTITIONED BY lang
-    (each language ranks in parallel; k rows per stratum survive). At 100 TB
-    this is the map-side-heavy shape you want: the shuffle carries only
-    (lang, key, doc_id, w), not the text."""
+    banded two-phase ``grouped_topk``: a single window partitioned on bare
+    5-value lang would funnel every document row through |langs| tasks'
+    sorts at 100x — the same scale-killer class the banded curation caps
+    were cured of. Only the <=256*k band-local survivors per lang enter
+    the final rank window, which is bounded regardless of corpus size.
+    The shuffle carries only (lang, key, doc_id, w), not the text."""
     from feature_datalake_sl_mandic_spark.functions.hashing import md5_int60_col
-    from pyspark.sql.window import Window as _W
+    from feature_datalake_sl_mandic_spark.functions.ranking import grouped_topk
 
     (dc,) = _t(spark, sf_dir, "documents")
-    u = (
-        (md5_int60_col(F.col("doc_id").cast("string")) % 1_000_000) + F.lit(0.5)
-    ) / 1_000_000.0
+    h = md5_int60_col(F.col("doc_id").cast("string"))
+    u = ((h % 1_000_000) + F.lit(0.5)) / 1_000_000.0
     keyed = dc.select(
         "doc_id",
         "lang",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
     ).withColumn("es_key", F.round(F.log(u) / F.col("n_tokens"), 12))
-    w = _W.partitionBy("lang").orderBy(F.col("es_key").desc(), "doc_id")
     return (
-        keyed.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= RESERVOIR_K)
+        grouped_topk(
+            keyed,
+            ["lang"],
+            [("es_key", "desc"), ("doc_id", "asc")],
+            RESERVOIR_K,
+            salt_col="doc_id",
+            rank_col="rank",
+        )
         .select("lang", "rank", "doc_id", "n_tokens")
         .orderBy("lang", "rank")
     )
@@ -1679,12 +1685,14 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha also calibrates the CMS/head-vocabulary skew assumptions the
     LM-scoring plans document.
 
-    Scale shape: token counts collapse map-side; the rank is a window
-    PARTITIONED BY lang over the per-lang vocabulary (never raw tokens) and
-    only top-50 rows survive into the regression, which both engines
+    Scale shape: token counts collapse map-side; the top-50 head terms per
+    lang come from a banded two-phase ``grouped_topk`` (the per-lang
+    vocabulary is Heaps-sublinear but still ~10^7-10^8 terms at web scale —
+    a window partitioned on bare 5-value lang would sort it in |langs|
+    tasks) and only those rows enter the regression, which both engines
     compute with the same closed-form sufficient statistics
     (regr_slope/intercept/r2)."""
-    from pyspark.sql.window import Window as _W
+    from feature_datalake_sl_mandic_spark.functions.ranking import grouped_topk
 
     (dc,) = _t(spark, sf_dir, "documents")
     tc = (
@@ -1692,10 +1700,15 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "tok")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    w = _W.partitionBy("lang").orderBy(F.col("freq").desc(), "tok")
     pts = (
-        tc.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= ZIPF_TOP)
+        grouped_topk(
+            tc,
+            ["lang"],
+            [("freq", "desc"), ("tok", "asc")],
+            ZIPF_TOP,
+            salt_col="tok",
+            rank_col="rnk",
+        )
         .select(
             "lang", F.log(F.col("rnk")).alias("x"), F.log(F.col("freq")).alias("y")
         )
