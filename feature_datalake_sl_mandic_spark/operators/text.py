@@ -1248,11 +1248,20 @@ def lm_bigram_next_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uni = pairs.groupBy("w1").agg(F.sum("pair_cnt").alias("w1_cnt"))
     top_w1 = uni.orderBy(F.col("w1_cnt").desc(), "w1").limit(BIGRAM_TOP_W1)
-    rnk_w = Window.partitionBy("w1").orderBy(F.col("pair_cnt").desc(), "w2")
+    # successor rank via banded two-phase grouped_topk: a frequent w1's
+    # successor list is vocabulary-sized at web scale, so a window
+    # partitioned on bare w1 sorts it in one task per head word
+    from feature_datalake_sl_mandic_spark.functions.ranking import grouped_topk
+
     return (
-        pairs.join(F.broadcast(top_w1), "w1")
-        .withColumn("rnk", F.row_number().over(rnk_w).cast("bigint"))
-        .where(F.col("rnk") <= BIGRAM_TOP_NEXT)
+        grouped_topk(
+            pairs.join(F.broadcast(top_w1), "w1"),
+            ["w1"],
+            [("pair_cnt", "desc"), ("w2", "asc")],
+            BIGRAM_TOP_NEXT,
+            salt_col="w2",
+            rank_col="rnk",
+        )
         .select(
             "w1",
             "w2",
@@ -2101,8 +2110,12 @@ def lm_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("n1p_bw") / F.col("n_types")),
         6,
     )
-    rnk_w = Window.partitionBy("w1").orderBy(F.col("p_kn").desc(), "w2")
-    return (
+    # successor rank via banded two-phase grouped_topk (see
+    # lm_bigram_next_tokens: per-head-word successor lists are
+    # vocabulary-sized at web scale)
+    from feature_datalake_sl_mandic_spark.functions.ranking import grouped_topk
+
+    scored = (
         pairs.join(F.broadcast(top_w1), "w1")
         .join(F.broadcast(cont), "w2")
         .crossJoin(F.broadcast(npairs))
@@ -2114,10 +2127,15 @@ def lm_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("pair_cnt") / F.col("c_w1"), 6).alias("p_mle"),
             p_kn.alias("p_kn"),
         )
-        .withColumn("rnk", F.row_number().over(rnk_w).cast("bigint"))
-        .where(F.col("rnk") <= KN_TOP_NEXT)
-        .orderBy("w1", "rnk")
     )
+    return grouped_topk(
+        scored,
+        ["w1"],
+        [("p_kn", "desc"), ("w2", "asc")],
+        KN_TOP_NEXT,
+        salt_col="w2",
+        rank_col="rnk",
+    ).orderBy("w1", "rnk")
 
 
 # ---------------------------------------------- tokenizer fertility metrics

@@ -97,14 +97,23 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # fold, the decontamination n-gram pin, plus the two r5-end null-sentinel
 # fixes and minhash's r5 prefilter; late-round additions: the Q21/Q17
 # single-scan decorrelations, the per-role referential-integrity scan
-# fold, the ROUGE one-explosion fold, and the PCA trajectory task), then
-# the alphabetically-first queries last green in round 1.
+# fold, the ROUGE one-explosion fold, the PCA trajectory task, and the
+# seven banded-grouped-topk rewrites of per-group selections that still
+# ranked fact/vocabulary-scale inputs in windows on bare low-cardinality
+# keys), then the alphabetically-first queries last green in round 1.
 _PRIORITY: list[str] = [
     # --- changed since their last driver-green row
     "q21_sole_late_supplier",
     "q17_small_quantity_revenue",
     "validate_referential_integrity",
     "eval_rouge_redaction_impact",
+    "sample_stratified_neyman",
+    "sample_weighted_reservoir",
+    "corpus_zipf_fit",
+    "sketch_kmv_set_algebra_users",
+    "kmeans_balanced_sample",
+    "lm_bigram_next_tokens",
+    "lm_bigram_kneser_ney",
     "split_exact_stratified",
     "corpus_domain_caps",
     "corpus_curation_end_to_end",

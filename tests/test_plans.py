@@ -446,3 +446,74 @@ class TestRound6SingleScanFolds:
         # relational squaring/iteration chain must not reappear
         assert self._scan_count(df, "embeddings") <= 2  # corpus + means pass
         assert plan.count("FlatMapGroupsInPandas") >= 1
+
+
+class TestGroupedTopkBandedPlans:
+    """Per-group top-k selections over fact/vocabulary-scale inputs must go
+    through the banded two-phase ``grouped_topk`` (or an equivalent banded
+    decomposition): at least one row_number window in the plan must carry
+    the band column, proving the bare-low-cardinality-key single-window
+    form hasn't crept back (its final bounded-candidate rank may still
+    partition on the bare key — that's the cheap stage)."""
+
+    def _assert_has_banded_stage(self, df):
+        plan = plans.formatted_plan(df)
+        specs = [
+            ln
+            for ln in plan.splitlines()
+            if "row_number() windowspecdefinition" in ln
+        ]
+        assert specs, "expected a row_number somewhere in the plan"
+        assert any(
+            "band#" in ln for ln in specs
+        ), f"no banded local-topk stage found:\n" + "\n".join(specs)
+
+    def test_weighted_reservoir(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.text import (
+            sample_weighted_reservoir,
+        )
+
+        self._assert_has_banded_stage(sample_weighted_reservoir(spark, SF_SMALL))
+
+    def test_zipf_head_terms(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.text import corpus_zipf_fit
+
+        self._assert_has_banded_stage(corpus_zipf_fit(spark, SF_SMALL))
+
+    def test_kmv_sketch_build_uses_grouped_topk(self, spark):
+        # the k-smallest-hashes selection sits behind an eager
+        # localCheckpoint, so the returned DataFrame's plan starts at the
+        # checkpointed RDD and can't show the banded stage — pin the call
+        # at source level instead
+        import inspect
+
+        from feature_datalake_sl_mandic_spark.operators.sketches import (
+            sketch_kmv_set_algebra_users,
+        )
+
+        src = inspect.getsource(sketch_kmv_set_algebra_users)
+        assert "grouped_topk(" in src
+        assert 'partitionBy("event_type").orderBy("hv")' not in src
+
+    def test_kmeans_balanced_sample(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.clustering import (
+            kmeans_balanced_sample,
+        )
+
+        self._assert_has_banded_stage(kmeans_balanced_sample(spark, SF_SMALL))
+
+    def test_neyman_selection(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.events import (
+            sample_stratified_neyman,
+        )
+
+        self._assert_has_banded_stage(sample_stratified_neyman(spark, SF_SMALL))
+
+    def test_bigram_successor_ranks(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.text import (
+            lm_bigram_kneser_ney,
+            lm_bigram_next_tokens,
+        )
+
+        self._assert_has_banded_stage(lm_bigram_next_tokens(spark, SF_SMALL))
+        self._assert_has_banded_stage(lm_bigram_kneser_ney(spark, SF_SMALL))
