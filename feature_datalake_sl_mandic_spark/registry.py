@@ -154,15 +154,9 @@ _PRIORITY: list[str] = [
     "join_asof_purchase_after_click",
     "join_broadcast_order_priority",
     "join_full_outer_nation_activity",
-    "join_not_in_null_aware",
-    "join_range_lineitem_shipped_late",
-    "join_semi_customers_with_urgent_orders",
-    "maps_event_type_counts",
-    "merge_upsert_orders",
-    "pivot_status_by_nation",
-    "q13_customer_order_distribution",
-    "q16_supplier_count_by_part",
-    "q22_inactive_high_balance",
+    # (the rest of the round-1 alphabet — join_not_in_null_aware onward —
+    # rotates in next round; the 36 changed-since-green entries above take
+    # their slots this round)
 ]
 # (multimodal_feature_extract was retired from the registry in round 4: its
 # codec stubs made it permanently rows-only and every registered query must
