@@ -186,3 +186,71 @@ class TestBucketSplitRangeFrame:
     @settings(**PROP_SETTINGS)
     def test_matches_global_range_window_at_bucket_boundaries(self, spark, epochs):
         self._check(spark, epochs)
+
+
+# (id, group, score) rows with heavy ties on score; unique ids keep the
+# full sort key a total order. Groups are few (the low-cardinality-key
+# regime grouped_topk exists for).
+_grouped_rows_st = st.lists(
+    st.tuples(st.integers(0, 60), st.integers(0, 3), st.integers(0, 4)),
+    min_size=0,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(**PROP_SETTINGS)
+@given(rows=_grouped_rows_st, k=st.integers(1, 8))
+def test_grouped_topk_matches_per_group_row_number(spark, rows, k):
+    """The banded two-phase grouped_topk must agree EXACTLY — rows, ranks,
+    tie-breaks — with the single-window per-group row_number it replaces,
+    on any input including empty groups, ties, and k > group size."""
+    from feature_datalake_sl_mandic_spark.functions.ranking import grouped_topk
+
+    df = spark.createDataFrame(
+        rows or [(None, None, None)], "id INT, grp INT, score INT"
+    ).where(F.col("id").isNotNull())
+
+    w = Window.partitionBy("grp").orderBy(F.col("score").desc(), "id")
+    want = {
+        (r["grp"], r["id"], r["rnk"])
+        for r in df.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= k)
+        .collect()
+    }
+    got = {
+        (r["grp"], r["id"], r["rnk"])
+        for r in grouped_topk(
+            df,
+            ["grp"],
+            [("score", "desc"), ("id", "asc")],
+            k,
+            salt_col="id",
+            rank_col="rnk",
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(**PROP_SETTINGS)
+@given(rows=_grouped_rows_st, k=st.integers(1, 8))
+def test_grouped_topk_unranked_matches_set(spark, rows, k):
+    from feature_datalake_sl_mandic_spark.functions.ranking import grouped_topk
+
+    df = spark.createDataFrame(
+        rows or [(None, None, None)], "id INT, grp INT, score INT"
+    ).where(F.col("id").isNotNull())
+    w = Window.partitionBy("grp").orderBy(F.col("score").desc(), "id")
+    want = {
+        (r["grp"], r["id"])
+        for r in df.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .collect()
+    }
+    got = {
+        (r["grp"], r["id"])
+        for r in grouped_topk(
+            df, ["grp"], [("score", "desc"), ("id", "asc")], k, salt_col="id"
+        ).collect()
+    }
+    assert got == want
