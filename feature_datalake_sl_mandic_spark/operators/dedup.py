@@ -381,7 +381,16 @@ def dedup_minhash_lsh(
         .localCheckpoint()
     )
 
-    x, y = sh.alias("x"), sh.alias("y")
+    # Prune the y-side shingle relation to candidate doc_b's BEFORE the
+    # (doc_id, h) intersection shuffle: without it the verify reshuffles the
+    # WHOLE corpus's shingles on (doc_id, h) even though only
+    # band-collision candidates can match; with it (an AQE-broadcast-able
+    # semi over the bounded candidate id set) the shuffle carries only
+    # candidates' shingles. The x side is already restricted by its join
+    # against the candidate pair relation itself.
+    cand_b = cand.select(F.col("doc_b").alias("doc_id")).distinct()
+    x = sh.alias("x")
+    y = sh.join(cand_b, "doc_id", "left_semi").alias("y")
     inter = (
         cand.select("doc_a", "doc_b")
         .alias("c")
