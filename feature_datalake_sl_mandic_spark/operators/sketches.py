@@ -219,47 +219,46 @@ _HLL_W_BITS = 32  # rho window: low 32 bits of the md5 integer above the bucket
 @register(
     "sketch_hll_manual_users",
     oracle=f"""
-    WITH h AS (
-      SELECT DISTINCT event_type,
-             {md5_int60_sql("CAST(user_id AS VARCHAR)")} AS hv
-      FROM events
+    WITH du AS (
+      SELECT DISTINCT event_type, user_id FROM events
     ),
     reg AS (
-      SELECT event_type, hv % {HLL_M} AS bucket,
+      SELECT event_type, user_id, hv % {HLL_M} AS bucket,
              (hv // {HLL_M}) % 4294967296 AS w
-      FROM h
+      FROM (SELECT event_type, user_id,
+                   {md5_int60_sql("CAST(user_id AS VARCHAR)")} AS hv
+            FROM du)
     ),
     rho AS (
       SELECT event_type, bucket,
              max(CASE WHEN w = 0 THEN {_HLL_W_BITS + 1}
-                      ELSE {_HLL_W_BITS + 1} - length(bin(w)) END) AS m_j
+                      ELSE {_HLL_W_BITS + 1} - length(bin(w)) END) AS m_j,
+             count(user_id) AS n_b
       FROM reg GROUP BY 1, 2
     ),
     est AS (
       SELECT event_type,
              sum(pow(2.0, -m_j)) + ({HLL_M} - count(*)) AS denom,
-             {HLL_M} - count(*) AS n_zero
+             {HLL_M} - count(*) AS n_zero,
+             CAST(sum(n_b) AS BIGINT) AS n_exact
       FROM rho GROUP BY 1
     ),
     raw AS (
       SELECT event_type,
-             {HLL_ALPHA} * {HLL_M} * {HLL_M} / denom AS e_raw, n_zero
+             {HLL_ALPHA} * {HLL_M} * {HLL_M} / denom AS e_raw, n_zero, n_exact
       FROM est
     ),
     fixed AS (
       SELECT event_type,
              CASE WHEN e_raw <= 2.5 * {HLL_M} AND n_zero > 0
                   THEN {HLL_M} * ln({HLL_M} * 1.0 / n_zero)
-                  ELSE e_raw END AS e, n_zero
+                  ELSE e_raw END AS e, n_zero, n_exact
       FROM raw
-    ),
-    exact AS (
-      SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1
     )
-    SELECT f.event_type, x.n_exact, CAST(f.n_zero AS BIGINT) AS n_zero,
+    SELECT f.event_type, f.n_exact, CAST(f.n_zero AS BIGINT) AS n_zero,
            round(f.e, 2) AS hll_estimate,
-           round(abs(f.e - x.n_exact) / x.n_exact, 4) AS rel_error
-    FROM fixed f JOIN exact x USING (event_type)
+           round(abs(f.e - f.n_exact) / f.n_exact, 4) AS rel_error
+    FROM fixed f
     ORDER BY f.event_type
     """,
     tags=("sketch", "hyperloglog", "distinct-count", "mergeable"),
@@ -281,14 +280,24 @@ def sketch_hll_manual_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     input size — built by one map-side-combined max-aggregation — and
     registers merge by max, so per-partition partial sketches combine
     without re-reading data (the mergeability that makes HLL the standard
-    distributed distinct-count sketch). The exact count here is the test
-    harness, not a production cost."""
+    distributed distinct-count sketch). The exact count (the accuracy
+    harness) RIDES the same single scan: dedup on (type, user) instead of
+    (type, hash) — the registers are duplicate-insensitive, max(rho) is
+    unchanged — so per-bucket distinct-user counts sum to the exact
+    distinct count inside the register rollup, and the second events scan
+    the count used to cost is gone (count(user_id) not count(*): NULL
+    users hash to the NULL register row but never counted as a user,
+    exactly countDistinct's semantics)."""
     (ev,) = _t(spark, sf_dir, "events")
-    h = ev.select(
-        "event_type", md5_int60_col(F.col("user_id").cast("string")).alias("hv")
-    ).dropDuplicates(["event_type", "hv"])
+    du = ev.select("event_type", "user_id").dropDuplicates()
+    h = du.select(
+        "event_type",
+        "user_id",
+        md5_int60_col(F.col("user_id").cast("string")).alias("hv"),
+    )
     reg = h.select(
         "event_type",
+        "user_id",
         (F.col("hv") % HLL_M).alias("bucket"),
         # Integer division (shiftright by log2(m)), NOT float division: the
         # 60-bit hash exceeds float64's exact-integer range (2^53), so
@@ -298,24 +307,23 @@ def sketch_hll_manual_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     rho = F.when(F.col("w") == 0, F.lit(_HLL_W_BITS + 1)).otherwise(
         F.lit(_HLL_W_BITS + 1) - F.length(F.bin(F.col("w")))
     )
-    regs = reg.groupBy("event_type", "bucket").agg(F.max(rho).alias("m_j"))
+    regs = reg.groupBy("event_type", "bucket").agg(
+        F.max(rho).alias("m_j"), F.count("user_id").alias("n_b")
+    )
     est = regs.groupBy("event_type").agg(
         (F.sum(F.pow(F.lit(2.0), -F.col("m_j"))) + (F.lit(HLL_M) - F.count(F.lit(1)))).alias(
             "denom"
         ),
         (F.lit(HLL_M) - F.count(F.lit(1))).cast("bigint").alias("n_zero"),
+        F.sum("n_b").alias("n_exact"),
     )
     e_raw = F.lit(HLL_ALPHA) * HLL_M * HLL_M / F.col("denom")
     e = F.when(
         (e_raw <= 2.5 * HLL_M) & (F.col("n_zero") > 0),
         F.lit(HLL_M) * F.log(F.lit(HLL_M) / F.col("n_zero")),
     ).otherwise(e_raw)
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_exact")
-    )
     return (
-        est.select("event_type", "n_zero", e.alias("e"))
-        .join(exact, "event_type")
+        est.select("event_type", "n_exact", "n_zero", e.alias("e"))
         .select(
             "event_type",
             "n_exact",
@@ -602,14 +610,24 @@ def sketch_hll_daily_to_weekly_merge(spark: SparkSession, sf_dir: str) -> DataFr
 
     Scale shape: one map-side-combined aggregation to daily registers, one
     O(|types| x |weeks| x 64) merge, one tiny estimate projection. The
-    weekly exact count (the test harness) is the ONLY part that touches raw
-    events twice."""
+    weekly exact count (the test harness) shares the SAME single events
+    scan: both the registers and the exact count derive from the pinned
+    day-level distinct (type, day, user) relation — 10-1000x smaller than
+    raw events at production scale, so materializing it once beats the
+    second raw scan the exact count used to cost (weekly distinct can't
+    ride the daily registers themselves: a user active on two days of a
+    week would double-count, which is the whole reason HLL merge exists)."""
     (ev,) = _t(spark, sf_dir, "events")
-    h = ev.select(
+    du = (
+        ev.select("event_type", F.to_date("ts").alias("day"), "user_id")
+        .dropDuplicates()
+        .localCheckpoint(eager=False)  # feeds registers AND the exact count
+    )
+    h = du.select(
         "event_type",
-        F.to_date("ts").alias("day"),
+        "day",
         md5_int60_col(F.col("user_id").cast("string")).alias("hv"),
-    ).dropDuplicates(["event_type", "day", "hv"])
+    )
     reg = h.select(
         "event_type",
         "day",
@@ -638,8 +656,8 @@ def sketch_hll_daily_to_weekly_merge(spark: SparkSession, sf_dir: str) -> DataFr
         (e_raw <= 2.5 * HLL_M) & (F.col("n_zero") > 0),
         F.lit(HLL_M) * F.log(F.lit(HLL_M) / F.col("n_zero")),
     ).otherwise(e_raw)
-    exact = ev.groupBy(
-        "event_type", F.weekofyear(F.to_date("ts")).cast("bigint").alias("week")
+    exact = du.groupBy(
+        "event_type", F.weekofyear("day").cast("bigint").alias("week")
     ).agg(F.countDistinct("user_id").alias("n_exact"))
     return (
         est.select("event_type", "week", e.alias("e"))
