@@ -747,7 +747,8 @@ def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("value") * 100, 0).cast("bigint").cast("string"),
             )
         ).alias("hk"),
-    )
+    ).localCheckpoint(eager=False)  # feeds the replicate fan-out AND the
+    # full-sample mean — pinned so the events scan + projection run once
     bs = spark.range(BOOT_B).select(F.col("id").alias("b"))
     keep = (
         md5_int60_col(

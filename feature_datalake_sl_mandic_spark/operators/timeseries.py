@@ -695,7 +695,9 @@ def ts_cross_correlation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-day fanout is |event_type|^2 x lags, a constant; no window over the
     raw series, no UDF. Zero-variance series are dropped on both sides
     rather than risking engine-specific NaN-vs-NULL corr semantics."""
-    daily = _daily_series(spark, sf_dir)
+    # pinned: both sides of the lag pairing read the same bounded daily
+    # relation instead of re-running the events scan + daily agg per side
+    daily = _daily_series(spark, sf_dir).localCheckpoint(eager=False)
     lags = spark.range(0, XCORR_MAX_LAG + 1).select(F.col("id").alias("lag"))
     a = daily.crossJoin(F.broadcast(lags)).select(
         F.col("event_type").alias("type_a"),
@@ -758,8 +760,12 @@ def ts_seasonal_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     is |event_type| x 7 rows no matter the input size.
 
     Scale shape: two partial-aggregating groupBys over the bounded daily
-    relation; the per-type mean broadcasts back. No window, no UDF."""
-    daily = _daily_series(spark, sf_dir)
+    relation; the per-type mean broadcasts back. No window, no UDF. The
+    daily relation is pinned so both groupBys share one events scan
+    (deriving the type mean from the dow sums instead would re-order the
+    float summation vs the oracle's direct avg — not worth the ulp risk
+    for a bounded relation)."""
+    daily = _daily_series(spark, sf_dir).localCheckpoint(eager=False)
     per_dow = daily.groupBy(
         "event_type", (F.weekday("day") + F.lit(1)).cast("bigint").alias("dow")
     ).agg(F.count(F.lit(1)).alias("n_days"), F.avg("daily_value").alias("dow_mean"))
