@@ -114,6 +114,11 @@ _PRIORITY: list[str] = [
     "kmeans_balanced_sample",
     "lm_bigram_next_tokens",
     "lm_bigram_kneser_ney",
+    "sketch_hll_manual_users",
+    "sketch_hll_daily_to_weekly_merge",
+    "stats_bootstrap_ci_mean",
+    "ts_cross_correlation_lags",
+    "ts_seasonal_dow_index",
     "split_exact_stratified",
     "corpus_domain_caps",
     "corpus_curation_end_to_end",
@@ -149,13 +154,8 @@ _PRIORITY: list[str] = [
     "agg_rollup_orders",
     "agg_stats_acctbal",
     "agg_unpivot_nation_metrics",
-    "groupmap_user_value_trend",
-    "join_anti_customers_no_urgent",
-    "join_asof_purchase_after_click",
-    "join_broadcast_order_priority",
-    "join_full_outer_nation_activity",
-    # (the rest of the round-1 alphabet — join_not_in_null_aware onward —
-    # rotates in next round; the 36 changed-since-green entries above take
+    # (the rest of the round-1 alphabet — groupmap_user_value_trend onward —
+    # rotates in next round; the 41 changed-since-green entries above take
     # their slots this round)
 ]
 # (multimodal_feature_extract was retired from the registry in round 4: its
