@@ -761,8 +761,12 @@ def dedup_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).select("doc_id", "lang", F.md5("s").alias("h"))
-    dg = g.groupBy("doc_id", "h").agg(
-        F.first("lang").alias("lang"), F.count(F.lit(1)).alias("occ")
+    dg = (
+        g.groupBy("doc_id", "h")
+        .agg(F.first("lang").alias("lang"), F.count(F.lit(1)).alias("occ"))
+        .localCheckpoint(eager=False)
+        # ^ feeds the span document-frequency AND the frequency join —
+        # pinned so the n-gram explosion runs once, not per branch
     )
     dfr = dg.groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))
     dup_occ = F.sum(F.when(F.col("ndocs") >= 2, F.col("occ")).otherwise(0))

@@ -370,7 +370,9 @@ def pack_shard_assignments(dc: DataFrame) -> DataFrame:
         "lang",
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.floor(F.col("doc_id") / PACK_BUCKET_WIDTH).alias("bucket"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ feeds the within-bucket prefix window AND the bucket-offset totals —
+    # pinned so the scan + tokenization run once, not per branch
     w_in = (
         Window.partitionBy("lang", "bucket")
         .orderBy("doc_id")
@@ -436,16 +438,23 @@ TFIDF_TOP_N = 3
     tags=("text", "tfidf", "topk-per-group", "groupby-agg"),
 )
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF keyword extraction: term frequency per doc and document
-    frequency per term are two partial-aggregated shuffles over exploded
-    tokens; the corpus size joins in as a broadcast scalar and the idf
-    weighting stays in codegen (ln is bit-identical across engines, so even
-    the scores hash-match). Top terms per doc via the standard one-shuffle
-    window row_number — no per-doc sort of the whole vocabulary."""
+    """TF-IDF keyword extraction: ONE explosion feeds both statistics —
+    term frequency per doc is the first aggregation, and document frequency
+    per term is a count over the (doc, term) relation it produces (one row
+    per containing doc, so count == countDistinct, with no second explosion
+    and no distinct-aggregate expand). The corpus size joins in as a
+    broadcast scalar and the idf weighting stays in codegen (ln is
+    bit-identical across engines, so even the scores hash-match). Top terms
+    per doc via the standard one-shuffle window row_number — no per-doc
+    sort of the whole vocabulary."""
     (dc,) = _t(spark, sf_dir, "documents")
     toks = dc.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)  # feeds df AND the score join
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = dc.count()  # driver scalar: one number, not a collect of rows
     scored = tf.join(df, "term").select(
         "doc_id",
@@ -2464,8 +2473,12 @@ def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             for lg in ("en", "es", "fr", "de", "zh")
         ],
     ).select("lang_label", _lang_pred_col().alias("lang_pred"))
-    cells = pred.groupBy("lang_label", "lang_pred").agg(
-        F.count(F.lit(1)).alias("n")
+    cells = (
+        pred.groupBy("lang_label", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+        # ^ bounded |langs|^2 relation feeding the row totals AND the final
+        # join — pinned so the corpus scoring pass runs once, not per branch
     )
     tot = cells.groupBy("lang_label").agg(F.sum("n").alias("n_label"))
     return (
