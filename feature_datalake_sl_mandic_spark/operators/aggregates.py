@@ -360,6 +360,9 @@ def agg_histogram_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         od.select(bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+        # ^ bounded bucket relation feeding the total AND the share join —
+        # pinned so the orders scan runs once, not per branch
     )
     # Share-of-total via a broadcast 1-row total instead of an unpartitioned
     # window: the window form funnels the (already tiny) aggregate through a

@@ -957,7 +957,9 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("recency_days"),
         F.count(F.lit(1)).alias("frequency"),
         F.round(F.sum("o_totalprice") * 100, 0).cast("bigint").alias("monetary_c"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ the per-customer relation feeds the quantile cutoffs AND the scoring
+    # pass — pinned so the orders scan + aggregation run once, not per branch
     cuts = rfm.agg(
         *[
             F.expr(f"percentile({m}, {q})").alias(f"{m[0]}{i}")

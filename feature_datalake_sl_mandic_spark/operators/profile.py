@@ -459,6 +459,9 @@ def profile_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_rows"))
+        .localCheckpoint(eager=False)
+        # ^ bounded bucket relation feeding the totals AND the share join —
+        # pinned so the events scan runs once, not per branch
     )
     stats = buckets.agg(
         F.sum("n_rows").alias("total"),

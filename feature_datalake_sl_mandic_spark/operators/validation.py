@@ -290,6 +290,9 @@ def validate_benford_order_values(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(digit.alias("digit"))
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+        # ^ <=9 rows feeding the total AND the expected join — pinned so the
+        # orders scan runs once, not per branch
     )
     tot = obs.agg(F.sum("n").alias("total"))
     expected = spark.createDataFrame(
