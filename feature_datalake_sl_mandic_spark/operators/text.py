@@ -1012,33 +1012,30 @@ def corpus_chunk_dedup_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("c"),
     ).select("doc_id", F.col("c.idx").alias("idx"), F.col("c.chunk").alias("chunk"))
-    kept = (
+    # ONE conditional reassembly pass replaces the kept-subset groupBy +
+    # left join back to docs: every document owns at least one chunk row, so
+    # grouping ALL chunk rows per doc (counting everything, conditionally
+    # collecting only first-occurrence chunks) yields n_chunks, n_kept, and
+    # the surviving text without a second documents scan or a join —
+    # collect_list skips the NULLs the rn>1 rows contribute.
+    return (
         chunks.withColumn(
             "rn",
             F.row_number().over(
                 Window.partitionBy("chunk").orderBy("doc_id", "idx")
             ),
         )
-        .where(F.col("rn") == 1)
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_kept"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("rn") == 1).cast("bigint")).alias("n_kept"),
             F.array_join(
                 F.expr(
-                    "transform(array_sort(collect_list(struct(idx, chunk))),"
-                    " s -> s.chunk)"
+                    "transform(array_sort(collect_list(CASE WHEN rn = 1 THEN"
+                    " struct(idx, chunk) END)), s -> s.chunk)"
                 ),
                 " ",
             ).alias("dedup_text"),
-        )
-    )
-    return (
-        docs.join(kept, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.ceil(F.size("toks") / F.lit(10.0)).cast("bigint").alias("n_chunks"),
-            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
         )
         .orderBy("doc_id")
     )
@@ -1911,6 +1908,10 @@ def corpus_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounded.select("doc_id", F.explode(pairs).alias("c"))
         .where(F.col("c.clen") > 0)
         .select("doc_id", F.col("c.ch").alias("ch"), F.col("c.clen").alias("clen"))
+        .localCheckpoint(eager=False)
+        # ^ feeds the chunk document-frequency AND the per-doc rollup —
+        # pinned so the per-position CDC hashing (this query's dominant
+        # compute) runs once, not per branch
     )
     freq = chunks.groupBy("ch").agg(F.countDistinct("doc_id").alias("ndocs"))
     return (
