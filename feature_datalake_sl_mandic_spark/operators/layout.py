@@ -199,12 +199,22 @@ def _files_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("hd") / _ROWS_PER_FILE).cast("bigint").alias("h_file"),
     )
     layouts = [("hash_x", "hash_file"), ("zorder", "z_file"), ("hilbert", "h_file")]
-    tall = None
-    for name, col in layouts:
-        part = assigned.select(
-            F.lit(name).alias("layout"), F.col(col).alias("file_id"), "x", "y"
-        )
-        tall = part if tall is None else tall.unionAll(part)
+    # all three layouts ride ONE exploded scan (a per-layout unionAll would
+    # re-run the scan + curve computation once per layout)
+    tall = assigned.select(
+        "x",
+        "y",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("layout"), F.col(col).alias("file_id")
+                    )
+                    for name, col in layouts
+                ]
+            )
+        ).alias("e"),
+    ).select(F.col("e.layout").alias("layout"), F.col("e.file_id").alias("file_id"), "x", "y")
     return tall.groupBy("layout", "file_id").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.min("x").alias("x_min"),
