@@ -119,6 +119,15 @@ _PRIORITY: list[str] = [
     "stats_bootstrap_ci_mean",
     "ts_cross_correlation_lags",
     "ts_seasonal_dow_index",
+    "text_tfidf_top_terms",
+    "corpus_chunk_dedup_crossdoc",
+    "corpus_cdc_chunking",
+    "layout_zorder_files",
+    "customers_rfm_segments",
+    "eval_langid_confusion",
+    "dedup_duplicate_ngram_spans",
+    "corpus_pack_shards",
+    "profile_partition_skew",
     "split_exact_stratified",
     "corpus_domain_caps",
     "corpus_curation_end_to_end",
@@ -145,18 +154,12 @@ _PRIORITY: list[str] = [
     "customers_cohort_ltv",
     "corpus_decontaminate",
     # --- oldest green rows first (round 1)
-    "agg_argmax_order_per_customer",
-    "agg_conditional_pivot",
-    "agg_cube_lineitem",
-    "agg_distinct_suppliers",
-    "agg_grouping_sets_events",
-    "agg_histogram_order_value",
-    "agg_rollup_orders",
-    "agg_stats_acctbal",
-    "agg_unpivot_nation_metrics",
-    # (the rest of the round-1 alphabet — groupmap_user_value_trend onward —
-    # rotates in next round; the 41 changed-since-green entries above take
-    # their slots this round)
+    # (the round-1 alphabet rotation and the two most trivial late pins —
+    # validate_benford_order_values and agg_histogram_order_value, each a
+    # localCheckpoint on a <=200-row count relation — rotate in next round;
+    # the 50 changed-since-green entries above fill the window this round.
+    # All late-round-changed queries, windowed or not, were re-verified
+    # against the DuckDB oracle at the driver's sf0.01 before shipping.)
 ]
 # (multimodal_feature_extract was retired from the registry in round 4: its
 # codec stubs made it permanently rows-only and every registered query must
