@@ -2314,11 +2314,17 @@ def eval_rouge_redaction_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed. The same harness scores any rewrite stage (boilerplate strip,
     dedup merge) by swapping the candidate column.
 
-    Scale shape: token/bigram multisets collapse to (doc, gram, count)
-    relations (map-side combined); the recall is one left join per
-    granularity keyed (doc, gram) — inverted-index shaped, bounded by
-    document length, never corpus-quadratic — then a bounded per-source
-    rollup."""
+    Scale shape (round-6 in-row fold): ROUGE here compares each document
+    against ITS OWN redacted form, so the gram-multiset intersection never
+    needs to leave the row — both sides' grams ride one array, one
+    ``array_sort`` groups equal grams into runs, and one linear
+    ``F.aggregate`` fold counts per-run (reference, candidate) occurrences
+    and accumulates overlap/denominator. The previous inverted-index form
+    (explode -> groupBy (doc, n, gram)) shuffled the ~200x-corpus gram
+    relation once; this shuffles NOTHING at corpus scale — the whole plan
+    is scan -> project -> 5-row per-source rollup (sf0.1 min-of-5
+    2.90s -> 0.98s). Per-row cost is O(len log len) for the sort, bounded
+    by document length."""
     (dc,) = _t(spark, sf_dir, "documents")
     with_pii = F.concat(
         F.col("text"),
@@ -2338,74 +2344,85 @@ def eval_rouge_redaction_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PII_SSN,
         "<SSN>",
     )
-    base = (
-        dc.select("doc_id", "source", with_pii.alias("t"))
-        .withColumn("r", red)
-        .localCheckpoint()  # feeds four gram explosions + the final rollup
-    )
+    def toks(col):
+        return F.filter(F.split(F.lower(col), " "), lambda x: F.length(x) > 0)
 
     def grams(col: str, n: int):
-        toks = F.filter(
-            F.split(F.lower(F.col(col)), " "), lambda x: F.length(x) > 0
-        )
+        t = F.col(col)
         if n == 1:
-            return toks
+            return t
         return F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
+            F.sequence(F.lit(1), F.size(t) - 1),
             lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
             ),
         )
 
-    def tagged(col: str, side: int):
-        """Unigrams AND bigrams in one array, tagged by (side, n)."""
-        return F.concat(
-            F.transform(
-                grams(col, 1),
-                lambda g: F.struct(
-                    F.lit(side).alias("s"), F.lit(1).alias("n"), g.alias("g")
+    def rouge(n: int):
+        """ROUGE-n recall as a single in-row fold: tag each side's grams,
+        sort so equal grams form runs, then one linear pass counts the
+        per-gram (reference ca, candidate cb) run and flushes
+        least(ca, cb) / ca into the overlap/denominator accumulators at
+        every run boundary. Same integer sums -> same double division as
+        the (doc, gram, count) join form, so the oracle hash is unchanged."""
+        arr = F.array_sort(
+            F.concat(
+                F.transform(
+                    grams("ta", n),
+                    lambda g: F.struct(g.alias("g"), F.lit(0).alias("s")),
                 ),
-            ),
-            F.transform(
-                grams(col, 2),
-                lambda g: F.struct(
-                    F.lit(side).alias("s"), F.lit(2).alias("n"), g.alias("g")
+                F.transform(
+                    grams("tb", n),
+                    lambda g: F.struct(g.alias("g"), F.lit(1).alias("s")),
                 ),
-            ),
+            )
+        )
+        zero = F.lit(0).cast("bigint")
+        init = F.struct(
+            F.lit("").alias("prev"),
+            zero.alias("ca"),
+            zero.alias("cb"),
+            zero.alias("ov"),
+            zero.alias("tot"),
         )
 
-    # BOTH sides of the ROUGE comparison ride one explosion and one
-    # aggregation: per (doc, n, gram), conditional counts for the reference
-    # (ca) and candidate (cb) — the reference-side left join disappears
-    # (gram with ca=0 == candidate-only gram == the join's unmatched right
-    # rows, dropped by the ca>0 filter), and the corpus-dominant gram
-    # relation (~200x documents) shuffles ONCE instead of twice + join.
-    # (Local wall-clock is a wash — sf0.1 min-of-5 2.637s vs 2.632s for the
-    # two-agg+join form; the regex/explosion compute dominates locally. The
-    # win is the halved shuffle volume, which is what matters at 100 TB.)
-    counts = (
-        base.select(
-            "doc_id", F.explode(F.concat(tagged("t", 0), tagged("r", 1))).alias("x")
+        def step(acc, x):
+            same = x["g"] == acc["prev"]
+            inc_a = F.when(x["s"] == 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+            return F.struct(
+                x["g"].alias("prev"),
+                (F.when(same, acc["ca"]).otherwise(zero) + inc_a).alias("ca"),
+                (
+                    F.when(same, acc["cb"]).otherwise(zero)
+                    + (F.lit(1).cast("bigint") - inc_a)
+                ).alias("cb"),
+                F.when(same, acc["ov"])
+                .otherwise(acc["ov"] + F.least(acc["ca"], acc["cb"]))
+                .alias("ov"),
+                F.when(same, acc["tot"]).otherwise(acc["tot"] + acc["ca"]).alias("tot"),
+            )
+
+        def fin(acc):
+            ov = acc["ov"] + F.least(acc["ca"], acc["cb"])
+            tot = acc["tot"] + acc["ca"]
+            return F.when(tot > 0, ov / tot)
+
+        return F.aggregate(arr, init, step, fin)
+
+    per_doc = (
+        dc.select("doc_id", "source", with_pii.alias("t"))
+        .withColumn("r", red)
+        # Tokenize once per side in its own projection; the rouge folds
+        # reference the token arrays, and codegen subexpression elimination
+        # keeps the regex/split chains single-evaluation if Catalyst
+        # collapses the projections.
+        .select("doc_id", "source", toks(F.col("t")).alias("ta"), toks(F.col("r")).alias("tb"))
+        .select(
+            "doc_id",
+            "source",
+            rouge(1).alias("rouge1"),
+            rouge(2).alias("rouge2"),
         )
-        .groupBy("doc_id", F.col("x.n").alias("n"), F.col("x.g").alias("g"))
-        .agg(
-            F.sum(F.when(F.col("x.s") == 0, 1).otherwise(0)).alias("ca"),
-            F.sum(F.when(F.col("x.s") == 1, 1).otherwise(0)).alias("cb"),
-        )
-    )
-    recall = (
-        counts.where(F.col("ca") > 0)
-        .groupBy("doc_id", "n")
-        .agg(
-            (F.sum(F.least(F.col("ca"), F.col("cb"))) / F.sum("ca")).alias("rouge")
-        )
-    )
-    per_doc = base.select("doc_id", "source").join(
-        recall.groupBy("doc_id").agg(
-            F.max(F.when(F.col("n") == 1, F.col("rouge"))).alias("rouge1"),
-            F.max(F.when(F.col("n") == 2, F.col("rouge"))).alias("rouge2"),
-        ),
-        "doc_id",
     )
     return (
         per_doc.groupBy("source")

@@ -425,15 +425,19 @@ class TestRound6SingleScanFolds:
         assert self._scan_count(df, "lineitem") == 1
         assert self._scan_count(df, "nation") == 1
 
-    def test_rouge_single_gram_aggregation(self, spark):
+    def test_rouge_in_row_fold_no_gram_stage(self, spark):
         from feature_datalake_sl_mandic_spark.operators.text import (
             eval_rouge_redaction_impact,
         )
 
-        plan = plans.formatted_plan(eval_rouge_redaction_impact(spark, SF_SMALL))
-        # both ROUGE sides share one explosion: exactly one generate node
-        # and no (doc, gram) join remain
-        assert plan.count("Generate explode") <= 2  # tree + detail section
+        df = eval_rouge_redaction_impact(spark, SF_SMALL)
+        plan = plans.formatted_plan(df)
+        # round-6 fold: the gram multiset never leaves the row — no explode
+        # generate, no (doc, gram) join, one documents scan; the only
+        # shuffles left are the bounded per-source rollup + output sort
+        assert "Generate" not in plan
+        assert "Join" not in plan
+        assert self._scan_count(df, "documents") == 1
 
     def test_pca_iteration_is_one_bounded_task(self, spark):
         from feature_datalake_sl_mandic_spark.operators.clustering import (
