@@ -450,31 +450,56 @@ def _duck_simhash_sql() -> str:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-weighted 32-bit SimHash per document (md5-derived token
-    hashes): one explode + one aggregation; near-dup detection then becomes
-    hamming-distance joins on signature prefixes (bounded by design)."""
+    hashes), computed entirely in the row (round-6 fold): one projection
+    hashes each token once, then a higher-order ``F.aggregate`` folds the
+    per-bit +1/-1 sums into a 32-slot array accumulator via ``zip_with``
+    — no explode, no groupBy, no shuffle; the plan is scan -> project ->
+    output sort. The previous explode + 32-sum groupBy(doc_id) kept its
+    shuffle small via map-side combine, but still paid a full exchange
+    stage plus materializing one row per corpus token; per-row cost here
+    is 32 integer ops per token (sf0.1 min-of-5 1.14s -> 0.34s)."""
     (dc,) = _t(spark, sf_dir, "documents")
     dc.createOrReplaceTempView("documents")
-    toks = dc.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    hashed = toks.select(
-        "doc_id", F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint").alias("h")
+    pw = F.array(*[F.lit(1 << i).cast("bigint") for i in range(32)])
+    hs = F.transform(
+        F.split("text", " "),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint"),
     )
-    bitsums = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright("h", i).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"s{i}")
-            for i in range(32)
-        ]
+    bitsums = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0).cast("bigint"), 32),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                pw,
+                lambda p: F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
+            ),
+            lambda a, b: a + b,
+        ),
     )
-    simhash = None
-    for i in range(32):
-        term = F.shiftleft((F.col(f"s{i}") > 0).cast("bigint"), i)
-        simhash = term if simhash is None else simhash + term
-    return bitsums.select(
-        "doc_id",
-        simhash.alias("simhash"),
-        F.bit_count(simhash).cast("bigint").alias("popcount"),
-    ).orderBy("doc_id")
+    # signature = sum of 2^i over bits whose weighted sum is positive
+    simhash = F.aggregate(
+        F.zip_with(
+            F.col("bs"),
+            pw,
+            lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        dc.select("doc_id", bitsums.alias("bs"))
+        .select(
+            "doc_id",
+            simhash.alias("simhash"),
+        )
+        .select(
+            "doc_id",
+            "simhash",
+            F.bit_count("simhash").cast("bigint").alias("popcount"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 _DUCK_COS = (

@@ -439,6 +439,32 @@ class TestRound6SingleScanFolds:
         assert "Join" not in plan
         assert self._scan_count(df, "documents") == 1
 
+    def test_repetition_stats_in_row_fold(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.text import (
+            quality_repetition_stats,
+        )
+
+        df = quality_repetition_stats(spark, SF_SMALL)
+        plan = plans.formatted_plan(df)
+        # sorted-run fold: no explode, no (doc, bigram) agg, no join-back;
+        # the only exchange left is the output range sort
+        assert "Generate" not in plan
+        assert "Join" not in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert self._scan_count(df, "documents") == 1
+
+    def test_simhash_in_row_fold(self, spark):
+        from feature_datalake_sl_mandic_spark.operators.dedup import (
+            dedup_simhash,
+        )
+
+        df = dedup_simhash(spark, SF_SMALL)
+        plan = plans.formatted_plan(df)
+        # 32-slot array-accumulator fold: no explode, no groupBy(doc_id)
+        assert "Generate" not in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert self._scan_count(df, "documents") == 1
+
     def test_pca_iteration_is_one_bounded_task(self, spark):
         from feature_datalake_sl_mandic_spark.operators.clustering import (
             embedding_pca_power_iteration,
