@@ -55,8 +55,14 @@ _DUCK_SHINGLES = """
 
 
 def _spark_shingles(dc: DataFrame) -> DataFrame:
-    """doc_id, s — distinct word-trigram shingles per document."""
-    ws = F.split("text", " ")
+    """doc_id, s — distinct word-trigram shingles per document.
+
+    The token array binds to a COLUMN before the transform lambda indexes
+    it: element_at(split(text), i) would embed the split subtree in the
+    lambda body, which Spark re-evaluates once per element (3n splits per
+    row — the quadratic HOF pitfall recorded in ARCHITECTURE.md). As an
+    attribute read it is O(1)."""
+    ws = F.col("ws")
     trigrams = F.transform(
         F.sequence(F.lit(1), F.size(ws) - 2),
         lambda i: F.concat_ws(
@@ -66,7 +72,9 @@ def _spark_shingles(dc: DataFrame) -> DataFrame:
     shingles = F.when(F.size(ws) >= 3, F.array_distinct(trigrams)).otherwise(
         F.array().cast("array<string>")
     )
-    return dc.select("doc_id", F.explode(shingles).alias("s"))
+    return dc.select("doc_id", F.split("text", " ").alias("ws")).select(
+        "doc_id", F.explode(shingles).alias("s")
+    )
 
 
 def shingles_with_df_cap(dc: DataFrame, max_df: int) -> DataFrame:
@@ -770,22 +778,32 @@ def dedup_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, no all-pairs comparison. Docs shorter than the span length drop
     out (zero spans), which the span-count output makes explicit."""
     (dc,) = _t(spark, sf_dir, "documents")
-    ws = F.split("text", " ")
+    # Bind the token array to a COLUMN before indexing it inside the
+    # transform lambda: element_at(split(text), i) embeds the split
+    # subtree in the lambda body, and Spark re-evaluates embedded
+    # non-lambda subtrees once per element (SPAN_NGRAM * n splits per
+    # row). With ws an attribute, element_at is an O(1) read
+    # (sf0.1 min-of-5 2.82s -> 1.34s).
+    ws = F.col("ws")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(ws) - (SPAN_NGRAM - 1)),
         lambda i: F.concat_ws(
             " ", *[F.element_at(ws, i + j) for j in range(SPAN_NGRAM)]
         ),
     )
-    g = dc.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.when(F.size(ws) >= SPAN_NGRAM, grams).otherwise(
-                F.array().cast("array<string>")
-            )
-        ).alias("s"),
-    ).select("doc_id", "lang", F.md5("s").alias("h"))
+    g = (
+        dc.select("doc_id", "lang", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.when(F.size(ws) >= SPAN_NGRAM, grams).otherwise(
+                    F.array().cast("array<string>")
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "lang", F.md5("s").alias("h"))
+    )
     dg = (
         g.groupBy("doc_id", "h")
         .agg(F.first("lang").alias("lang"), F.count(F.lit(1)).alias("occ"))

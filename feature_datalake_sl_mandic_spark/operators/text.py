@@ -702,21 +702,28 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     adversarial blowup. Emits one row per eval doc including clean ones, so
     the output proves the whole eval set was screened."""
     (dc,) = _t(spark, sf_dir, "documents")
-    ws = F.split("text", " ")
+    # ws binds to a column so the lambda's element_at reads an attribute —
+    # an embedded split would re-evaluate per element (ARCHITECTURE.md,
+    # round-6 HOF pitfall)
+    ws = F.col("ws")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(ws) - (DECON_NGRAM - 1)),
         lambda i: F.concat_ws(
             " ", *[F.element_at(ws, i + j) for j in range(DECON_NGRAM)]
         ),
     )
-    sh = dc.select(
-        "doc_id",
-        F.explode(
-            F.when(F.size(ws) >= DECON_NGRAM, F.array_distinct(grams)).otherwise(
-                F.array().cast("array<string>")
-            )
-        ).alias("s"),
-    ).localCheckpoint()
+    sh = (
+        dc.select("doc_id", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(F.size(ws) >= DECON_NGRAM, F.array_distinct(grams)).otherwise(
+                    F.array().cast("array<string>")
+                )
+            ).alias("s"),
+        )
+        .localCheckpoint()
+    )
     # ^ eager, same trade as dedup's shingle relation: the n-gram explode
     # (the tokenize-heavy pass) feeds BOTH sides of the contamination join;
     # materializing once beats re-tokenizing the corpus per side.
