@@ -97,10 +97,20 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # fold, the decontamination n-gram pin, plus the two r5-end null-sentinel
 # fixes and minhash's r5 prefilter; late-round additions: the Q21/Q17
 # single-scan decorrelations, the per-role referential-integrity scan
-# fold, the ROUGE one-explosion fold, the PCA trajectory task, and the
-# seven banded-grouped-topk rewrites of per-group selections that still
-# ranked fact/vocabulary-scale inputs in windows on bare low-cardinality
-# keys), then the alphabetically-first queries last green in round 1.
+# fold, the PCA trajectory task, and the seven banded-grouped-topk
+# rewrites of per-group selections that still ranked fact/vocabulary-
+# scale inputs in windows on bare low-cardinality keys. Final round-6
+# additions (in-row fold family + HOF lambda-binding fixes): the ROUGE
+# in-row fold, the repetition-stats and SimHash full rewrites, the
+# column-bound n-gram builders (shingle family: minhash, jaccard,
+# containment, cluster components, incremental batch, LSH recall/band
+# tuning, duplicate spans, decontaminate), and the curation pipeline's
+# fused dedup window. Expression-level rewrites outrank pure
+# localCheckpoint pins, so seven pin-only entries (layout_zorder_files,
+# profile_partition_skew, customers_rfm_segments, eval_langid_confusion,
+# corpus_chunk_dedup_crossdoc, corpus_cdc_chunking, corpus_pack_shards —
+# value paths untouched, all sf0.01-mirror-verified locally) rotate to
+# the next round together with the round-1 alphabet tail.
 _PRIORITY: list[str] = [
     # --- changed since their last driver-green row
     "q21_sole_late_supplier",
@@ -120,14 +130,14 @@ _PRIORITY: list[str] = [
     "ts_cross_correlation_lags",
     "ts_seasonal_dow_index",
     "text_tfidf_top_terms",
-    "corpus_chunk_dedup_crossdoc",
-    "corpus_cdc_chunking",
-    "layout_zorder_files",
-    "customers_rfm_segments",
-    "eval_langid_confusion",
+    "quality_repetition_stats",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_containment",
+    "dedup_cluster_components",
+    "dedup_incremental_batch",
+    "eval_lsh_band_tuning",
     "dedup_duplicate_ngram_spans",
-    "corpus_pack_shards",
-    "profile_partition_skew",
     "split_exact_stratified",
     "corpus_domain_caps",
     "corpus_curation_end_to_end",
