@@ -54,6 +54,12 @@ _EDGE_CTES = f"""
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative result, measured (round 6): rewriting this as
+    groupBy(part) -> collect_set -> in-row pair explosion (2 exchanges
+    instead of 3) benched ~15% SLOWER back-to-back at sf0.1 — collect_set
+    is an object-hash aggregate off the whole-stage-codegen path, and it
+    concentrates a hot part's k^2 pair fan-out in a single task where the
+    self-join streams it. The codegen distinct + equi-join below stays."""
     (li,) = _t(spark, sf_dir, "lineitem")
     sp = li.select("l_partkey", "l_suppkey").distinct()
     a = sp.alias("a")
