@@ -163,6 +163,11 @@ REPRESENTATIVE = [
     "customers_cohort_ltv",
     "multimodal_phash_banded_pairs",
     "multimodal_audio_fp_banded_pairs",
+    # round-6 fold-family rewrites (in-row plans; PLANS rows prove the
+    # Generate/Exchange removal survived optimization)
+    "dedup_simhash",
+    "corpus_decontaminate",
+    "corpus_curation_end_to_end",
 ]
 
 
