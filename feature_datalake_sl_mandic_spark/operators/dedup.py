@@ -389,32 +389,42 @@ def dedup_minhash_lsh(
         .localCheckpoint()
     )
 
-    # Prune the y-side shingle relation to candidate doc_b's BEFORE the
-    # (doc_id, h) intersection shuffle: without it the verify reshuffles the
-    # WHOLE corpus's shingles on (doc_id, h) even though only
-    # band-collision candidates can match; with it (an AQE-broadcast-able
-    # semi over the bounded candidate id set) the shuffle carries only
-    # candidates' shingles. The x side is already restricted by its join
-    # against the candidate pair relation itself.
-    cand_b = cand.select(F.col("doc_b").alias("doc_id")).distinct()
-    x = sh.alias("x")
-    y = sh.join(cand_b, "doc_id", "left_semi").alias("y")
-    inter = (
-        cand.select("doc_a", "doc_b")
-        .alias("c")
-        .join(x, F.col("x.doc_id") == F.col("c.doc_a"))
-        .join(y, (F.col("y.doc_id") == F.col("c.doc_b")) & (F.col("y.h") == F.col("x.h")))
-        .groupBy("c.doc_a", "c.doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # Verify via in-row sorted-array intersection (round 6): collect each
+    # CANDIDATE document's shingle hashes into one sorted array (the semi
+    # prune bounds the collect to band-collision survivors, so this
+    # object-agg runs over candidates' shingles only — the corpus-wide
+    # signature aggregation above stays pure codegen), then join the small
+    # pair relation against it twice and take size(array_intersect) in the
+    # row. Replaces the former x/y (doc, h) equi-join + per-pair groupBy +
+    # join-back (three shuffles of exploded shingle rows) with two
+    # AQE-broadcastable joins of the bounded candidate relation (sf0.1
+    # min-of-5 back-to-back A/B 2.95s -> 2.04s). Set (not multiset)
+    # intersection is exact
+    # here because shingle strings are array_distinct'd per doc before
+    # hashing; a within-doc 60-bit hash collision (~1e-14/doc) would also
+    # break the carried set-size n, and the oracle sweep gates both.
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
+    arrs = (
+        sh.join(cand_ids, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("h")).alias("hs"))
+        .localCheckpoint(eager=False)  # joined on both pair sides
+    )
+    aa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+    ab = arrs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
 
     sig_matches = sum(
         (F.col(f"am{j}") == F.col(f"bm{j}")).cast("int") for j in range(MINHASH_K)
     )
-    n_inter = F.coalesce(F.col("n_inter"), F.lit(0))
+    n_inter = F.size(F.array_intersect("ha", "hb")).cast("bigint")
     jac = n_inter / (F.col("n_a") + F.col("n_b") - n_inter)
     return (
-        cand.join(inter, ["doc_a", "doc_b"], "left")
+        cand.join(aa, "doc_a")
+        .join(ab, "doc_b")
         .where(jac >= JACCARD_THRESHOLD)
         .select(
             "doc_a",
