@@ -121,6 +121,62 @@ def hashed_shingles_with_df_cap(dc: DataFrame, max_df: int) -> DataFrame:
     )
 
 
+def doc_hash_arrays(dc: DataFrame, max_df: int) -> DataFrame:
+    """(doc_id, hs): each document's distinct 60-bit shingle hashes as ONE
+    in-row array, after the corpus-wide DF cap — the shape that lets the
+    whole MinHash pipeline run without ever shuffling an exploded
+    (doc, shingle) relation. Three steps:
+
+    1. Build every doc's hashed trigram array in-row (transform + md5; the
+       token array is bound to a column first — the quadratic-HOF rule) and
+       pin it: ONE scan + ONE hashing pass for everything downstream.
+    2. The DF cap needs cross-doc shingle frequencies, the only inherently
+       relational step — but only shingles ABOVE the cap matter, and that
+       hot set is small: with the cap expressed as a fraction f of n_docs
+       (64 here ≈ 1.3% of the fixture's docs — scale it with the corpus),
+       |hot| <= avg_shingles_per_doc / f independent of corpus size
+       (sum of hot dfs <= total occurrences), i.e. a few thousand 8-byte
+       ints. So: explode the already-hashed arrays, partial-aggregated
+       count per hash (map-side combine shrinks the shuffle to distinct
+       hashes), keep df > cap, collect_set into one broadcast row.
+    3. array_except(hs_all, hot) removes boilerplate shingles in-row.
+
+    Replaces the count-over-window form (`hashed_shingles_with_df_cap`)
+    wherever the consumer wants per-doc SETS rather than an inverted index:
+    the window shuffles every (doc, h) occurrence; this shuffles only
+    distinct-hash counts. Note array_except also dedups the (cosmologically
+    unlikely, ~1e-14/doc) within-doc 60-bit hash collision that the
+    exploded form would keep as two rows — the oracle sweep gates both."""
+    ws = F.col("ws")
+    trigrams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+        ),
+    )
+    hs_all = F.when(
+        F.size(ws) >= 3,
+        F.transform(F.array_distinct(trigrams), lambda s: md5_int60_col(s)),
+    ).otherwise(F.array().cast("array<bigint>"))
+    base_all = (
+        dc.select("doc_id", F.split("text", " ").alias("ws"))
+        .select("doc_id", hs_all.alias("hs_all"))
+        .localCheckpoint()
+    )
+    hot = (
+        base_all.select(F.explode("hs_all").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .agg(F.collect_set("h").alias("hot"))
+    )
+    return (
+        base_all.crossJoin(F.broadcast(hot))
+        .select("doc_id", F.array_except("hs_all", "hot").alias("hs"))
+        .where(F.size("hs") > 0)
+    )
+
+
 # MinHash signature rows: ONE md5 per shingle, then k independent universal
 # hashes m_j = (a_j * h + c_j) mod P over the 31-bit reduction of the md5 —
 # the textbook (a*x+c) mod p family. Cuts per-shingle hashing cost 8x vs
@@ -135,8 +191,15 @@ def _mix_params(j: int) -> tuple[int, int]:
 
 
 def _minhash_col(seed: int, col: str = "h") -> Column:
+    return _minhash_expr(seed, F.col(col))
+
+
+def _minhash_expr(seed: int, h: Column) -> Column:
+    """The universal-hash expression over an arbitrary input column — usable
+    on a lambda variable inside a higher-order function as well as on an
+    attribute."""
     a, c = _mix_params(seed)
-    return (F.lit(a) * (F.col(col) % MINHASH_PRIME) + F.lit(c)) % MINHASH_PRIME
+    return (F.lit(a) * (h % MINHASH_PRIME) + F.lit(c)) % MINHASH_PRIME
 
 
 def _duck_minhash(seed: int) -> str:
@@ -302,24 +365,34 @@ def dedup_minhash_lsh(
     incremental-maintenance form (see ``dedup_incremental_minhash``)."""
     (dc,) = _t(spark, sf_dir, "documents")
     dc.createOrReplaceTempView("documents")
-    # DF-capped shingles: boilerplate shingles shared by > MINHASH_MAX_DF
-    # docs carry no near-dup signal but dominate the band-join pair count.
-    # localCheckpoint, not cache: sh feeds the signature aggregation AND both
-    # sides of the exact-Jaccard intersection join; a lazy cache leaves the
-    # explode+df-cap subtree in all three plan branches (the bulk of this
-    # query's former 36-shuffle plan), while eager lineage truncation
-    # materializes it once.
-    sh = hashed_shingles_with_df_cap(dc, max_df).localCheckpoint()
+    # Per-doc hashed-shingle ARRAYS (round 6, in-row fold family): the
+    # DF-capped shingle set never exists as exploded rows here — see
+    # ``doc_hash_arrays``. The only corpus-wide shuffle left upstream of
+    # banding is the distinct-hash hot-set count; signatures and the verify
+    # arrays below both derive in-row from this one relation, which is why
+    # it is pinned (three consumer branches: sig/bands, and the two verify
+    # join sides).
+    base = doc_hash_arrays(dc, max_df).localCheckpoint(eager=False)
 
-    # One aggregation produces the signature AND the shingle-set size: the
-    # size rides along instead of needing its own groupBy + two extra joins.
-    sig = sh.groupBy("doc_id").agg(
-        *[F.min(_minhash_col(j)).alias(f"m{j}") for j in range(MINHASH_K)],
-        F.count(F.lit(1)).alias("n"),
+    # Signatures + set size as a pure PROJECTION: array_min over the k
+    # universal hashes of the in-row array replaces the former
+    # groupBy(doc_id).agg(min...) — the heaviest shuffle of the old plan
+    # (every (doc, h) occurrence moved) is gone outright.
+    def _mh(j: int):
+        # closure factory, NOT `lambda h, j=j`: PySpark reads HOF lambda
+        # arity, and a second parameter turns it into an (element, index)
+        # lambda with the index bound where the seed should be.
+        return lambda h: _minhash_expr(j, h)
+
+    sig = base.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("hs", _mh(j))).alias(f"m{j}")
+            for j in range(MINHASH_K)
+        ],
+        F.size("hs").cast("bigint").alias("n"),
     )
     # Banding via explode of a literal struct array: ONE pass over sig.
-    # (A unionAll of per-band selects would recompute the signature
-    # aggregation LSH_BANDS times — 4x the shuffle at 100 TB.)
     # The full signature + set size ride through the band join: ~80 extra
     # bytes per band row buys the elimination of BOTH per-side sig joins
     # afterwards (2 joins = 4 exchanges of the pair relation + sig) — the
@@ -346,9 +419,10 @@ def dedup_minhash_lsh(
         F.col("bs.band").alias("band"),
         F.col("bs.sig").alias("sig"),
     ).localCheckpoint(eager=False)
-    # ^ the band join below is a SELF-join: without the pin each side re-runs
-    # the signature aggregation over the shingle relation (the heaviest
-    # shuffle in this plan); pinned, both sides read one materialization.
+    # ^ the band join below is a SELF-join: without the pin each side
+    # re-projects the k in-row minhashes over the whole corpus (cheap but
+    # not free — k·|shingles| universal hashes per side); pinned, both
+    # sides read one materialization.
     ba, bb = bands.alias("a"), bands.alias("b")
     # A pair colliding in multiple bands appears once per band; rows are
     # identical in every carried column, so dropDuplicates on the pair key is
@@ -389,33 +463,18 @@ def dedup_minhash_lsh(
         .localCheckpoint()
     )
 
-    # Verify via in-row sorted-array intersection (round 6): collect each
-    # CANDIDATE document's shingle hashes into one sorted array (the semi
-    # prune bounds the collect to band-collision survivors, so this
-    # object-agg runs over candidates' shingles only — the corpus-wide
-    # signature aggregation above stays pure codegen), then join the small
-    # pair relation against it twice and take size(array_intersect) in the
-    # row. Replaces the former x/y (doc, h) equi-join + per-pair groupBy +
-    # join-back (three shuffles of exploded shingle rows) with two
-    # AQE-broadcastable joins of the bounded candidate relation (sf0.1
-    # min-of-5 back-to-back A/B 2.95s -> 2.04s). Set (not multiset)
-    # intersection is exact
-    # here because shingle strings are array_distinct'd per doc before
-    # hashing; a within-doc 60-bit hash collision (~1e-14/doc) would also
-    # break the carried set-size n, and the oracle sweep gates both.
-    cand_ids = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    arrs = (
-        sh.join(cand_ids, "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list("h")).alias("hs"))
-        .localCheckpoint(eager=False)  # joined on both pair sides
-    )
-    aa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
-    ab = arrs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+    # Verify via in-row array intersection (round 6): the per-doc hash
+    # arrays already EXIST (the same pinned relation the signatures were
+    # projected from — no collect_list groupBy, no semi prune needed), so
+    # the bounded pair relation just joins against two projections of it
+    # and takes size(array_intersect) in the row. cand is checkpointed and
+    # band-collision-bounded, so AQE broadcasts it and neither join moves
+    # the corpus side. Set (not multiset) intersection is exact because
+    # shingle strings are array_distinct'd per doc before hashing; a
+    # within-doc 60-bit hash collision (~1e-14/doc) would also break the
+    # carried set-size n, and the oracle sweep gates both.
+    aa = base.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+    ab = base.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
 
     sig_matches = sum(
         (F.col(f"am{j}") == F.col(f"bm{j}")).cast("int") for j in range(MINHASH_K)
