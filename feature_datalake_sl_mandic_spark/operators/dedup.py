@@ -121,6 +121,25 @@ def hashed_shingles_with_df_cap(dc: DataFrame, max_df: int) -> DataFrame:
     )
 
 
+def doc_hash_array_col(ws_col: str = "ws") -> Column:
+    """In-row array of a document's distinct 60-bit trigram-shingle hashes,
+    over a BOUND token-array column (the quadratic-HOF rule: binding the
+    split to a column first keeps element_at O(1) inside the lambdas).
+    Hash-identical to exploding ``_spark_shingles`` and mapping
+    ``md5_int60_col`` per row."""
+    ws = F.col(ws_col)
+    trigrams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+        ),
+    )
+    return F.when(
+        F.size(ws) >= 3,
+        F.transform(F.array_distinct(trigrams), lambda s: md5_int60_col(s)),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
 def doc_hash_arrays(dc: DataFrame, max_df: int) -> DataFrame:
     """(doc_id, hs): each document's distinct 60-bit shingle hashes as ONE
     in-row array, after the corpus-wide DF cap — the shape that lets the
@@ -147,20 +166,9 @@ def doc_hash_arrays(dc: DataFrame, max_df: int) -> DataFrame:
     distinct-hash counts. Note array_except also dedups the (cosmologically
     unlikely, ~1e-14/doc) within-doc 60-bit hash collision that the
     exploded form would keep as two rows — the oracle sweep gates both."""
-    ws = F.col("ws")
-    trigrams = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
-        ),
-    )
-    hs_all = F.when(
-        F.size(ws) >= 3,
-        F.transform(F.array_distinct(trigrams), lambda s: md5_int60_col(s)),
-    ).otherwise(F.array().cast("array<bigint>"))
     base_all = (
         dc.select("doc_id", F.split("text", " ").alias("ws"))
-        .select("doc_id", hs_all.alias("hs_all"))
+        .select("doc_id", doc_hash_array_col().alias("hs_all"))
         .localCheckpoint()
     )
     hot = (
@@ -200,6 +208,26 @@ def _minhash_expr(seed: int, h: Column) -> Column:
     attribute."""
     a, c = _mix_params(seed)
     return (F.lit(a) * (h % MINHASH_PRIME) + F.lit(c)) % MINHASH_PRIME
+
+
+def _minhash_lambda(j: int):
+    """Closure factory for HOF use, NOT ``lambda h, j=j``: PySpark reads the
+    lambda's arity, and a second parameter turns it into an
+    (element, index) lambda with the index bound where the seed should be."""
+    return lambda h: _minhash_expr(j, h)
+
+
+def inrow_signature_cols(hs: str = "hs") -> list[Column]:
+    """The k minhashes + set size as pure projections over an in-row
+    shingle-hash array column — the shuffle-free signature form shared by
+    the batch operator and the streaming index job."""
+    return [
+        *[
+            F.array_min(F.transform(hs, _minhash_lambda(j))).alias(f"m{j}")
+            for j in range(MINHASH_K)
+        ],
+        F.size(hs).cast("bigint").alias("n"),
+    ]
 
 
 def _duck_minhash(seed: int) -> str:
@@ -378,20 +406,7 @@ def dedup_minhash_lsh(
     # universal hashes of the in-row array replaces the former
     # groupBy(doc_id).agg(min...) — the heaviest shuffle of the old plan
     # (every (doc, h) occurrence moved) is gone outright.
-    def _mh(j: int):
-        # closure factory, NOT `lambda h, j=j`: PySpark reads HOF lambda
-        # arity, and a second parameter turns it into an (element, index)
-        # lambda with the index bound where the seed should be.
-        return lambda h: _minhash_expr(j, h)
-
-    sig = base.select(
-        "doc_id",
-        *[
-            F.array_min(F.transform("hs", _mh(j))).alias(f"m{j}")
-            for j in range(MINHASH_K)
-        ],
-        F.size("hs").cast("bigint").alias("n"),
-    )
+    sig = base.select("doc_id", *inrow_signature_cols("hs"))
     # Banding via explode of a literal struct array: ONE pass over sig.
     # The full signature + set size ride through the band join: ~80 extra
     # bytes per band row buys the elimination of BOTH per-side sig joins

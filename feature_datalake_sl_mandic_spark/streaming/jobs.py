@@ -316,7 +316,7 @@ def incremental_minhash_foreach_batch(
     each micro-batch of documents MinHash-signs itself, band-joins against
     the STORED band index plus itself (never index x index), verifies
     candidates by exact Jaccard over stored shingles, emits the verified
-    pairs, and appends its own shingles + band rows to the index. A pair
+    pairs, and appends its own hash-array + band rows to the index. A pair
     (a, b) surfaces exactly once — in the micro-batch where the
     later-arriving document lands (both orientations are normalized to
     (least, greatest) and deduplicated within the batch).
@@ -332,9 +332,14 @@ def incremental_minhash_foreach_batch(
     by the fused (band, sig) key so this join co-locates with ZERO index
     shuffle — plan-asserted in tests/test_streaming.py::
     test_bucketed_band_index_joins_with_zero_index_shuffle; the parquet
-    demo rescans it) + a verify join over shingles PRUNED to
-    candidate doc_ids by a semi-join — verification cost follows the
-    candidate count, not the index size. No document-frequency cap is
+    demo rescans it) + a verify join over the per-doc hash-array index
+    PRUNED to candidate doc_ids by a semi-join — verification cost follows
+    the candidate count, not the index size. The index stores ONE array
+    row per document (round 6, mirroring the batch form's
+    ``doc_hash_arrays``), not ~shingles-per-doc exploded rows: signatures
+    are in-row ``array_min`` projections (no per-batch signature groupBy)
+    and verification is in-row ``size(array_intersect)`` (no (doc, h)
+    equi-join + per-pair groupBy). No document-frequency cap is
     applied: the cap is a corpus-global property that would make emitted
     pairs depend on arrival order; the batch equivalence
     (tests/test_streaming.py) is pinned against the uncapped batch run.
@@ -342,13 +347,18 @@ def incremental_minhash_foreach_batch(
     batch, as in the registered batch form (operators/dedup.py)."""
     import os
 
-    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
 
-    from feature_datalake_sl_mandic_spark.functions.hashing import md5_int60_col
     from feature_datalake_sl_mandic_spark.operators import dedup as D
 
-    sh_schema = StructType(
-        [StructField("doc_id", LongType()), StructField("h", LongType())]
+    arr_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("hs", ArrayType(LongType()))]
     )
     band_schema = StructType(
         [
@@ -374,15 +384,13 @@ def incremental_minhash_foreach_batch(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.select("doc_id", "text").dropDuplicates(["doc_id"])
-        batch_sh = (
-            D._spark_shingles(batch)
-            .select("doc_id", md5_int60_col(F.col("s")).alias("h"))
+        batch_arrs = (
+            batch.select("doc_id", F.split("text", " ").alias("ws"))
+            .select("doc_id", D.doc_hash_array_col().alias("hs"))
+            .where(F.size("hs") > 0)
             .localCheckpoint()
         )
-        sig = batch_sh.groupBy("doc_id").agg(
-            *[F.min(D._minhash_col(j)).alias(f"m{j}") for j in range(D.MINHASH_K)],
-            F.count(F.lit(1)).alias("n"),
-        )
+        sig = batch_arrs.select("doc_id", *D.inrow_signature_cols("hs"))
         bands_new = (
             sig.select(
                 "doc_id",
@@ -405,7 +413,7 @@ def incremental_minhash_foreach_batch(
             .localCheckpoint()
         )
         idx_bands = read_parts(spark, os.path.join(index_dir, "bands"), band_schema, batch_id)
-        idx_sh = read_parts(spark, os.path.join(index_dir, "shingles"), sh_schema, batch_id)
+        idx_arrs = read_parts(spark, os.path.join(index_dir, "arrays"), arr_schema, batch_id)
         all_bands = idx_bands.unionByName(bands_new)
         a, b = all_bands.alias("a"), bands_new.alias("b")
         cand = (
@@ -432,35 +440,31 @@ def incremental_minhash_foreach_batch(
             .dropDuplicates(["doc_a", "doc_b"])
             .localCheckpoint()
         )
-        all_sh = idx_sh.unionByName(batch_sh)
+        all_arrs = idx_arrs.unionByName(batch_arrs)
         cand_docs = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
             cand.select(F.col("doc_b").alias("doc_id"))
         ).distinct()
-        sh_pruned = all_sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
-        x, y = sh_pruned.alias("x"), sh_pruned.alias("y")
-        inter = (
-            cand.select("doc_a", "doc_b")
-            .alias("c")
-            .join(x, F.col("x.doc_id") == F.col("c.doc_a"))
-            .join(
-                y,
-                (F.col("y.doc_id") == F.col("c.doc_b")) & (F.col("y.h") == F.col("x.h")),
-            )
-            .groupBy("c.doc_a", "c.doc_b")
-            .agg(F.count(F.lit(1)).alias("n_inter"))
-        )
-        n_inter = F.coalesce(F.col("n_inter"), F.lit(0))
+        # ONE pass over the index prunes it to candidate docs; the two pair
+        # joins then read the bounded pruned relation, and the intersection
+        # happens in-row — no (doc, h) shuffle, no per-pair groupBy.
+        arrs_pruned = all_arrs.join(
+            F.broadcast(cand_docs), "doc_id", "left_semi"
+        ).localCheckpoint()
+        aa = arrs_pruned.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+        ab = arrs_pruned.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+        n_inter = F.size(F.array_intersect("ha", "hb")).cast("bigint")
         jac = n_inter / (F.col("n_a") + F.col("n_b") - n_inter)
         pairs = (
-            cand.join(inter, ["doc_a", "doc_b"], "left")
+            cand.join(aa, "doc_a")
+            .join(ab, "doc_b")
             .where(jac >= D.JACCARD_THRESHOLD)
             .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         )
         pairs.write.mode("overwrite").parquet(
             os.path.join(pairs_dir, f"batch={batch_id}")
         )
-        batch_sh.write.mode("overwrite").parquet(
-            os.path.join(index_dir, "shingles", f"batch={batch_id}")
+        batch_arrs.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "arrays", f"batch={batch_id}")
         )
         bands_new.write.mode("overwrite").parquet(
             os.path.join(index_dir, "bands", f"batch={batch_id}")
