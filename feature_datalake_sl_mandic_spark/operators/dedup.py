@@ -11,12 +11,16 @@ Scale design (100 TB):
 - exact dedup: one shuffle on the content hash, not the content.
 - n-gram Jaccard: candidate pairs come from an equi-join on shared shingles
   (inverted-index semantics); the worst-case pair blowup is bounded by a
-  document-frequency cap on shingles (``shingles_with_df_cap``, applied in
-  the MinHash path) — the join shape is unchanged.
+  document-frequency cap on shingles (``shingles_with_df_cap``) — the join
+  shape is unchanged.
 - MinHash+LSH: candidates from equality on banded signatures — the classic
-  sub-quadratic path; signature computation is a single groupBy(min×k) over
-  ONE md5 per shingle with (a·x+c) mod p per-seed mixing, and every shuffle
-  after the explode carries 8-byte shingle hashes, never shingle text.
+  sub-quadratic path. The shingle relation never exists as exploded rows
+  (``doc_hash_arrays``): per-doc hash arrays build in-row, the DF cap
+  removes a broadcast-bounded hot set via array_except, signatures are
+  array_min projections with (a·x+c) mod p per-seed mixing over ONE md5
+  per shingle, and verification is in-row size(array_intersect). The only
+  corpus-wide shuffles are the distinct-hash hot-set count and the band
+  join itself, both carrying 8-byte hashes, never shingle text.
 - SimHash: per-doc 32-bit signature via one explode + sum aggregation.
 - embedding near-dup: blocked (label) pair join — swap the block key for an
   LSH bucket at scale (see operators/similarity.py ann_lsh_bucketed).
