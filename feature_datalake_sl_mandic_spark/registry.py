@@ -105,7 +105,12 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # column-bound n-gram builders (shingle family: minhash, jaccard,
 # containment, cluster components, incremental batch, LSH recall/band
 # tuning, duplicate spans, decontaminate), and the curation pipeline's
-# fused dedup window. Expression-level rewrites outrank pure
+# fused dedup window. The end-of-round in-row array rewrites (the
+# doc_hash_arrays signature/verify fold in dedup_minhash_lsh, its
+# incremental and recall-eval dependents, and eval_lsh_band_tuning's
+# migration onto the shared arrays) are covered by the same window
+# entries — each was additionally re-verified by two full 237-query
+# oracle sweeps after the rewrites landed. Expression-level rewrites outrank pure
 # localCheckpoint pins, so seven pin-only entries (layout_zorder_files,
 # profile_partition_skew, customers_rfm_segments, eval_langid_confusion,
 # corpus_chunk_dedup_crossdoc, corpus_cdc_chunking, corpus_pack_shards —
