@@ -479,19 +479,30 @@ def corpus_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         _lang_score_col,
     )
 
-    # Exact-hash dedup -> prefix-fingerprint dedup FUSE into one window:
+    # Exact-hash dedup -> prefix-fingerprint dedup FUSE into one exchange:
     # identical texts share a fingerprint, so every exact-dup group lies
     # inside one fp group, and the sequential pipeline's survivor (the min
     # doc_id among each md5-subgroup's min) IS the fp group's global min
     # doc_id. One corpus exchange (fp) replaces two (md5(text), then fp),
-    # and the dropped one carried full text as shuffle payload. The oracle
-    # states the sequential two-stage semantics; hash equality proves the
-    # fusion (sf0.1 min-of-5 1.72s -> 1.58s locally; the scale win is the
-    # removed exchange, whose payload was the document text itself).
+    # and the dropped one carried full text as shuffle payload. The
+    # survivor selection is a struct-min groupBy rather than a
+    # row_number window (round 6): identical answer (min over doc_id
+    # picks one whole row; doc_id is unique), but partial aggregation
+    # collapses duplicate groups MAP-SIDE before the text-payload rows
+    # shuffle, and nothing buffers per-group rows the way WindowExec
+    # does — the shape you want when the dup rate is high, which is when
+    # this pipeline matters (sf0.1 min-of-5 1.14 -> 1.08s; output
+    # hash-identical under the unchanged sequential-semantics oracle).
     norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
     fp = F.md5(F.array_join(F.slice(F.split(norm, " "), 1, PREFIX_TOKENS), " "))
-    w_pfx = Window.partitionBy(fp).orderBy("doc_id")
-    pfx = dc.withColumn("rn", F.row_number().over(w_pfx)).where(F.col("rn") == 1)
+    pfx = (
+        dc.select(
+            fp.alias("fp"), F.struct("doc_id", "text", "lang", "source").alias("r")
+        )
+        .groupBy("fp")
+        .agg(F.min("r").alias("r"))
+        .select("r.doc_id", "r.text", "r.lang", "r.source")
+    )
 
     toks = F.split("text", " ")
     feats = pfx.select(
