@@ -51,13 +51,21 @@ def _dist2(a: str, b: str):
 
 def _assign(e: DataFrame, centroids: DataFrame, out: str) -> DataFrame:
     """Nearest-centroid assignment: broadcast centroids, argmin by
-    (dist2, cid) — ties break toward the smaller cluster id."""
+    (dist2, cid) — ties break toward the smaller cluster id.
+
+    The argmin is a struct-min groupBy, not a row_number window (round 6):
+    identical row (the lexicographic (dist2, cid) prefix decides before
+    the carried emb is ever compared, and cid is unique per vec_id), but
+    partial aggregation collapses the N x K distance rows to N map-side
+    before any shuffle — the window form moved all N x K rows and
+    buffered each vec's K candidates in WindowExec."""
     d = e.crossJoin(F.broadcast(centroids)).withColumn("dist2", _dist2("emb", "cemb"))
-    w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
-    return (
-        d.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "emb", F.col("cid").alias(out), F.col("dist2"))
+    best = F.min(F.struct("dist2", "cid", "emb")).alias("b")
+    return d.groupBy("vec_id").agg(best).select(
+        "vec_id",
+        F.col("b.emb").alias("emb"),
+        F.col("b.cid").alias(out),
+        F.col("b.dist2").alias("dist2"),
     )
 
 

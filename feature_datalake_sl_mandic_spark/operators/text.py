@@ -272,17 +272,23 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end training-corpus cleaning pass, composed from the
     individual operators: exact dedup (keep lowest doc_id per content hash)
     -> quality threshold -> language agreement (heuristic prediction must
-    match the label, dropping mislabeled docs). One window pass + one
-    projection — the filters fuse into a single scan stage after the dedup
-    shuffle, which is the plan a 100 TB cleaning job wants: content moves
-    through exactly one hash-partitioned exchange."""
+    match the label, dropping mislabeled docs). The filters fuse into a
+    single scan stage after the dedup shuffle, which is the plan a 100 TB
+    cleaning job wants: content moves through exactly one hash-partitioned
+    exchange — and the survivor selection is a struct-min groupBy (round
+    6, same rewrite as ``corpus_curation_end_to_end``): identical row
+    (doc_id is unique), but duplicate groups collapse MAP-SIDE before the
+    text payload shuffles, where the window form moved every row."""
     (dc,) = _t(spark, sf_dir, "documents")
-    from pyspark.sql.window import Window
-
-    rn = F.row_number().over(
-        Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    canon = (
+        dc.select(
+            F.md5("text").alias("h"),
+            F.struct("doc_id", "text", "lang", "source").alias("r"),
+        )
+        .groupBy("h")
+        .agg(F.min("r").alias("r"))
+        .select("r.doc_id", "r.text", "r.lang", "r.source")
     )
-    canon = dc.withColumn("rn", rn).where(F.col("rn") == 1)
 
     toks = F.split("text", " ")
     feats = canon.select(
