@@ -115,7 +115,14 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # profile_partition_skew, customers_rfm_segments, eval_langid_confusion,
 # corpus_chunk_dedup_crossdoc, corpus_cdc_chunking, corpus_pack_shards —
 # value paths untouched, all sf0.01-mirror-verified locally) rotate to
-# the next round together with the round-1 alphabet tail.
+# the next round together with the round-1 alphabet tail. The fifth-wave
+# struct-min survivor rewrites touched four more queries; by the same
+# expression-over-pin rule corpus_clean_pipeline, kmeans_lloyd_embeddings
+# and semdedup_cluster_cosine take the slots of three pin-only entries
+# (events_gapfill_resample, drift_psi_event_values, customers_cohort_ltv
+# — localCheckpoint pins with untouched value paths, sf0.01-mirror-
+# verified locally, rotating to next round), and kmeans_balanced_sample
+# already sits in the window for its grouped_topk rewrite.
 _PRIORITY: list[str] = [
     # --- changed since their last driver-green row
     "q21_sole_late_supplier",
@@ -161,13 +168,13 @@ _PRIORITY: list[str] = [
     "multimodal_audio_fp_banded_pairs",
     "events_time_to_convert",
     "events_dau_wau_stickiness",
-    "drift_psi_event_values",
-    "events_gapfill_resample",
     "events_funnel_three_step",
     "events_dedup_replayed",
     "events_cohort_retention",
-    "customers_cohort_ltv",
     "corpus_decontaminate",
+    "corpus_clean_pipeline",
+    "kmeans_lloyd_embeddings",
+    "semdedup_cluster_cosine",
     # --- oldest green rows first (round 1)
     # (the round-1 alphabet rotation and the two most trivial late pins —
     # validate_benford_order_values and agg_histogram_order_value, each a
