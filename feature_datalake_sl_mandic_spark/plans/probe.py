@@ -1,0 +1,263 @@
+"""Anti-pattern sweep over EVERY registered query's physical plan.
+
+Run: ``python -m feature_datalake_sl_mandic_spark.plans.probe``
+
+The round-5/6 verdicts hunted one recurring scale-killer class — fact-scale
+rank windows keyed on bare low-cardinality columns — plus repeated fact
+scans and accidental Cartesian products. This module makes that audit
+mechanical: it compiles the formatted plan of all registered queries at
+sf0.001 (plan shape is scale-invariant) and flags
+
+- ``window partitionBy=[...]`` whose partition keys are ALL low-cardinality
+  column names (lang, source, event_type, ...). Legitimate instances exist —
+  a window over a BOUNDED relation (per-band counts, daily aggregates,
+  banded top-k survivors) keyed on the stratum is exactly what the banded
+  two-level designs produce — so every legitimate flag is enumerated in
+  ``ALLOW`` below with its boundedness argument. A flag with no matching
+  ALLOW entry (or an extra occurrence: counts must match exactly) is
+  UNEXPLAINED and the sweep fails.
+- repeated parquet scans of the same table (>= 2 for fact tables, >= 3 for
+  dims). Role-based repeats with disjoint pushed filters or single-column
+  pruned reads are cheaper at scale than pinning the full relation (the
+  pin's write amplification was measured slower twice — ARCHITECTURE.md
+  negative results), so those are ALLOW-listed with the role split named.
+- ``CartesianProduct`` — never legitimate here, no ALLOW entries.
+
+``BroadcastNestedLoopJoin`` is deliberately NOT flagged: every crossJoin in
+the package broadcasts a tiny aggregate relation (cutoffs, centroids,
+totals — audited in the round-5 verdict), which is the correct plan for
+attaching a scalar to every row.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+LOWCARD = {
+    "lang", "source", "event_type", "segment", "label", "priority",
+    "mktsegment", "returnflag", "linestatus", "half", "flag", "seg",
+    "o_orderpriority", "l_returnflag", "l_linestatus", "l_shipmode",
+    "c_mktsegment", "quality_decile", "decile", "bucket_id",
+}
+FACT = {"lineitem", "orders", "events", "documents", "embeddings"}
+
+# --- boundedness / role arguments, shared across ALLOW entries ----------
+R_BAND = (
+    "banded two-level design: the window input is the per-(key, band) count "
+    "prefix relation (<=256 rows per key), never raw rows; boundary-band "
+    "row ranking runs in a window keyed (key, band)"
+)
+R_DAILY = (
+    "calendar-bounded daily aggregate: the window input is one row per "
+    "(event_type, day), bounded by the calendar not the fact table"
+)
+R_TOPK = (
+    "grouped_topk final rank: the window input is the banded local top-k "
+    "survivors, <= n_bands * k rows per group (functions/ranking.py)"
+)
+R_ROLE = (
+    "role-based repeat scan with disjoint pushed filters / pruned columns; "
+    "pinning the full relation is write amplification (measured slower — "
+    "ARCHITECTURE.md negative results)"
+)
+R_EMB = (
+    "embedding roles: bounded codebook/training sample vs corpus vs query "
+    "sides; pinning raw embedding arrays measured slower twice "
+    "(ARCHITECTURE.md negative results)"
+)
+R_CUTOFF = (
+    "bounded-cutoff pass + fact pass: the first scan feeds a tiny aggregate "
+    "(quantiles/deciles/totals) that broadcasts back; it reads a pruned "
+    "column subset, cheaper than pinning the fact relation"
+)
+
+# query -> {exact flag string: (expected count, reason)}
+ALLOW: dict[str, dict[str, tuple[int, str]]] = {
+    # --- windows over bounded relations keyed on the stratum ------------
+    "sample_stratified_neyman": {"window partitionBy=['event_type']": (2, R_BAND)},
+    "split_exact_stratified": {"window partitionBy=['lang']": (2, R_BAND)},
+    "corpus_domain_caps": {"window partitionBy=['source']": (2, R_BAND)},
+    "corpus_curation_end_to_end": {"window partitionBy=['source']": (2, R_BAND)},
+    "agg_weighted_median_price": {
+        "window partitionBy=['l_returnflag']": (2, R_BAND + " (<=61-band relation)")
+    },
+    "sample_weighted_reservoir": {"window partitionBy=['lang']": (1, R_TOPK)},
+    "corpus_zipf_fit": {"window partitionBy=['lang']": (1, R_TOPK)},
+    "stats_gini_order_values": {
+        "window partitionBy=['seg']": (
+            1,
+            "tie-arithmetic input is one row per DISTINCT (seg, cents) value "
+            "— bounded by the price domain, not the row count",
+        )
+    },
+    "corpus_pack_shards": {
+        "window partitionBy=['lang']": (
+            1,
+            "two-level prefix sum: the window input is per-bucket token "
+            "totals, O(n_docs / bucket_width) rows ~= task count",
+        )
+    },
+    "ts_trend_pair_sampled": {"window partitionBy=['event_type']": (1, R_DAILY)},
+    "events_gapfill_resample": {
+        "window partitionBy=['event_type']": (1, R_DAILY + " (calendar spine)")
+    },
+    "ts_ewma_daily_value": {"window partitionBy=['event_type']": (2, R_DAILY)},
+    "ts_zscore_anomalies": {"window partitionBy=['event_type']": (1, R_DAILY)},
+    "ts_rolling_median_value": {"window partitionBy=['event_type']": (1, R_DAILY)},
+    "ts_linear_interpolate": {"window partitionBy=['event_type']": (1, R_DAILY)},
+    "ts_seasonal_adjusted_anomalies": {
+        "window partitionBy=['event_type']": (1, R_DAILY)
+    },
+    "ts_cusum_mean_shift": {"window partitionBy=['event_type']": (2, R_DAILY)},
+    "ts_mann_kendall_test": {"window partitionBy=['event_type']": (2, R_DAILY)},
+    "ts_ks_two_sample_drift": {"window partitionBy=['event_type']": (1, R_DAILY)},
+    "ts_brown_double_smoothing": {"window partitionBy=['event_type']": (3, R_DAILY)},
+    # --- role-based repeat scans ----------------------------------------
+    "validate_referential_integrity": {
+        "scan x2 of orders": (1, R_ROLE + " (PK side vs FK edge side)")
+    },
+    "dedup_incremental_batch": {
+        "scan x2 of documents": (1, R_ROLE + " (batch vs index doc_id ranges)")
+    },
+    "eval_retrieval_metrics": {
+        "scan x2 of embeddings": (1, R_EMB)
+    },
+    "events_dedup_replayed": {"scan x2 of events": (1, R_ROLE)},
+    "merge_upsert_orders": {
+        "scan x3 of orders": (
+            1,
+            "fixture artifact: the update feed is SYNTHESIZED from the base "
+            "table (two disjoint pushed-filter slices); in production MERGE "
+            "the updates arrive as an external batch and the base scans once",
+        )
+    },
+    "join_null_safe_profiles": {"scan x2 of events": (1, R_ROLE)},
+    "agg_winsorized_event_values": {"scan x2 of events": (1, R_CUTOFF)},
+    "arrays_setops_adjacent_docs": {
+        "scan x2 of documents": (1, R_ROLE + " (adjacent-doc self-join sides)")
+    },
+    "events_click_attribution": {
+        "scan x2 of events": (1, R_ROLE + " (click vs purchase slices)")
+    },
+    "change_detection": {
+        "scan x2 of events": (1, R_ROLE + " (source vs history sides, S6)")
+    },
+    "incremental_agg_refresh": {
+        "scan x2 of orders": (1, R_ROLE + " (base vs delta slices)")
+    },
+    "sketch_ddsketch_order_quantiles": {"scan x2 of orders": (1, R_CUTOFF)},
+    "quality_decile_stats": {"scan x2 of documents": (1, R_CUTOFF)},
+    "corpus_boilerplate_tokens": {
+        "scan x3 of documents": (
+            1,
+            "one single-column scan (per-source totals) + the DF pass + the "
+            "rewrite pass; pinning the tokenized full text is write "
+            "amplification",
+        )
+    },
+    "bloom_prefilter_supplier_join": {
+        "scan x3 of supplier": (
+            1,
+            "supplier is dim-scale (10k rows/SF); build vs probe vs verify "
+            "roles of the bloom demo",
+        )
+    },
+    # --- embedding-role repeats (codebook/query/corpus sides) -----------
+    "dedup_embedding_cosine": {"scan x2 of embeddings": (1, R_EMB)},
+    "dedup_levenshtein_blocked": {"scan x2 of documents": (1, R_ROLE)},
+    "knn_cosine_topk": {"scan x2 of embeddings": (1, R_EMB)},
+    "ann_lsh_bucketed": {"scan x2 of embeddings": (1, R_EMB)},
+    "ann_ivf_cells": {"scan x2 of embeddings": (1, R_EMB)},
+    "ann_ivf_cells_nprobe2": {"scan x2 of embeddings": (1, R_EMB)},
+    "ann_scalar_quantized": {"scan x4 of embeddings": (1, R_EMB)},
+    "mine_hard_negatives": {"scan x2 of embeddings": (1, R_EMB)},
+    "ann_ivf_pq": {"scan x4 of embeddings": (1, R_EMB)},
+    "ann_ivf_pq_packed": {"scan x3 of embeddings": (1, R_EMB)},
+    "ann_two_stage_rerank": {"scan x4 of embeddings": (1, R_EMB)},
+    "ann_pq_lloyd_refined": {"scan x2 of embeddings": (1, R_EMB)},
+    "eval_matryoshka_recall": {"scan x4 of embeddings": (1, R_EMB)},
+    "embedding_standardize_dims": {"scan x2 of embeddings": (1, R_EMB)},
+    "drift_embedding_centroid_shift": {"scan x2 of embeddings": (1, R_EMB)},
+}
+
+_WIN_RE = re.compile(
+    r"^Arguments: \[.*windowspecdefinition.*\], \[([^\]]*)\], \[[^\]]*\]\s*$",
+    re.M,
+)
+_SCAN_RE = re.compile(r"Location: \w+ \[[^\]]*?/(\w+)\.parquet")
+
+
+def flags_for_plan(plan: str) -> list[str]:
+    """All anti-pattern flags found in one formatted plan (with repeats)."""
+    flags: list[str] = []
+    scans = Counter(_SCAN_RE.findall(plan))
+    for t, c in sorted(scans.items()):
+        if c >= 3 or (c >= 2 and t in FACT):
+            flags.append(f"scan x{c} of {t}")
+    for m in _WIN_RE.finditer(plan):
+        keys = [k.strip().split("#")[0] for k in m.group(1).split(",") if k.strip()]
+        if keys and all(k in LOWCARD for k in keys):
+            flags.append(f"window partitionBy={keys}")
+    if "CartesianProduct" in plan:
+        flags.append("CartesianProduct")
+    return flags
+
+
+def sweep(spark, sf_dir: str = "/root/testdata/sf0.001"):
+    """Returns (flagged, unexplained, stale): flagged is {name: [flags]},
+    unexplained is {name: [flags with no/short ALLOW entry]}, stale is
+    {name: [ALLOW entries the plan no longer produces]}."""
+    from feature_datalake_sl_mandic_spark import registry
+    from feature_datalake_sl_mandic_spark.plans import formatted_plan
+
+    flagged: dict[str, list[str]] = {}
+    unexplained: dict[str, list[str]] = {}
+    errors: dict[str, str] = {}
+    for name, spec in registry.load_all().items():
+        try:
+            plan = formatted_plan(spec.fn(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001 — report, don't abort the sweep
+            errors[name] = f"{e.__class__.__name__}: {e}"
+            continue
+        fl = flags_for_plan(plan)
+        if fl:
+            flagged[name] = fl
+        allowed = ALLOW.get(name, {})
+        got = Counter(fl)
+        extra = []
+        for flag, n in got.items():
+            exp = allowed.get(flag, (0, ""))[0]
+            if n > exp:
+                extra.extend([flag] * (n - exp))
+        if extra:
+            unexplained[name] = extra
+    stale: dict[str, list[str]] = {}
+    for name, allowed in ALLOW.items():
+        got = Counter(flagged.get(name, []))
+        missing = [f for f, (n, _) in allowed.items() if got.get(f, 0) < n]
+        if missing:
+            stale[name] = missing
+    if errors:
+        unexplained.update({n: [f"ERROR: {m}"] for n, m in errors.items()})
+    return flagged, unexplained, stale
+
+
+def main() -> None:
+    from feature_datalake_sl_mandic_spark.session import get_spark
+
+    spark = get_spark("plans-probe", master="local[8]", shuffle_partitions=8)
+    flagged, unexplained, stale = sweep(spark)
+    n_flags = sum(len(v) for v in flagged.values())
+    print(f"sweep: {len(flagged)} queries flagged ({n_flags} flags), "
+          f"{len(unexplained)} UNEXPLAINED, {len(stale)} stale ALLOW entries")
+    for name, fl in sorted(unexplained.items()):
+        print(f"UNEXPLAINED {name}: " + "; ".join(fl))
+    for name, fl in sorted(stale.items()):
+        print(f"stale ALLOW {name}: " + "; ".join(fl))
+    if not unexplained and not stale:
+        print("all flags match the documented-legitimate classes exactly")
+
+
+if __name__ == "__main__":
+    main()

@@ -203,6 +203,31 @@ def main() -> None:
         "Scan cols read = column count per parquet ReadSchema (pruning evidence:",
         "lineitem has 11 columns; q1 reads 7, q3 reads 4+4+2).",
     ]
+
+    # Anti-pattern sweep over ALL registered queries (not just the
+    # representative table above): fact-scale windows on bare low-cardinality
+    # keys, repeated fact scans, CartesianProduct. Every legitimate flag must
+    # match an ALLOW entry (exact flag + count) in plans/probe.py, where its
+    # boundedness/role argument is documented.
+    from feature_datalake_sl_mandic_spark.plans import probe
+
+    flagged, unexplained, stale = probe.sweep(spark)
+    n_flags = sum(len(v) for v in flagged.values())
+    lines += [
+        "",
+        "## Anti-pattern sweep (all registered queries)",
+        "",
+        f"`plans/probe.py` swept {len(specs)} plans: {len(flagged)} queries "
+        f"carry {n_flags} flags, ALL matched against the documented-"
+        "legitimate ALLOW classes (bounded band/daily-aggregate windows, "
+        "role-based repeat scans, bounded-cutoff passes) — "
+        f"**{len(unexplained)} unexplained, {len(stale)} stale allowlist "
+        "entries**. CartesianProduct has no allow class; zero found.",
+    ]
+    for name, fl in sorted(unexplained.items()):
+        lines.append(f"- UNEXPLAINED `{name}`: " + "; ".join(fl))
+    for name, fl in sorted(stale.items()):
+        lines.append(f"- stale ALLOW `{name}`: " + "; ".join(fl))
     with open("PLANS.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("\n".join(lines))
