@@ -1,0 +1,110 @@
+"""Tests for the plans/probe.py anti-pattern sweep.
+
+The sweep's value is mechanical enforcement of the scale-killer audit, so
+its PARSER must be trustworthy: a regex that silently stops matching the
+formatted-plan syntax would report a clean sweep over anything (exactly the
+false negative the first ad-hoc probe produced). These tests pin the parser
+against canned plan text, check live classification on known plans, and —
+behind an env gate, because compiling all 237 plans takes minutes — run the
+full sweep.
+
+Run the full sweep here with: SPARK_GRAFT_PLAN_SWEEP=1 python -m pytest
+tests/test_plan_probe.py -q   (it also runs on every PLANS.md regeneration).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from feature_datalake_sl_mandic_spark.plans import formatted_plan, probe
+from tests.conftest import SF_SMALL
+
+CANNED = """
+(1) Scan parquet
+Output [5]: [doc_id#0L, text#1, lang#2, source#3, n_chars#4L]
+Location: InMemoryFileIndex [file:/root/testdata/sf0.001/documents.parquet]
+ReadSchema: struct<doc_id:bigint,text:string>
+
+(4) Window
+Input [5]: [doc_id#0L, text#1, lang#2, source#3, n_chars#4L]
+Arguments: [row_number() windowspecdefinition(lang#2, doc_id#0L ASC NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) AS rn#6], [lang#2], [doc_id#0L ASC NULLS FIRST]
+
+(6) Scan parquet
+Output [1]: [doc_id#8L]
+Location: InMemoryFileIndex [file:/root/testdata/sf0.001/documents.parquet]
+ReadSchema: struct<doc_id:bigint>
+"""
+
+
+class TestParser:
+    def test_canned_plan_flags(self):
+        """The parser must see BOTH anti-patterns in the canned plan: a
+        window keyed only on `lang` and a doubled documents scan."""
+        flags = probe.flags_for_plan(CANNED)
+        assert "window partitionBy=['lang']" in flags
+        assert "scan x2 of documents" in flags
+
+    def test_band_keyed_window_not_flagged(self):
+        """(key, band) windows are the banded designs' legitimate shape."""
+        plan = CANNED.replace(
+            "windowspecdefinition(lang#2, doc_id#0L ASC",
+            "windowspecdefinition(lang#2, band#9L, doc_id#0L ASC",
+        ).replace("], [lang#2], [", "], [lang#2, band#9L], [")
+        assert not [f for f in probe.flags_for_plan(plan) if "window" in f]
+
+    def test_cartesian_flagged(self):
+        assert "CartesianProduct" in probe.flags_for_plan("CartesianProduct")
+
+    def test_dim_scan_thresholds(self):
+        """Fact tables flag at x2; dims only at x3."""
+        nation2 = (
+            "Location: InMemoryFileIndex [file:/x/nation.parquet]\n"
+            "Location: InMemoryFileIndex [file:/x/nation.parquet]\n"
+        )
+        assert not probe.flags_for_plan(nation2)
+        assert probe.flags_for_plan(nation2 * 2) == ["scan x4 of nation"]
+
+
+class TestLiveClassification:
+    """The live formatted plan still matches the parser's expectations —
+    if Spark changes the explain syntax, these fail before the sweep lies."""
+
+    def test_live_window_and_scan_detected(self, spark):
+        import pyspark.sql.functions as F
+        from pyspark.sql.window import Window
+
+        dc = spark.read.parquet(os.path.join(SF_SMALL, "documents.parquet"))
+        bad = dc.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("lang").orderBy("doc_id"))
+        ).join(dc.select("doc_id"), "doc_id")
+        flags = probe.flags_for_plan(formatted_plan(bad))
+        assert "window partitionBy=['lang']" in flags
+        assert "scan x2 of documents" in flags
+
+    def test_live_clean_query_unflagged(self, spark):
+        from feature_datalake_sl_mandic_spark import registry
+
+        spec = registry.load_all()["q1_pricing_summary"]
+        assert probe.flags_for_plan(formatted_plan(spec.fn(spark, SF_SMALL))) == []
+
+    def test_live_banded_query_matches_allowlist(self, spark):
+        """split_exact_stratified's flags must equal its ALLOW entry exactly
+        (two bounded band-prefix windows on lang, nothing else)."""
+        from feature_datalake_sl_mandic_spark import registry
+
+        spec = registry.load_all()["split_exact_stratified"]
+        flags = probe.flags_for_plan(formatted_plan(spec.fn(spark, SF_SMALL)))
+        assert sorted(flags) == ["window partitionBy=['lang']"] * 2
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_PLAN_SWEEP") != "1",
+    reason="full 237-plan sweep takes minutes; set SPARK_GRAFT_PLAN_SWEEP=1 "
+    "(it also runs on every PLANS.md regeneration)",
+)
+def test_full_sweep_no_unexplained(spark):
+    flagged, unexplained, stale = probe.sweep(spark, SF_SMALL)
+    assert not unexplained, unexplained
+    assert not stale, stale
