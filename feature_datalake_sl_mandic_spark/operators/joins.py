@@ -284,7 +284,12 @@ def join_lateral_topn_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT'd subquery into a ranked join rather than executing it per outer
     row, so at scale this is one shuffle on the correlation key (equivalent
     to the window-rank formulation, but stated as the ANSI lateral the
-    reference's warehouse users would write)."""
+    reference's warehouse users would write). This query exists to cover
+    the LATERAL operator surface itself; because the decorrelated rank
+    window partitions on the 25-value correlation key, the per-group top-k
+    SCALE path is ``functions.ranking.grouped_topk`` (banded local top-k,
+    then a bounded final rank) — the form every production top-k selection
+    in this repo uses (plans/probe.py ALLOW-lists this demo explicitly)."""
     for t in ("nation", "customer"):
         _t(spark, sf_dir, t)[0].createOrReplaceTempView(t)
     return spark.sql(

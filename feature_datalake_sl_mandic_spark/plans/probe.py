@@ -39,6 +39,11 @@ LOWCARD = {
     "mktsegment", "returnflag", "linestatus", "half", "flag", "seg",
     "o_orderpriority", "l_returnflag", "l_linestatus", "l_shipmode",
     "c_mktsegment", "quality_decile", "decile", "bucket_id",
+    # added by the round-6 window-key enumeration (every partition-key
+    # combination across all plans was listed; these three appeared bare):
+    "o_orderstatus", "cluster_final", "c_nationkey",
+    # plausible low-card names nothing windows on today — guarding drift:
+    "n_nationkey", "s_nationkey", "abc_class", "action", "status", "split",
 }
 FACT = {"lineitem", "orders", "events", "documents", "embeddings"}
 
@@ -84,6 +89,28 @@ ALLOW: dict[str, dict[str, tuple[int, str]]] = {
     },
     "sample_weighted_reservoir": {"window partitionBy=['lang']": (1, R_TOPK)},
     "corpus_zipf_fit": {"window partitionBy=['lang']": (1, R_TOPK)},
+    "kmeans_balanced_sample": {
+        "window partitionBy=['cluster_final']": (1, R_TOPK)
+    },
+    "sketch_ddsketch_order_quantiles": {
+        "scan x2 of orders": (1, R_CUTOFF),
+        "window partitionBy=['o_orderstatus']": (
+            1,
+            "DDSketch quantile walk: the window input is the per-status log-"
+            "bucket relation — bounded by the sketch's bucket count "
+            "regardless of input size",
+        ),
+    },
+    "join_lateral_topn_customers": {
+        "window partitionBy=['c_nationkey']": (
+            1,
+            "deliberate ANSI LATERAL surface demo: Catalyst decorrelates the "
+            "LIMIT'd subquery into a rank window on the correlation key; the "
+            "scale path for per-group top-k is functions.ranking.grouped_topk "
+            "(named in the docstring) — this query exists to cover the "
+            "lateral operator itself",
+        )
+    },
     "stats_gini_order_values": {
         "window partitionBy=['seg']": (
             1,
@@ -146,7 +173,6 @@ ALLOW: dict[str, dict[str, tuple[int, str]]] = {
     "incremental_agg_refresh": {
         "scan x2 of orders": (1, R_ROLE + " (base vs delta slices)")
     },
-    "sketch_ddsketch_order_quantiles": {"scan x2 of orders": (1, R_CUTOFF)},
     "quality_decile_stats": {"scan x2 of documents": (1, R_CUTOFF)},
     "corpus_boilerplate_tokens": {
         "scan x3 of documents": (
