@@ -85,7 +85,13 @@ ALLOW: dict[str, dict[str, tuple[int, str]]] = {
     "corpus_domain_caps": {"window partitionBy=['source']": (2, R_BAND)},
     "corpus_curation_end_to_end": {"window partitionBy=['source']": (2, R_BAND)},
     "agg_weighted_median_price": {
-        "window partitionBy=['l_returnflag']": (2, R_BAND + " (<=61-band relation)")
+        "window partitionBy=['l_returnflag']": (
+            2,
+            "banded two-level design: both windows run over the rows of the "
+            "ONE median-crossing price band per group (~1/55 of the group, "
+            "located by the bounded 3x<=61 band-total relation), never the "
+            "raw fact partition",
+        )
     },
     "sample_weighted_reservoir": {"window partitionBy=['lang']": (1, R_TOPK)},
     "corpus_zipf_fit": {"window partitionBy=['lang']": (1, R_TOPK)},

@@ -101,3 +101,74 @@ def test_split_banded_matches_global_window(spark, tmp_path_factory, rows):
     want = {tuple(r) for r in naive.collect()}
     got = {tuple(r) for r in split_exact_stratified(spark, sf_dir).collect()}
     assert got == want
+
+
+# (orderkey, linenumber) unique line ids; 3-value flag (the low-cardinality
+# regime); prices cross the _WMED_BUCKET band width AND the 60-band cap;
+# integer weights >= 1 (the lineitem contract — l_quantity >= 1; a tw=0
+# group is out of contract and the banded form deliberately assumes tw > 0).
+_lines_st = st.lists(
+    st.tuples(
+        st.integers(0, 30),  # l_orderkey
+        st.integers(1, 7),  # l_linenumber
+        st.integers(0, 2),  # flag index
+        st.integers(0, 140),  # price in _WMED_BUCKET/2 steps -> bands 0..60+
+        st.integers(1, 5),  # weight
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@settings(**PROP_SETTINGS)
+@given(lines=_lines_st)
+def test_weighted_median_banded_matches_global_window(
+    spark, tmp_path_factory, lines
+):
+    """The banded weighted median (round-5 rewrite) equals the naive
+    flag-partitioned cumulative-window form on arbitrary line sets,
+    including prices past the 60-band cap and single-line groups."""
+    from feature_datalake_sl_mandic_spark.operators.aggregates import (
+        _WMED_BUCKET,
+        agg_weighted_median_price,
+    )
+
+    sf_dir = str(tmp_path_factory.mktemp("wmed_prop"))
+    flags = ["A", "N", "R"]
+    df = spark.createDataFrame(
+        [
+            (flags[f], ok, ln, (p * _WMED_BUCKET) / 2.0 + 0.25, float(wt))
+            for (ok, ln, f, p, wt) in lines
+        ],
+        "l_returnflag STRING, l_orderkey INT, l_linenumber INT, "
+        "l_extendedprice DOUBLE, l_quantity DOUBLE",
+    )
+    df.write.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = F.col("l_quantity").cast("bigint")
+    cum = df.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.sum(wt).over(w_cum).alias("cw"),
+        F.sum(wt).over(Window.partitionBy("l_returnflag")).alias("tw"),
+    )
+    w_pick = Window.partitionBy("l_returnflag").orderBy("cw", "price")
+    naive = (
+        cum.where(2 * F.col("cw") >= F.col("tw"))
+        .withColumn("rn", F.row_number().over(w_pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("tw").alias("total_weight"),
+            F.round("price", 2).alias("weighted_median_price"),
+        )
+    )
+    want = {tuple(r) for r in naive.collect()}
+    got = {tuple(r) for r in agg_weighted_median_price(spark, sf_dir).collect()}
+    assert got == want
