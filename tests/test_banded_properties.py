@@ -1,6 +1,8 @@
-"""Property tests for the banded two-level rank decompositions in curation.
+"""Property tests for the banded two-level rank decompositions.
 
-``_cap_by_hash_banded`` and ``split_exact_stratified`` replace full-partition
+The banded family (``_cap_by_hash_banded``, ``split_exact_stratified``,
+``agg_weighted_median_price``, ``customers_pareto_abc``,
+``stats_gini_order_values``) replaces full-partition
 rank windows keyed on low-cardinality columns (the scale-killer class the
 round-5 verdict hunted) with band-prefix arithmetic + boundary-band-only
 ranking. Their oracles prove equality on the fixture distribution at two
@@ -171,4 +173,137 @@ def test_weighted_median_banded_matches_global_window(
     )
     want = {tuple(r) for r in naive.collect()}
     got = {tuple(r) for r in agg_weighted_median_price(spark, sf_dir).collect()}
+    assert got == want
+
+
+# (custkey, orderkey, price-step) orders: heavy revenue ties across
+# customers (same summed revenue -> desc-order tie-breaks by custkey) and
+# revenues crossing the 50-band cap of customers_pareto_abc.
+_orders_st = st.lists(
+    st.tuples(
+        st.integers(0, 12),  # o_custkey
+        st.integers(0, 200),  # o_orderkey (uniqueness key)
+        st.integers(1, 60),  # price in 50k-cent steps
+    ),
+    min_size=1,
+    max_size=50,
+    unique_by=lambda t: t[1],
+)
+
+
+@settings(**PROP_SETTINGS)
+@given(orders=_orders_st)
+def test_pareto_abc_banded_matches_global_window(spark, tmp_path_factory, orders):
+    """The banded Pareto/ABC prefix sum equals the naive global descending
+    cumulative window on arbitrary order sets, including revenue ties and
+    customers past the 50-band cap."""
+    from feature_datalake_sl_mandic_spark.operators.aggregates import (
+        ABC_A_CUT,
+        ABC_B_CUT,
+        customers_pareto_abc,
+    )
+
+    sf_dir = str(tmp_path_factory.mktemp("abc_prop"))
+    df = spark.createDataFrame(
+        [(ck, ok, p * 50_000.0 + 0.25) for (ck, ok, p) in orders],
+        "o_custkey INT, o_orderkey INT, o_totalprice DOUBLE",
+    )
+    df.write.parquet(os.path.join(sf_dir, "orders.parquet"))
+
+    rev = df.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,2)")).alias("revenue")
+    )
+    w = Window.partitionBy().orderBy(F.col("revenue").desc(), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = rev.withColumn("cum_rev", F.sum("revenue").over(w)).crossJoin(
+        F.broadcast(rev.agg(F.sum("revenue").alias("total")))
+    )
+    share = F.col("cum_rev") / F.col("total")
+    naive = (
+        cum.select(
+            "revenue",
+            F.when(share <= ABC_A_CUT, "A")
+            .when(share <= ABC_B_CUT, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+            "total",
+        )
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("revenue"), 2).cast("double").alias("class_revenue"),
+            F.round((F.sum("revenue") / F.first("total")).cast("double"), 4).alias(
+                "revenue_share"
+            ),
+        )
+    )
+    want = {tuple(r) for r in naive.collect()}
+    got = {tuple(r) for r in customers_pareto_abc(spark, sf_dir).collect()}
+    assert got == want
+
+
+# (orderkey, custkey, price-step): very few distinct prices -> heavy v-ties
+# per segment, the regime the tie-arithmetic rewrite exists for; prices also
+# cross the _GINI_BAND_CENTS band width.
+_gini_orders_st = st.lists(
+    st.tuples(
+        st.integers(0, 200),  # o_orderkey (uniqueness key)
+        st.integers(0, 9),  # o_custkey
+        st.integers(1, 25),  # price in 5000-dollar steps
+    ),
+    min_size=1,
+    max_size=50,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(**PROP_SETTINGS)
+@given(orders=_gini_orders_st)
+def test_gini_tie_arithmetic_matches_rank_window(spark, tmp_path_factory, orders):
+    """The distinct-value tie-arithmetic Gini equals the naive per-row rank
+    window form on arbitrary order sets with heavy value ties."""
+    from feature_datalake_sl_mandic_spark.operators.profile import (
+        stats_gini_order_values,
+    )
+
+    sf_dir = str(tmp_path_factory.mktemp("gini_prop"))
+    segs = ["AUTOMOBILE", "BUILDING", "MACHINERY"]
+    od = spark.createDataFrame(
+        [(ok, ck, p * 5000.0 + 0.13) for (ok, ck, p) in orders],
+        "o_orderkey INT, o_custkey INT, o_totalprice DOUBLE",
+    )
+    cu = spark.createDataFrame(
+        [(ck, segs[ck % 3]) for ck in range(10)],
+        "c_custkey INT, c_mktsegment STRING",
+    )
+    od.write.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cu.write.parquet(os.path.join(sf_dir, "customer.parquet"))
+
+    cents = od.join(cu, od["o_custkey"] == cu["c_custkey"]).select(
+        "o_orderkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    w = Window.partitionBy("seg").orderBy("v", "o_orderkey")
+    agg = (
+        cents.withColumn("i", F.row_number().over(w))
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("total"),
+            F.sum(F.col("i").cast("decimal(38,0)") * F.col("v")).cast("double").alias("weighted"),
+        )
+    )
+    gini = (2.0 * F.col("weighted")) / (
+        F.col("n").cast("double") * F.col("total")
+    ) - (F.col("n") + 1.0) / F.col("n")
+    naive = agg.select(
+        "seg",
+        "n",
+        F.round(F.col("total") / 100.0, 2).alias("total_value"),
+        F.round(gini, 6).alias("gini"),
+    )
+    want = {tuple(r) for r in naive.collect()}
+    got = {tuple(r) for r in stats_gini_order_values(spark, sf_dir).collect()}
     assert got == want
