@@ -1255,13 +1255,17 @@ NEYMAN_BUDGET = 500  # total sampled rows across all strata
                AS pop_mean
       FROM stats
     ),
-    wsum AS (SELECT sum(n_pop * std_micros) AS w FROM stats2),
+    wsum AS (SELECT sum(n_pop * std_micros) AS w, sum(n_pop) AS n_tot
+             FROM stats2),
     alloc AS (
       SELECT s.event_type, s.n_pop,
              CAST(s.std_micros AS DOUBLE) / 1000000.0 AS std_pop,
              s.pop_mean,
              least(s.n_pop,
-                   ({NEYMAN_BUDGET} * s.n_pop * s.std_micros) // t.w) AS n_alloc
+                   CASE WHEN t.w > 0
+                        THEN ({NEYMAN_BUDGET} * s.n_pop * s.std_micros) // t.w
+                        ELSE ({NEYMAN_BUDGET} * s.n_pop) // t.n_tot
+                   END) AS n_alloc
       FROM stats2 s CROSS JOIN wsum t
     ),
     ranked AS (
@@ -1357,7 +1361,10 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    wsum = stats.agg(F.sum(F.col("n_pop") * F.col("std_micros")).alias("w"))
+    wsum = stats.agg(
+        F.sum(F.col("n_pop") * F.col("std_micros")).alias("w"),
+        F.sum("n_pop").alias("n_tot"),
+    )
     alloc = (
         stats.crossJoin(F.broadcast(wsum))
         .select(
@@ -1365,10 +1372,17 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pop",
             (F.col("std_micros").cast("double") / 1000000.0).alias("std_pop"),
             "pop_mean",
-            # exact-integer Neyman floor: bigint multiply then integer div
+            # exact-integer Neyman floor: bigint multiply then integer div.
+            # Degenerate corpus (every stratum zero-variance -> w = 0, found
+            # by the hypothesis oracle-differential test): fall back to
+            # exact-integer PROPORTIONAL allocation instead of dividing by
+            # zero — mirrored in the oracle's CASE.
             F.least(
                 F.col("n_pop"),
-                F.expr(f"({NEYMAN_BUDGET} * n_pop * std_micros) div w"),
+                F.when(
+                    F.col("w") > 0,
+                    F.expr(f"({NEYMAN_BUDGET} * n_pop * std_micros) div w"),
+                ).otherwise(F.expr(f"({NEYMAN_BUDGET} * n_pop) div n_tot")),
             ).alias("n_alloc"),
         )
         .localCheckpoint()

@@ -307,3 +307,54 @@ def test_gini_tie_arithmetic_matches_rank_window(spark, tmp_path_factory, orders
     want = {tuple(r) for r in naive.collect()}
     got = {tuple(r) for r in stats_gini_order_values(spark, sf_dir).collect()}
     assert got == want
+
+
+# (user_id or None, value in cents steps, event_type index or None): NULL
+# strata and NULL user keys exercise the '__null__' sentinel path; tiny value
+# domains produce heavy ties in the (hk, cents) selection order; stratum
+# sizes from 1 row up exercise n_alloc floors of 0 and caps at n_pop.
+_neyman_rows_st = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 5)),
+        st.integers(0, 40),
+        st.one_of(st.none(), st.integers(0, 2)),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(**PROP_SETTINGS)
+@given(rows=_neyman_rows_st)
+def test_neyman_banded_selection_matches_oracle(spark, tmp_path_factory, rows):
+    """The Neyman sampler's banded per-stratum-cap selection (top-8-bit hash
+    bands, boundary-band-only ranking) hash-matches its own DuckDB oracle —
+    which states the global rank-window semantics — on hypothesis-generated
+    events with NULL strata/users and heavy selection-key ties. This is the
+    driver's comparison run on adversarial data instead of the fixture."""
+    import duckdb
+
+    from feature_datalake_sl_mandic_spark import registry
+    from feature_datalake_sl_mandic_spark.oracle import compare
+
+    spec = registry.load_all()["sample_stratified_neyman"]
+    etypes = ["click", "purchase", "view"]
+    sf_dir = str(tmp_path_factory.mktemp("neyman_prop"))
+    df = spark.createDataFrame(
+        [
+            (u, (None if et is None else etypes[et]), v * 0.25 + 0.01)
+            for (u, v, et) in rows
+        ],
+        "user_id INT, event_type STRING, value DOUBLE",
+    )
+    df.write.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    spdf = spec.fn(spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{os.path.join(sf_dir, 'events.parquet')}/*.parquet')"
+    )
+    dkdf = con.execute(spec.oracle).df()
+    errs = [e for e in compare(spdf, dkdf, "neyman_prop") if "WARNING" not in e]
+    assert not errs, "\n".join(errs)
