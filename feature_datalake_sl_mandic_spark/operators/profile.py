@@ -509,12 +509,16 @@ WELCH_T_CRIT_05 = 1.96  # large-sample two-sided 5% critical value, fixed
     SELECT status,
            CAST(n_hi AS BIGINT) AS n_hi, CAST(n_lo AS BIGINT) AS n_lo,
            round(m_hi, 4) AS mean_hi, round(m_lo, 4) AS mean_lo,
-           round((m_hi - m_lo) / sqrt(v_hi / n_hi + v_lo / n_lo), 4) AS t_stat,
-           round(pow(v_hi / n_hi + v_lo / n_lo, 2)
-                 / (pow(v_hi / n_hi, 2) / (n_hi - 1)
-                    + pow(v_lo / n_lo, 2) / (n_lo - 1)), 2) AS welch_dof,
-           abs((m_hi - m_lo) / sqrt(v_hi / n_hi + v_lo / n_lo))
-             > {WELCH_T_CRIT_05} AS reject_05
+           CASE WHEN v_hi / n_hi + v_lo / n_lo > 0 THEN
+             round((m_hi - m_lo) / sqrt(v_hi / n_hi + v_lo / n_lo), 4) END
+             AS t_stat,
+           CASE WHEN v_hi / n_hi + v_lo / n_lo > 0 THEN
+             round(pow(v_hi / n_hi + v_lo / n_lo, 2)
+                   / (pow(v_hi / n_hi, 2) / (n_hi - 1)
+                      + pow(v_lo / n_lo, 2) / (n_lo - 1)), 2) END AS welch_dof,
+           CASE WHEN v_hi / n_hi + v_lo / n_lo > 0 THEN
+             abs((m_hi - m_lo) / sqrt(v_hi / n_hi + v_lo / n_lo))
+               > {WELCH_T_CRIT_05} ELSE FALSE END AS reject_05
     FROM sidewise
     WHERE n_hi >= 2 AND n_lo >= 2
     ORDER BY status
@@ -559,6 +563,10 @@ def stats_welch_ttest_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pow(F.col("v_hi") / F.col("n_hi"), 2) / (F.col("n_hi") - 1)
         + F.pow(F.col("v_lo") / F.col("n_lo"), 2) / (F.col("n_lo") - 1)
     )
+    # Degenerate arms (both variances zero -> se2 = 0, found by the
+    # degenerate-input crash audit): the statistic is undefined — emit NULL
+    # on both engines instead of dividing by zero under ANSI mode.
+    defined = se2 > 0
     return (
         side.where((F.col("n_hi") >= 2) & (F.col("n_lo") >= 2))
         .select(
@@ -567,9 +575,11 @@ def stats_welch_ttest_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_lo").cast("bigint").alias("n_lo"),
             F.round("m_hi", 4).alias("mean_hi"),
             F.round("m_lo", 4).alias("mean_lo"),
-            F.round(t, 4).alias("t_stat"),
-            F.round(dof, 2).alias("welch_dof"),
-            (F.abs(t) > WELCH_T_CRIT_05).alias("reject_05"),
+            F.when(defined, F.round(t, 4)).alias("t_stat"),
+            F.when(defined, F.round(dof, 2)).alias("welch_dof"),
+            F.when(defined, F.abs(t) > WELCH_T_CRIT_05)
+            .otherwise(F.lit(False))
+            .alias("reject_05"),
         )
         .orderBy("status")
     )
@@ -598,11 +608,16 @@ ANOVA_F_CRIT_05 = 2.37  # upper 5% critical value of F(dof1=4, dof2=inf), fixed
     )
     SELECT CAST(k AS BIGINT) AS n_groups,
            CAST(n_all AS BIGINT) AS n_rows,
-           round(ss_between / (k - 1), 4) AS ms_between,
-           round(ss_within / (n_all - k), 4) AS ms_within,
-           round((ss_between / (k - 1)) / (ss_within / (n_all - k)), 4) AS f_stat,
-           (ss_between / (k - 1)) / (ss_within / (n_all - k))
-             > {ANOVA_F_CRIT_05} AS reject_05
+           CASE WHEN k > 1 THEN round(ss_between / (k - 1), 4) END
+             AS ms_between,
+           CASE WHEN n_all > k THEN round(ss_within / (n_all - k), 4) END
+             AS ms_within,
+           CASE WHEN k > 1 AND n_all > k AND ss_within > 0 THEN
+             round((ss_between / (k - 1)) / (ss_within / (n_all - k)), 4) END
+             AS f_stat,
+           CASE WHEN k > 1 AND n_all > k AND ss_within > 0 THEN
+             (ss_between / (k - 1)) / (ss_within / (n_all - k))
+               > {ANOVA_F_CRIT_05} ELSE FALSE END AS reject_05
     FROM parts
     """,
     tags=("statistics", "hypothesis-test", "anova", "groupby-agg"),
@@ -649,13 +664,22 @@ def stats_anova_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ms_between = F.col("ss_between") / (F.col("k") - 1)
     ms_within = F.col("ss_within") / (F.col("n_all") - F.col("k"))
+    # Degenerate designs (one group -> k-1 = 0; one row per group ->
+    # n_all = k; identical rows -> ss_within = 0; found by the
+    # degenerate-input crash audit): each undefined statistic is NULL on
+    # both engines instead of an ANSI divide-by-zero.
+    has_between = F.col("k") > 1
+    has_within = F.col("n_all") > F.col("k")
+    f_defined = has_between & has_within & (F.col("ss_within") > 0)
     return parts.select(
         F.col("k").cast("bigint").alias("n_groups"),
         F.col("n_all").cast("bigint").alias("n_rows"),
-        F.round(ms_between, 4).alias("ms_between"),
-        F.round(ms_within, 4).alias("ms_within"),
-        F.round(ms_between / ms_within, 4).alias("f_stat"),
-        (ms_between / ms_within > ANOVA_F_CRIT_05).alias("reject_05"),
+        F.when(has_between, F.round(ms_between, 4)).alias("ms_between"),
+        F.when(has_within, F.round(ms_within, 4)).alias("ms_within"),
+        F.when(f_defined, F.round(ms_between / ms_within, 4)).alias("f_stat"),
+        F.when(f_defined, ms_between / ms_within > ANOVA_F_CRIT_05)
+        .otherwise(F.lit(False))
+        .alias("reject_05"),
     )
 
 

@@ -122,7 +122,14 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # (events_gapfill_resample, drift_psi_event_values, customers_cohort_ltv
 # — localCheckpoint pins with untouched value paths, sf0.01-mirror-
 # verified locally, rotating to next round), and kmeans_balanced_sample
-# already sits in the window for its grouped_topk rewrite.
+# already sits in the window for its grouped_topk rewrite. The
+# degenerate-input audit then changed three value paths late in the
+# round (Neyman w=0 proportional fallback; Welch/ANOVA NULL-or-FALSE
+# guards on zero-variance designs): sample_stratified_neyman already
+# leads the window; stats_welch_ttest_priority and
+# stats_anova_order_priority take the slots of two more pin-only
+# entries (eval_retrieval_metrics, ts_seasonal_dow_index — shared-
+# relation pins, value paths untouched, sf0.01-mirror-verified).
 _PRIORITY: list[str] = [
     # --- changed since their last driver-green row
     "q21_sole_late_supplier",
@@ -140,7 +147,7 @@ _PRIORITY: list[str] = [
     "sketch_hll_daily_to_weekly_merge",
     "stats_bootstrap_ci_mean",
     "ts_cross_correlation_lags",
-    "ts_seasonal_dow_index",
+    "stats_welch_ttest_priority",
     "text_tfidf_top_terms",
     "quality_repetition_stats",
     "dedup_simhash",
@@ -161,7 +168,7 @@ _PRIORITY: list[str] = [
     "ts_trend_pair_sampled",
     "stats_gini_order_values",
     "embedding_pca_power_iteration",
-    "eval_retrieval_metrics",
+    "stats_anova_order_priority",
     "scd2_customer_dim",
     "scd2_point_in_time_join",
     "multimodal_phash_banded_pairs",
