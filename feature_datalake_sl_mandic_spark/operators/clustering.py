@@ -269,6 +269,8 @@ _COS_AB_SQL = (
     JOIN e ea ON ea.vec_id = a.vec_id
     JOIN e eb ON eb.vec_id = b.vec_id
     WHERE {_COS_AB_SQL} >= {SEMDEDUP_THRESHOLD}
+      AND list_sum(list_transform(ea.emb, v -> v * v)) > 0
+      AND list_sum(list_transform(eb.emb, v -> v * v)) > 0
     ORDER BY vec_a, vec_b
     """,
     tags=("dedup", "clustering", "semdedup", "embeddings"),
@@ -285,10 +287,13 @@ def semdedup_cluster_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd chain (broadcast-assign, centroid update, reassign) from parquet."""
     from feature_datalake_sl_mandic_spark.operators.similarity import _dot as dot
 
+    # clustering keeps the zero vector (distance is defined for it); the
+    # cosine PAIR stage excludes it — undefined direction, both engines
     a1 = (
         _final_assignments(spark, sf_dir)
         .select("vec_id", "cluster_final", "emb")
         .withColumn("norm", F.sqrt(dot("emb", "emb")))
+        .where(F.col("norm") > 0)
         .localCheckpoint()
     )
     a = a1.alias("a")

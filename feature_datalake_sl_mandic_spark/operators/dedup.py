@@ -583,10 +583,14 @@ _DUCK_COS = (
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
+    WITH nz AS (
+      SELECT * FROM embeddings
+      WHERE list_sum(list_transform(embedding, x -> (x*x)::DOUBLE)) > 0
+    )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
            round({_DUCK_COS}, 6) AS cosine
-    FROM embeddings a
-    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM nz a
+    JOIN nz b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE {_DUCK_COS} >= {COSINE_NEARDUP_THRESHOLD}
     ORDER BY vec_a, vec_b
     """,
@@ -602,8 +606,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # norm precomputed once per vector (not once per PAIR): 3x less HOF work
     # in the pair join; identical arithmetic, so oracle parity is unchanged
-    emd = em.withColumn("emb", F.col("embedding").cast("array<double>")).withColumn(
-        "norm", F.sqrt(dot("emb", "emb"))
+    # zero-norm vectors have no direction: cosine is undefined for them, so
+    # they are excluded on BOTH engines (round-6 degenerate-input audit)
+    emd = (
+        em.withColumn("emb", F.col("embedding").cast("array<double>"))
+        .withColumn("norm", F.sqrt(dot("emb", "emb")))
+        .where(F.col("norm") > 0)
     )
     a = emd.alias("a")
     b = emd.alias("b")

@@ -64,7 +64,8 @@ _IVF_ORACLE = _REGISTRY["ann_ivf_cells"].oracle
       SELECT doc_id, rnk AS bm25_rank FROM ({_BM25_ORACLE}) b
     ),
     e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
-          FROM embeddings),
+          FROM embeddings
+          WHERE list_sum(list_transform(embedding, x -> (x*x)::DOUBLE)) > 0),
     dense_scored AS (
       SELECT c.vec_id AS doc_id, round({_DUCK_PAIR_COS}, 6) AS cosine
       FROM (SELECT emb FROM e WHERE vec_id = {DENSE_QUERY_ID}) q
@@ -109,8 +110,10 @@ def text_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("rnk").alias("bm25_rank")
     )
     (em,) = _t(spark, sf_dir, "embeddings")
-    e = em.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    from feature_datalake_sl_mandic_spark.operators.similarity import _nonzero
+
+    e = _nonzero(
+        em.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     )
     q = e.where(F.col("vec_id") == DENSE_QUERY_ID).select(
         F.col("emb").alias("qemb")
@@ -238,6 +241,8 @@ def _duck_sliced_knn(d: int) -> str:
                                   ORDER BY round({cos}, 6) DESC, c.vec_id)
                  AS rank
         FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+        WHERE list_sum(list_transform(range(1, {d + 1}), i -> q.emb[i] * q.emb[i])) > 0
+          AND list_sum(list_transform(range(1, {d + 1}), i -> c.emb[i] * c.emb[i])) > 0
       ) WHERE rank <= {TOP_K}
     """
 
@@ -246,7 +251,8 @@ def _duck_sliced_knn(d: int) -> str:
     "eval_matryoshka_recall",
     oracle=f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
-               FROM embeddings),
+               FROM embeddings
+               WHERE list_sum(list_transform(embedding, x -> (x*x)::DOUBLE)) > 0),
     sys AS ({" UNION ALL ".join(_duck_sliced_knn(d) for d in MRL_DIMS)}),
     gt AS (
       SELECT query_id, neighbor_id FROM ({_KNN_ORACLE}) g
@@ -286,7 +292,11 @@ def eval_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     gt = knn_cosine_topk(spark, sf_dir).select(
         "query_id", F.col("neighbor_id").alias("gt_neighbor")
     )
-    e = em.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    from feature_datalake_sl_mandic_spark.operators.similarity import _nonzero
+
+    e = _nonzero(
+        em.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    )
     q = e.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
@@ -316,6 +326,10 @@ def eval_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id", "neighbor_id", "qemb", "cemb", F.explode(dims).alias("dim")
         )
+        # a nonzero vector can still have an all-zero leading slice: at that
+        # dimension budget it has no direction, so the (pair, dim) row is
+        # excluded — mirrored per-d in the oracle
+        .where((_pref_dot("qemb", "qemb") > 0) & (_pref_dot("cemb", "cemb") > 0))
         .select(
             F.col("dim").cast("bigint").alias("dim"),
             "query_id",

@@ -130,11 +130,35 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # stats_anova_order_priority take the slots of two more pin-only
 # entries (eval_retrieval_metrics, ts_seasonal_dow_index — shared-
 # relation pins, value paths untouched, sf0.01-mirror-verified).
+# The audit's final wave added zero-norm guards to the whole
+# cosine-space family (16 value paths: base nonzero filters,
+# SQ8/PQ reconstructed-norm guards, matryoshka prefix-norm guards).
+# Value-path changes outrank plan-only rewrites, so the 15 not already
+# windowed (semdedup_cluster_cosine is) displace 15 plan-only entries
+# whose post-change verification already exists twice over — the two
+# full 237-query sf0.01 sweeps this session ran AFTER those rewrites
+# landed (q21/q17 decorrelations, referential-integrity scan fold,
+# the sketch_hll pair, cms/ts_trend null-sentinels re-checks,
+# ts_cross_correlation/text_tfidf pins, the scd2 join pins, and five
+# single-scan event rewrites). All displaced names rotate to round 7's
+# window head.
 _PRIORITY: list[str] = [
     # --- changed since their last driver-green row
-    "q21_sole_late_supplier",
-    "q17_small_quantity_revenue",
-    "validate_referential_integrity",
+    "knn_cosine_topk",
+    "knn_cosine_matmul",
+    "ann_lsh_bucketed",
+    "ann_ivf_cells",
+    "ann_ivf_cells_nprobe2",
+    "ann_scalar_quantized",
+    "ann_ivf_pq",
+    "ann_ivf_pq_packed",
+    "ann_pq_lloyd_refined",
+    "ann_two_stage_rerank",
+    "mine_hard_negatives",
+    "dedup_embedding_cosine",
+    "text_hybrid_rrf_search",
+    "eval_retrieval_metrics",
+    "eval_matryoshka_recall",
     "eval_rouge_redaction_impact",
     "sample_stratified_neyman",
     "sample_weighted_reservoir",
@@ -143,12 +167,8 @@ _PRIORITY: list[str] = [
     "kmeans_balanced_sample",
     "lm_bigram_next_tokens",
     "lm_bigram_kneser_ney",
-    "sketch_hll_manual_users",
-    "sketch_hll_daily_to_weekly_merge",
     "stats_bootstrap_ci_mean",
-    "ts_cross_correlation_lags",
     "stats_welch_ttest_priority",
-    "text_tfidf_top_terms",
     "quality_repetition_stats",
     "dedup_simhash",
     "dedup_ngram_jaccard",
@@ -164,19 +184,11 @@ _PRIORITY: list[str] = [
     "dedup_minhash_lsh",
     "dedup_incremental_minhash",
     "eval_dedup_lsh_recall",
-    "cms_heavy_hitters_events",
-    "ts_trend_pair_sampled",
     "stats_gini_order_values",
     "embedding_pca_power_iteration",
     "stats_anova_order_priority",
-    "scd2_customer_dim",
-    "scd2_point_in_time_join",
     "multimodal_phash_banded_pairs",
     "multimodal_audio_fp_banded_pairs",
-    "events_time_to_convert",
-    "events_dau_wau_stickiness",
-    "events_funnel_three_step",
-    "events_dedup_replayed",
     "events_cohort_retention",
     "corpus_decontaminate",
     "corpus_clean_pipeline",
