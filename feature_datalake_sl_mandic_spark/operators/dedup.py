@@ -1046,10 +1046,15 @@ from feature_datalake_sl_mandic_spark.registry import _REGISTRY as _REG
     SELECT CAST(sum(in_truth) AS BIGINT) AS n_truth,
            CAST(sum(in_lsh) AS BIGINT) AS n_lsh,
            CAST(sum(in_truth * in_lsh) AS BIGINT) AS n_common,
-           round(sum(in_truth * in_lsh) * 1.0 / sum(in_lsh), 4) AS precision_,
-           round(sum(in_truth * in_lsh) * 1.0 / sum(in_truth), 4) AS recall_,
-           round(2.0 * sum(in_truth * in_lsh)
-                 / (sum(in_truth) + sum(in_lsh)), 4) AS f1
+           CASE WHEN sum(in_lsh) > 0 THEN
+             round(sum(in_truth * in_lsh) * 1.0 / sum(in_lsh), 4) END
+             AS precision_,
+           CASE WHEN sum(in_truth) > 0 THEN
+             round(sum(in_truth * in_lsh) * 1.0 / sum(in_truth), 4) END
+             AS recall_,
+           CASE WHEN sum(in_truth) + sum(in_lsh) > 0 THEN
+             round(2.0 * sum(in_truth * in_lsh)
+                   / (sum(in_truth) + sum(in_lsh)), 4) END AS f1
     FROM j
     """,
     tags=("dedup", "evaluation", "minhash", "lsh", "recall"),
@@ -1080,13 +1085,21 @@ def eval_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("in_lsh"), F.lit(0)).alias("in_lsh"),
     )
     common = F.sum(F.col("in_truth") * F.col("in_lsh"))
+    # a degenerate corpus (every shingle DF-capped away, or no near-dup
+    # pairs at all) zeroes a denominator: the ratio is then undefined —
+    # NULL on both engines (degenerate-lake audit, round 6)
     return j.agg(
         F.sum("in_truth").cast("bigint").alias("n_truth"),
         F.sum("in_lsh").cast("bigint").alias("n_lsh"),
         common.cast("bigint").alias("n_common"),
-        F.round(common * 1.0 / F.sum("in_lsh"), 4).alias("precision_"),
-        F.round(common * 1.0 / F.sum("in_truth"), 4).alias("recall_"),
-        F.round(2.0 * common / (F.sum("in_truth") + F.sum("in_lsh")), 4).alias("f1"),
+        F.when(F.sum("in_lsh") > 0, F.round(common * 1.0 / F.sum("in_lsh"), 4))
+        .alias("precision_"),
+        F.when(F.sum("in_truth") > 0, F.round(common * 1.0 / F.sum("in_truth"), 4))
+        .alias("recall_"),
+        F.when(
+            F.sum("in_truth") + F.sum("in_lsh") > 0,
+            F.round(2.0 * common / (F.sum("in_truth") + F.sum("in_lsh")), 4),
+        ).alias("f1"),
     )
 
 

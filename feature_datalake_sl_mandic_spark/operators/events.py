@@ -1060,7 +1060,9 @@ CONVERT_TO = "purchase"
     )
     SELECT count(*) AS n_cohort,
            count(delay_min) AS n_converted,
-           round(count(delay_min) * 1.0 / count(*), 6) AS conversion_rate,
+           CASE WHEN count(*) > 0 THEN
+             round(count(delay_min) * 1.0 / count(*), 6) END
+             AS conversion_rate,
            round(min(delay_min), 4) AS min_delay_min,
            round(quantile_cont(delay_min, 0.5), 4) AS p50_delay_min,
            round(quantile_cont(delay_min, 0.9), 4) AS p90_delay_min,
@@ -1113,9 +1115,12 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delays.agg(
         F.count(F.lit(1)).alias("n_cohort"),
         F.count("delay_min").alias("n_converted"),
-        F.round(F.count("delay_min") / F.count(F.lit(1)), 6).alias(
-            "conversion_rate"
-        ),
+        # an empty cohort (no CONVERT_FROM events at all) has no defined
+        # rate — NULL on both engines (degenerate-lake audit, round 6)
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.round(F.count("delay_min") / F.count(F.lit(1)), 6),
+        ).alias("conversion_rate"),
         F.round(F.min("delay_min"), 4).alias("min_delay_min"),
         F.round(F.expr("percentile(delay_min, 0.5)"), 4).alias("p50_delay_min"),
         F.round(F.expr("percentile(delay_min, 0.9)"), 4).alias("p90_delay_min"),

@@ -296,9 +296,10 @@ def ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / CAST(n_days AS DOUBLE), 4) AS intercept
     FROM (
       SELECT *,
-             round(CAST(n_days * sxy - sx * sy AS DOUBLE)
-                   / CAST(n_days * sxx - sx * sx AS DOUBLE) / 100.0, 6)
-               AS slope_per_day
+             CASE WHEN n_days * sxx - sx * sx <> 0 THEN
+               round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                     / CAST(n_days * sxx - sx * sx AS DOUBLE) / 100.0, 6)
+             END AS slope_per_day
       FROM stats
     )
     ORDER BY event_type
@@ -334,13 +335,21 @@ def ts_linear_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
-    slope = F.round(
-        (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-        / (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-            "double"
-        )
-        / 100.0,
-        6,
+    # a single-day series has zero x-variance: the OLS line is undefined —
+    # NULL slope (the intercept inherits NULL through the arithmetic) on
+    # both engines; the denominator test is exact-integer so the branch
+    # can never disagree between engines (degenerate-lake audit, round 6)
+    sxx_var = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        sxx_var != 0,
+        F.round(
+            (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / sxx_var.cast("double")
+            / 100.0,
+            6,
+        ),
     )
     # The ROUNDED slope feeds the intercept on both sides: an unrounded-slope
     # epsilon (~1e-16) is amplified by sx (~epoch-days x n_days) well past
@@ -745,7 +754,8 @@ def ts_cross_correlation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.event_type, CAST(d.dow AS BIGINT) AS dow, d.n_days,
            round(d.dow_mean, 4) AS dow_mean,
-           round(d.dow_mean / t.type_mean, 4) AS seasonal_index
+           CASE WHEN t.type_mean <> 0
+                THEN round(d.dow_mean / t.type_mean, 4) END AS seasonal_index
     FROM per_dow d JOIN per_type t USING (event_type)
     ORDER BY event_type, dow
     """,
@@ -777,7 +787,12 @@ def ts_seasonal_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dow",
             "n_days",
             F.round("dow_mean", 4).alias("dow_mean"),
-            F.round(F.col("dow_mean") / F.col("type_mean"), 4).alias("seasonal_index"),
+            # an all-zero series has no definable seasonality: NULL index on
+            # both engines (degenerate-lake audit, round 6)
+            F.when(
+                F.col("type_mean") != 0,
+                F.round(F.col("dow_mean") / F.col("type_mean"), 4),
+            ).alias("seasonal_index"),
         )
         .orderBy("event_type", "dow")
     )
@@ -793,6 +808,7 @@ def ts_seasonal_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily d
       JOIN (SELECT event_type, avg(daily_value) AS type_mean
             FROM daily GROUP BY 1) t USING (event_type)
+      WHERE t.type_mean <> 0
       GROUP BY d.event_type, isodow(d.day), t.type_mean
     ),
     adj AS (
@@ -800,6 +816,7 @@ def ts_seasonal_dow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
              d.daily_value / i.seasonal_index AS adj_value
       FROM daily d JOIN idx i
         ON d.event_type = i.event_type AND isodow(d.day) = i.dow
+      WHERE i.seasonal_index <> 0
     ),
     stats AS (
       SELECT event_type, day, daily_value, adj_value,
@@ -838,10 +855,15 @@ def ts_seasonal_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFram
     daily = _daily_series(spark, sf_dir).localCheckpoint(eager=False)
     dow = (F.weekday("day") + F.lit(1)).alias("dow")
     per_type = daily.groupBy("event_type").agg(F.avg("daily_value").alias("type_mean"))
+    # a zero type mean (all-zero series) has no definable index, and a zero
+    # dow index cannot deseasonalize — both cells drop on BOTH engines
+    # instead of dividing by zero (degenerate-lake audit, round 6)
     idx = (
         daily.join(F.broadcast(per_type), "event_type")
+        .where(F.col("type_mean") != 0)
         .groupBy("event_type", dow)
         .agg((F.avg("daily_value") / F.first("type_mean")).alias("seasonal_index"))
+        .where(F.col("seasonal_index") != 0)
     )
     adj = daily.withColumn("dow", dow).join(
         F.broadcast(idx), ["event_type", "dow"]
@@ -1330,12 +1352,16 @@ KS_ALPHA_C = 1.358  # c(alpha) for alpha = 0.05
     SELECT event_type,
            CAST(max(n0) AS BIGINT) AS n_ref,
            CAST(max(n1) AS BIGINT) AS n_cur,
-           round(max(abs(f0 * 1.0 / n0 - f1 * 1.0 / n1)), 6) AS ks_stat,
+           round(max(abs(f0 * 1.0 / nullif(n0, 0)
+                         - f1 * 1.0 / nullif(n1, 0))), 6) AS ks_stat,
            round({KS_ALPHA_C} * sqrt((max(n0) + max(n1)) * 1.0
-                                     / (max(n0) * max(n1))), 6) AS critical_05,
-           max(abs(f0 * 1.0 / n0 - f1 * 1.0 / n1))
+                                     / nullif(max(n0) * max(n1), 0)), 6)
+             AS critical_05,
+           coalesce(max(abs(f0 * 1.0 / nullif(n0, 0)
+                            - f1 * 1.0 / nullif(n1, 0)))
              > {KS_ALPHA_C} * sqrt((max(n0) + max(n1)) * 1.0
-                                   / (max(n0) * max(n1))) AS reject_05
+                                   / nullif(max(n0) * max(n1), 0)), FALSE)
+             AS reject_05
     FROM cum
     GROUP BY event_type
     ORDER BY event_type
@@ -1383,9 +1409,17 @@ def ts_ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c0").over(w_all).alias("n0"),
         F.sum("c1").over(w_all).alias("n1"),
     )
-    gap = F.abs(F.col("f0") / F.col("n0") - F.col("f1") / F.col("n1"))
+    # an empty reference or current sample has no ECDF: the test is
+    # undefined — NULL stats via nullif (so no ANSI divide-by-zero on
+    # either engine) and a FALSE reject flag (degenerate-lake audit, r6)
+    gap = F.abs(
+        F.col("f0") / F.nullif(F.col("n0"), F.lit(0))
+        - F.col("f1") / F.nullif(F.col("n1"), F.lit(0))
+    )
     crit = F.lit(KS_ALPHA_C) * F.sqrt(
-        (F.max("n0") + F.max("n1")) * 1.0 / (F.max("n0") * F.max("n1"))
+        (F.max("n0") + F.max("n1"))
+        * 1.0
+        / F.nullif(F.max("n0") * F.max("n1"), F.lit(0))
     )
     return (
         cum.groupBy("event_type")
@@ -1394,7 +1428,7 @@ def ts_ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n1").cast("bigint").alias("n_cur"),
             F.round(F.max(gap), 6).alias("ks_stat"),
             F.round(crit, 6).alias("critical_05"),
-            (F.max(gap) > crit).alias("reject_05"),
+            F.coalesce(F.max(gap) > crit, F.lit(False)).alias("reject_05"),
         )
         .orderBy("event_type")
     )

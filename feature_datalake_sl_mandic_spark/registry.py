@@ -141,7 +141,15 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # the sketch_hll pair, cms/ts_trend null-sentinels re-checks,
 # ts_cross_correlation/text_tfidf pins, the scd2 join pins, and five
 # single-scan event rewrites). All displaced names rotate to round 7's
-# window head.
+# window head. The degenerate-lake sweep then hardened six more value
+# paths (seasonal index NULL-on-zero-mean, undefined-cell drops in the
+# adjusted-anomalies index, LSH-recall ratio guards, empty-cohort
+# conversion rate, single-day OLS slope, empty-side KS test): the five
+# not already windowed take the slots of five twice-sweep-verified
+# expression rewrites (quality_repetition_stats, dedup_simhash,
+# dedup_ngram_containment, dedup_cluster_components,
+# eval_rouge_redaction_impact — the last also benched in heavy_wide),
+# all rotating to round 7.
 _PRIORITY: list[str] = [
     # --- changed since their last driver-green row
     "knn_cosine_topk",
@@ -159,7 +167,11 @@ _PRIORITY: list[str] = [
     "text_hybrid_rrf_search",
     "eval_retrieval_metrics",
     "eval_matryoshka_recall",
-    "eval_rouge_redaction_impact",
+    "ts_seasonal_dow_index",
+    "ts_seasonal_adjusted_anomalies",
+    "events_time_to_convert",
+    "ts_linear_trend_daily",
+    "ts_ks_two_sample_drift",
     "sample_stratified_neyman",
     "sample_weighted_reservoir",
     "corpus_zipf_fit",
@@ -169,11 +181,7 @@ _PRIORITY: list[str] = [
     "lm_bigram_kneser_ney",
     "stats_bootstrap_ci_mean",
     "stats_welch_ttest_priority",
-    "quality_repetition_stats",
-    "dedup_simhash",
     "dedup_ngram_jaccard",
-    "dedup_ngram_containment",
-    "dedup_cluster_components",
     "dedup_incremental_batch",
     "eval_lsh_band_tuning",
     "dedup_duplicate_ngram_spans",
