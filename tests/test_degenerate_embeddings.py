@@ -63,8 +63,12 @@ def degen_emb_dir(spark, tmp_path_factory):
     random.seed(7)
     rows = []
     for i in range(40):
-        if i == 5:
-            emb = [0.0] * DIM  # the zero vector
+        if i in (5, 17):
+            # zero vectors: one ordinary corpus row AND one inside the PQ
+            # seed range [10, 26) — a zeroed seed removes codebook entry
+            # j = 7, which is what broke the packed LUT's positional
+            # element_at (every entry after the hole shifted one slot)
+            emb = [0.0] * DIM
         elif i == 7:
             emb = [0.0] * 16 + [1.0] * 48  # zero prefix, nonzero vector
         elif i in (9, 11):
