@@ -115,9 +115,9 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_argmax_order_per_customer",
     oracle="""
     SELECT c_mktsegment,
-           arg_max(o_orderkey, o_totalprice) AS top_orderkey,
+           (max({'p': o_totalprice, 'k': o_orderkey})).k AS top_orderkey,
            round(max(o_totalprice), 2) AS top_price,
-           arg_min(o_orderkey, o_totalprice) AS bottom_orderkey
+           (min({'p': o_totalprice, 'k': o_orderkey})).k AS bottom_orderkey
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
@@ -125,15 +125,24 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("groupby-agg", "argmax"),
 )
 def agg_argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """max_by/min_by (arg-max) — top-1-per-group without a window sort."""
+    """Arg-max via struct-extremum aggregation — top-1-per-group without a
+    window sort. A bare ``max_by(key, value)`` is UNSPECIFIED on value ties
+    (Spark returns an arbitrary tied row, varying run to run and engine to
+    engine — the degenerate-lake oracle audit caught it on an all-constant
+    price column), so the tie-break rides inside the comparison: the
+    extremum of ``struct(value, key)`` picks the highest key among tied
+    maxima and the lowest among tied minima, deterministically and
+    identically on both engines."""
     od, cu = _t(spark, sf_dir, "orders", "customer")
+    top = F.max(F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")))
+    bot = F.min(F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")))
     return (
         od.join(cu, od.o_custkey == cu.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.max_by("o_orderkey", "o_totalprice").alias("top_orderkey"),
+            top.getField("k").alias("top_orderkey"),
             F.round(F.max("o_totalprice"), 2).alias("top_price"),
-            F.min_by("o_orderkey", "o_totalprice").alias("bottom_orderkey"),
+            bot.getField("k").alias("bottom_orderkey"),
         )
         .orderBy("c_mktsegment")
     )

@@ -879,15 +879,17 @@ AB_CONVERT_VALUE = 590.0  # ~median per-user purchase total -> mid-range rates
            round(conv_a * 1.0 / n_a, 6) AS rate_a,
            CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
            round(conv_b * 1.0 / n_b, 6) AS rate_b,
-           round((conv_b * 1.0 / n_b - conv_a * 1.0 / n_a)
-                 / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
-                        * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
-                        * (1.0 / n_a + 1.0 / n_b)), 4) AS z,
-           abs((conv_b * 1.0 / n_b - conv_a * 1.0 / n_a)
-               / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
-                      * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
-                      * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS significant_95
-    FROM wide
+           CASE WHEN se > 0 THEN
+             round((conv_b * 1.0 / n_b - conv_a * 1.0 / n_a) / se, 4) END AS z,
+           coalesce(CASE WHEN se > 0 THEN
+             abs((conv_b * 1.0 / n_b - conv_a * 1.0 / n_a) / se) > 1.96 END,
+             FALSE) AS significant_95
+    FROM (
+      SELECT *, sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                     * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                     * (1.0 / n_a + 1.0 / n_b)) AS se
+      FROM wide
+    )
     """,
     tags=("stats", "ab-test", "two-proportion", "z-test", "events"),
 )
@@ -933,9 +935,14 @@ def events_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("conv_b"),
     )
     p_pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
-    z = (
-        F.col("conv_b") / F.col("n_b") - F.col("conv_a") / F.col("n_a")
-    ) / F.sqrt(p_pool * (1 - p_pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    se = F.sqrt(p_pool * (1 - p_pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    # degenerate experiments (a missing arm; all users converting or none,
+    # so the pooled variance is zero) have no defined z — NULL z, FALSE
+    # significance on both engines (degenerate-lake oracle audit, round 6)
+    z = F.when(
+        se > 0,
+        (F.col("conv_b") / F.col("n_b") - F.col("conv_a") / F.col("n_a")) / se,
+    )
     return wide.select(
         "n_a",
         "conv_a",
@@ -944,5 +951,5 @@ def events_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_b",
         F.round(F.col("conv_b") / F.col("n_b"), 6).alias("rate_b"),
         F.round(z, 4).alias("z"),
-        (F.abs(z) > 1.96).alias("significant_95"),
+        F.coalesce(F.abs(z) > 1.96, F.lit(False)).alias("significant_95"),
     )

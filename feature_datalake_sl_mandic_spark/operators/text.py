@@ -925,10 +925,14 @@ def corpus_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - len(list_filter(d.toks,
                       t -> NOT list_contains(coalesce(b.bp_toks, []), t)))
                 AS BIGINT) AS n_removed,
-           array_to_string(
+           -- coalesce: DuckDB's array_to_string of an EMPTY list is NULL
+           -- where Spark's array_join is '' (a fully-boilerplate document
+           -- cleans to the empty string, not to unknown — degenerate-lake
+           -- oracle audit, round 6)
+           coalesce(array_to_string(
              list_filter(d.toks,
                          t -> NOT list_contains(coalesce(b.bp_toks, []), t)),
-             ' ') AS cleaned_text
+             ' '), '') AS cleaned_text
     FROM docs d LEFT JOIN bp b USING (source)
     ORDER BY d.doc_id
     """,

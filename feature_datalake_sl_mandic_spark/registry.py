@@ -149,7 +149,15 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # expression rewrites (quality_repetition_stats, dedup_simhash,
 # dedup_ngram_containment, dedup_cluster_components,
 # eval_rouge_redaction_impact — the last also benched in heavy_wide),
-# all rotating to round 7.
+# all rotating to round 7. The lake ORACLE audit (comparing both
+# engines on the degenerate lake, not just executing) fixed three
+# silent divergences — the argmax tie-break (bare max_by/arg_max is
+# UNSPECIFIED on ties; now a struct-extremum on both engines), the
+# boilerplate cleaner's empty-result NULL-vs-'' split, and the A/B
+# z-test's missing-arm/zero-variance NULL boolean — which take three
+# more slots from thrice-sweep-verified entries
+# (sketch_kmv_set_algebra_users, lm_bigram_next_tokens,
+# stats_bootstrap_ci_mean).
 _PRIORITY: list[str] = [
     # --- changed since their last driver-green row
     "knn_cosine_topk",
@@ -172,14 +180,14 @@ _PRIORITY: list[str] = [
     "events_time_to_convert",
     "ts_linear_trend_daily",
     "ts_ks_two_sample_drift",
+    "agg_argmax_order_per_customer",
+    "corpus_boilerplate_tokens",
+    "events_ab_test_proportions",
     "sample_stratified_neyman",
     "sample_weighted_reservoir",
     "corpus_zipf_fit",
-    "sketch_kmv_set_algebra_users",
     "kmeans_balanced_sample",
-    "lm_bigram_next_tokens",
     "lm_bigram_kneser_ney",
-    "stats_bootstrap_ci_mean",
     "stats_welch_ttest_priority",
     "dedup_ngram_jaccard",
     "dedup_incremental_batch",

@@ -114,3 +114,32 @@ def degenerate_lake_dir(spark, tmp_path_factory):
 def test_query_survives_degenerate_values(name, spark, degenerate_lake_dir):
     rows = SPECS[name].fn(spark, degenerate_lake_dir).collect()
     assert len(rows) >= 0
+
+
+@pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_DEGEN_ORACLE") != "1",
+    reason="full oracle comparison over the degenerate lake takes ~10 min; "
+    "set SPARK_GRAFT_DEGEN_ORACLE=1 (run at least once per round — it found "
+    "three SILENT divergences execution-only checks cannot: the argmax "
+    "tie-break, a NULL-vs-'' empty-result split, a NULL-boolean z-test)",
+)
+@pytest.mark.parametrize(
+    "name", sorted(n for n, s in SPECS.items() if s.oracle is not None)
+)
+def test_degenerate_lake_matches_oracle(name, spark, degenerate_lake_dir):
+    import duckdb
+
+    from feature_datalake_sl_mandic_spark.oracle import compare
+
+    spec = SPECS[name]
+    spdf = spec.fn(spark, degenerate_lake_dir).toPandas()
+    con = duckdb.connect()
+    for t in catalog.TABLE_NAMES:
+        p = os.path.join(degenerate_lake_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+            )
+    dkdf = con.execute(spec.oracle).df()
+    errs = [e for e in compare(spdf, dkdf, name) if "WARNING" not in e]
+    assert not errs, "\n".join(errs)
