@@ -143,3 +143,26 @@ def test_degenerate_lake_matches_oracle(name, spark, degenerate_lake_dir):
     dkdf = con.execute(spec.oracle).df()
     errs = [e for e in compare(spdf, dkdf, name) if "WARNING" not in e]
     assert not errs, "\n".join(errs)
+
+
+@pytest.fixture(scope="session")
+def single_row_lake_dir(spark, tmp_path_factory):
+    """Every table cut to exactly ONE row — the n=1 regime where sample
+    variances are NULL, population variances are 0, and x-spreads vanish
+    (found embedding_outliers_mahalanobis dividing by a zero per-dimension
+    variance; any constant/padded dimension triggers the same at full size)."""
+    out = str(tmp_path_factory.mktemp("onerow_lake"))
+    for t in catalog.TABLE_NAMES:
+        src = os.path.join(SF_SMALL, f"{t}.parquet")
+        if not os.path.exists(src):
+            continue
+        catalog.load_table(spark, SF_SMALL, t).limit(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"{t}.parquet"))
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_query_survives_single_row_lake(name, spark, single_row_lake_dir):
+    rows = SPECS[name].fn(spark, single_row_lake_dir).collect()
+    assert len(rows) >= 0
