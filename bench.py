@@ -117,29 +117,56 @@ HEAVY_WIDE = [
 ]
 
 
+# Co-tenant noise sentinel (round-6 verdict ask #2): a fixed synthetic
+# compute-bound op (no IO, no shuffle — pure range + codegen arithmetic)
+# timed once per run ALONGSIDE the queries. Three of six rounds needed
+# judge adjudication of bench drift that turned out to be machine load;
+# the sentinel makes that attribution mechanical: if the sentinel is
+# inflated by the same factor as the queries, the drift is the machine.
+# SENTINEL_REF_SEC is the pinned round-7 calibration (min of 11 warm runs
+# on an idle local[32] machine, first compile run excluded; observed
+# 0.213-0.305); sentinel-normalized subtotals scale by REF/measured-min
+# and are comparable to that calibration, while the raw subtotals stay
+# comparable across rounds.
+_SENTINEL_ROWS = 400_000_000
+SENTINEL_REF_SEC = 0.21
+
+
+def _sentinel_once(spark) -> float:
+    t0 = time.perf_counter()
+    spark.range(_SENTINEL_ROWS).selectExpr(
+        "sum(cast(id as double) * cast(id as double)) as s"
+    ).collect()
+    return round(time.perf_counter() - t0, 4)
+
+
 def _run_queries(spark, specs, names, sf_dir, n_runs):
     """Wall clock per query over n runs.
 
-    Returns (min_times, rows, samples) where samples keeps EVERY run's
-    seconds — the bench's headline stays best-of-n (the min measures the
-    engine; co-tenant load adds 50-100% run-to-run noise), but the JSON
-    also reports median and spread per query so a round-over-round drift
-    can be attributed to noise vs a plan change instead of standing
-    unexplained (round-4 lesson: an 11% uniform drift with zero plan
-    changes was unattributable from a single number per query)."""
+    Returns (min_times, rows, samples, sentinel_runs) where samples keeps
+    EVERY run's seconds — the bench's headline stays best-of-n (the min
+    measures the engine; co-tenant load adds 50-100% run-to-run noise),
+    but the JSON also reports median and spread per query so a
+    round-over-round drift can be attributed to noise vs a plan change
+    instead of standing unexplained (round-4 lesson: an 11% uniform drift
+    with zero plan changes was unattributable from a single number per
+    query). sentinel_runs times the fixed synthetic op once per run, in
+    the same machine state as that run's queries."""
     from feature_datalake_sl_mandic_spark.session import release_cached
 
     samples: dict[str, list[float]] = {name: [] for name in names}
     rows: dict[str, int] = {}
+    sentinel_runs: list[float] = []
     for _run in range(n_runs):
         for name in names:
             t0 = time.perf_counter()
             df = specs[name].fn(spark, sf_dir)
             rows[name] = df.count()  # force full execution
             samples[name].append(round(time.perf_counter() - t0, 4))
+        sentinel_runs.append(_sentinel_once(spark))
         release_cached(spark)
     times = {name: min(ts) for name, ts in samples.items()}
-    return times, rows, samples
+    return times, rows, samples, sentinel_runs
 
 
 def _dispersion(samples):
@@ -187,7 +214,11 @@ def main() -> None:
     # regressions are triageable): co-tenant machine load adds 50-100%
     # run-to-run noise; the min measures the engine, not the neighbors.
     N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
-    times, rows, samples = _run_queries(spark, specs, names, bench_dir, N_RUNS)
+    # one sentinel warm-up so its first timed run excludes codegen compile
+    _sentinel_once(spark)
+    times, rows, samples, sentinel_runs = _run_queries(
+        spark, specs, names, bench_dir, N_RUNS
+    )
     disp = _dispersion(samples)
     for name in names:
         d = disp[name]
@@ -208,7 +239,7 @@ def main() -> None:
         sf_dir
     ):
         small_dir = prepare_bench_dir(spark, small_src)
-        t_small, _, _s2 = _run_queries(spark, specs, names, small_dir, 2)
+        t_small, _, _s2, _sent2 = _run_queries(spark, specs, names, small_dir, 2)
         for name in names:
             scale[name] = {
                 "sf001": t_small[name],
@@ -220,22 +251,50 @@ def main() -> None:
     # rounds 3-5); the round-6 HEAVY_WIDE additions report through their own
     # subtotal and the per-query dict.
     total = round(sum(times[n] for n in headline + heavy), 4)
+    sent_min = min(sentinel_runs)
+    sent_sorted = sorted(sentinel_runs)
+    sent_median = sent_sorted[len(sent_sorted) // 2]
+    # min-normalized: the subtotals aggregate per-query MINs, so the
+    # matching sentinel statistic is the min. load_factor > ~1.5 on the
+    # MEDIAN with a clean min says "co-tenant noise, engine fine".
+    norm = SENTINEL_REF_SEC / max(sent_min, 1e-9)
     subtotals = {
         "headline_12": round(sum(times[n] for n in headline), 4),
         "heavy_llm": round(sum(times[n] for n in heavy), 4),
         "heavy_wide": round(sum(times[n] for n in heavy_wide), 4),
     }
+    subtotals["headline_12_sentinel_norm"] = round(
+        subtotals["headline_12"] * norm, 4
+    )
+    subtotals["heavy_llm_sentinel_norm"] = round(subtotals["heavy_llm"] * norm, 4)
+    sentinel = {
+        "runs": sentinel_runs,
+        "min": sent_min,
+        "median": sent_median,
+        "ref": SENTINEL_REF_SEC,
+        "load_factor_min": round(sent_min / SENTINEL_REF_SEC, 3),
+        "load_factor_median": round(sent_median / SENTINEL_REF_SEC, 3),
+    }
     # The driver captures only ~2 KB of stdout (round-5 lesson: the inline
     # dispersion arrays made BENCH_r05 unparseable — `"parsed": null`). Keep
     # the final stdout line compact (metric, value, subtotals, per-query
-    # mins; ~1 KB) and write dispersion/scale/rows to a side artifact.
-    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    # mins; ~1.2 KB) and write dispersion/scale/rows to a side artifact.
+    # The live detail path is gitignored (round-6 verdict ask #5: a bench
+    # rerun must not silently replace a committed artifact); per-round
+    # snapshots are copied to BENCH_DETAIL_r{N}.json explicitly at round
+    # end. Override with SPARK_GRAFT_BENCH_DETAIL.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(REPO, ".bench_data", "BENCH_DETAIL_live.json"),
+    )
+    os.makedirs(os.path.dirname(detail_path), exist_ok=True)
     with open(detail_path, "w") as f:
         json.dump(
             {
                 "scale_ratio": scale,
                 "dispersion": disp,
                 "rows": rows,
+                "sentinel": sentinel,
                 "runs_per_query": N_RUNS,
                 "sf": sf,
             },
@@ -250,10 +309,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {n: round(t, 3) for n, t in times.items()},
                 "subtotals": subtotals,
+                "sentinel": {
+                    "min": sent_min,
+                    "median": sent_median,
+                    "ref": SENTINEL_REF_SEC,
+                },
                 "runs_per_query": N_RUNS,
                 "agg": "min",
                 "sf": sf,
-                "detail": "BENCH_DETAIL.json",
+                "detail": detail_path,
             },
             separators=(",", ":"),
         )

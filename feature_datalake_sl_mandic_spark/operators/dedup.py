@@ -585,7 +585,7 @@ _DUCK_COS = (
     oracle=f"""
     WITH nz AS (
       SELECT * FROM embeddings
-      WHERE list_sum(list_transform(embedding, x -> (x*x)::DOUBLE)) > 0
+      WHERE list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
            round({_DUCK_COS}, 6) AS cosine

@@ -305,6 +305,50 @@ def join_lateral_topn_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_lateral_topn_grouped",
+    oracle=f"""
+    SELECT n.n_name AS nation, c.c_name AS customer,
+           round(c.c_acctbal, 2) AS acctbal
+    FROM nation n,
+    LATERAL (SELECT c_name, c_acctbal FROM customer
+             WHERE c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_name LIMIT {LATERAL_TOP_N}) c
+    ORDER BY nation, acctbal DESC, customer
+    """,
+    tags=("join", "lateral-join", "top-k-per-group", "banded"),
+)
+def join_lateral_topn_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe twin of ``join_lateral_topn_customers`` under the SAME
+    oracle: the per-nation top-2 selection runs through
+    ``functions.ranking.grouped_topk`` (banded local top-k per (group,
+    band), then a final rank over the bounded <=256*k survivors) instead
+    of the rank window Catalyst decorrelates the LATERAL into. Same
+    result, but no fact-scale sort funnels through |nations| tasks — this
+    is the formulation to point at a fact table at 100 TB, and its
+    existence is why the LATERAL demo's bare ``c_nationkey`` window stays
+    an accepted exception in plans/probe.py rather than a debt."""
+    from feature_datalake_sl_mandic_spark.functions.ranking import grouped_topk
+
+    cust, nat = (_t(spark, sf_dir, t)[0] for t in ("customer", "nation"))
+    top = grouped_topk(
+        cust.select("c_nationkey", "c_name", "c_acctbal"),
+        groups=["c_nationkey"],
+        order=[("c_acctbal", "desc"), ("c_name", "asc")],
+        k=LATERAL_TOP_N,
+        salt_col="c_name",
+    )
+    return (
+        top.join(F.broadcast(nat), top.c_nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_name").alias("customer"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy("nation", F.col("acctbal").desc(), "customer")
+    )
+
+
 # ------------------------------------------------------- null-safe equi-join
 
 

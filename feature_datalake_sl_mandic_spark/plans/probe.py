@@ -112,10 +112,13 @@ ALLOW: dict[str, dict[str, tuple[int, str]]] = {
             1,
             "deliberate ANSI LATERAL surface demo: Catalyst decorrelates the "
             "LIMIT'd subquery into a rank window on the correlation key; the "
-            "scale path for per-group top-k is functions.ranking.grouped_topk "
-            "(named in the docstring) — this query exists to cover the "
-            "lateral operator itself",
+            "registered scale-safe twin under the SAME oracle is "
+            "join_lateral_topn_grouped (functions.ranking.grouped_topk) — "
+            "this query exists to cover the lateral operator itself",
         )
+    },
+    "join_lateral_topn_grouped": {
+        "window partitionBy=['c_nationkey']": (1, R_TOPK)
     },
     "stats_gini_order_values": {
         "window partitionBy=['seg']": (
@@ -266,6 +269,12 @@ def sweep(spark, sf_dir: str = "/root/testdata/sf0.001"):
             unexplained[name] = extra
     stale: dict[str, list[str]] = {}
     for name, allowed in ALLOW.items():
+        if name in errors:
+            # A plan that failed to compile has no flags at all; reporting
+            # its ALLOW entries as "stale" would double-report one failure
+            # as two unrelated problems. The ERROR flag below is the single
+            # signal for this name.
+            continue
         got = Counter(flagged.get(name, []))
         missing = [f for f, (n, _) in allowed.items() if got.get(f, 0) < n]
         if missing:

@@ -79,7 +79,7 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 # The driver's correctness gate checks the FIRST 50 entries in iteration
-# order. After round 5 every one of the 237 registered queries has a
+# order. After round 5 every one of the registered queries has a
 # driver-green row in some CORRECTNESS_r*.json, so from round 6 on the
 # window is chosen by STALENESS-AFTER-CHANGE (round-5 verdict ask #5):
 #
@@ -89,6 +89,42 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #   2. Then oldest-green-first (ties alphabetical), so every query's green
 #      row is re-earned on a bounded rotation.
 #
+# Round-7 window (retiring the round-6 rotation debt, verdict ask #1):
+#   - join_lateral_topn_grouped is NEW this round (the grouped_topk twin
+#     of the LATERAL demo, verdict ask #6) — never green, leads.
+#   - ann_two_stage_rerank's VALUE PATH changed this round (ADVICE: the
+#     coarse SQ8 shortlist gained the reconstructed-norm guard
+#     ann_scalar_quantized already had, with the matching dq filter in
+#     the oracle).
+#   - Then the 34 displaced round-6 names the round-6 verdict enumerates
+#     (each changed in round 6 after its last driver-green row, verified
+#     locally by two full 237-query sf0.01 sweeps but displaced from the
+#     r6 window): the q21/q17 decorrelations, the referential-integrity
+#     scan fold, the sketch-HLL pair, the scd2 join pins, the single-scan
+#     event rewrites (funnel_three_step, dedup_replayed, salted_user
+#     totals, dau_wau, gapfill) plus their pin-only kin
+#     (drift_psi_event_values, customers_cohort_ltv), the in-row fold
+#     family (quality_repetition_stats, dedup_simhash,
+#     dedup_ngram_containment, dedup_cluster_components,
+#     eval_rouge_redaction_impact), the lake-oracle-audit trio
+#     (sketch_kmv_set_algebra_users, lm_bigram_next_tokens,
+#     stats_bootstrap_ci_mean), the round-1 alphabet stragglers
+#     (validate_benford_order_values, agg_histogram_order_value), and the
+#     seven localCheckpoint pin-only rotations (layout_zorder_files,
+#     profile_partition_skew, customers_rfm_segments,
+#     eval_langid_confusion, corpus_chunk_dedup_crossdoc,
+#     corpus_cdc_chunking, corpus_pack_shards) plus
+#     cms_heavy_hitters_events, ts_cross_correlation_lags,
+#     text_tfidf_top_terms.
+#   - The remaining 14 slots: the cosine-family queries whose ORACLE text
+#     changed this round (ADVICE: the nonzero filter now casts to DOUBLE
+#     before squaring so a subnormal-magnitude vector can't underflow to
+#     zero in DuckDB only — value-neutral on the fixture, but source
+#     changed after green so they re-earn). ann_two_stage_rerank is
+#     already windowed above; arrow_batch_embedding_norms already used
+#     the cast-first form and is unchanged.
+#
+# ---- round-6 window rationale (kept for provenance) ----
 # Round-6 window: the 20 queries whose plans changed this round (banded
 # curation rewrites, temperature window removal, Gini tie-arithmetic, the
 # minhash band pin + its incremental/recall dependents, PCA pass fusion,
@@ -159,7 +195,46 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # (sketch_kmv_set_algebra_users, lm_bigram_next_tokens,
 # stats_bootstrap_ci_mean).
 _PRIORITY: list[str] = [
-    # --- changed since their last driver-green row
+    # --- new this round (never driver-checked)
+    "join_lateral_topn_grouped",
+    # --- value path changed this round (ADVICE norm guard)
+    "ann_two_stage_rerank",
+    # --- round-6 rotation debt (changed in r6 after last driver-green)
+    "q17_small_quantity_revenue",
+    "q21_sole_late_supplier",
+    "validate_referential_integrity",
+    "sketch_hll_manual_users",
+    "sketch_hll_daily_to_weekly_merge",
+    "scd2_customer_dim",
+    "scd2_point_in_time_join",
+    "events_funnel_three_step",
+    "events_dedup_replayed",
+    "events_salted_user_totals",
+    "events_dau_wau_stickiness",
+    "events_gapfill_resample",
+    "drift_psi_event_values",
+    "customers_cohort_ltv",
+    "quality_repetition_stats",
+    "dedup_simhash",
+    "dedup_ngram_containment",
+    "dedup_cluster_components",
+    "eval_rouge_redaction_impact",
+    "sketch_kmv_set_algebra_users",
+    "lm_bigram_next_tokens",
+    "stats_bootstrap_ci_mean",
+    "validate_benford_order_values",
+    "agg_histogram_order_value",
+    "layout_zorder_files",
+    "profile_partition_skew",
+    "customers_rfm_segments",
+    "eval_langid_confusion",
+    "corpus_chunk_dedup_crossdoc",
+    "corpus_cdc_chunking",
+    "corpus_pack_shards",
+    "cms_heavy_hitters_events",
+    "ts_cross_correlation_lags",
+    "text_tfidf_top_terms",
+    # --- oracle text changed this round (nonzero-filter precision fix)
     "knn_cosine_topk",
     "knn_cosine_matmul",
     "ann_lsh_bucketed",
@@ -169,54 +244,11 @@ _PRIORITY: list[str] = [
     "ann_ivf_pq",
     "ann_ivf_pq_packed",
     "ann_pq_lloyd_refined",
-    "ann_two_stage_rerank",
     "mine_hard_negatives",
     "dedup_embedding_cosine",
     "text_hybrid_rrf_search",
     "eval_retrieval_metrics",
     "eval_matryoshka_recall",
-    "ts_seasonal_dow_index",
-    "ts_seasonal_adjusted_anomalies",
-    "events_time_to_convert",
-    "ts_linear_trend_daily",
-    "ts_ks_two_sample_drift",
-    "agg_argmax_order_per_customer",
-    "corpus_boilerplate_tokens",
-    "events_ab_test_proportions",
-    "sample_stratified_neyman",
-    "sample_weighted_reservoir",
-    "corpus_zipf_fit",
-    "kmeans_balanced_sample",
-    "lm_bigram_kneser_ney",
-    "stats_welch_ttest_priority",
-    "dedup_ngram_jaccard",
-    "dedup_incremental_batch",
-    "eval_lsh_band_tuning",
-    "dedup_duplicate_ngram_spans",
-    "split_exact_stratified",
-    "corpus_domain_caps",
-    "corpus_curation_end_to_end",
-    "corpus_temperature_resample",
-    "dedup_minhash_lsh",
-    "dedup_incremental_minhash",
-    "eval_dedup_lsh_recall",
-    "stats_gini_order_values",
-    "embedding_pca_power_iteration",
-    "stats_anova_order_priority",
-    "multimodal_phash_banded_pairs",
-    "multimodal_audio_fp_banded_pairs",
-    "events_cohort_retention",
-    "corpus_decontaminate",
-    "corpus_clean_pipeline",
-    "kmeans_lloyd_embeddings",
-    "semdedup_cluster_cosine",
-    # --- oldest green rows first (round 1)
-    # (the round-1 alphabet rotation and the two most trivial late pins —
-    # validate_benford_order_values and agg_histogram_order_value, each a
-    # localCheckpoint on a <=200-row count relation — rotate in next round;
-    # the 50 changed-since-green entries above fill the window this round.
-    # All late-round-changed queries, windowed or not, were re-verified
-    # against the DuckDB oracle at the driver's sf0.01 before shipping.)
 ]
 # (multimodal_feature_extract was retired from the registry in round 4: its
 # codec stubs made it permanently rows-only and every registered query must
