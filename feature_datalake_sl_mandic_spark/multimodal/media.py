@@ -1013,7 +1013,14 @@ def _banded_hamming_pairs(bits: DataFrame, n_bits: int, n_bands: int, near: int)
     ``near`` differs in at most ``near`` bands, so with ``n_bands > near``
     at least one band matches exactly and the pair MUST surface as a
     candidate — recall is 100% by construction, which is why the all-pairs
-    oracle filtered to near-dups can hash-check this plan."""
+    oracle filtered to near-dups can hash-check this plan. The band-width
+    knob is a pure bucket-occupancy/candidate-volume trade: property tests
+    (tests/test_multimodal.py::TestBandedHammingPairs) pin that MULTIPLE
+    widths above the threshold all reproduce the all-pairs result exactly,
+    so production can widen bands for 100 TB catalogs without a recall
+    audit. (With ``n_bits % n_bands != 0`` the tail bits are simply
+    unbanded — candidates become a superset and true-Hamming verification
+    still makes the output exact; dividing widths keep buckets uniform.)"""
     assert n_bands > near, "pigeonhole exactness needs more bands than the threshold"
     bpb = n_bits // n_bands
     sig_cols = [
