@@ -62,6 +62,7 @@ REPRESENTATIVE = [
     "ts_mad_outliers",
     "graph_bfs_distances",
     "join_lateral_topn_customers",
+    "join_lateral_topn_grouped",
     "semdedup_cluster_cosine",
     "maps_zipwith_type_rates",
     "quality_unigram_perplexity",

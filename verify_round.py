@@ -1,0 +1,144 @@
+"""Run the five verify surfaces and record one line each in VERIFY_r{N}.json.
+
+Round-6 verdict ask #3: the gated heavy suites (degenerate-lake oracle
+comparison, plan anti-pattern sweep) ran every round but left no committed
+evidence beyond prose. This runner executes all five surfaces —
+
+  1. pytest        — full test suite (includes sf0.001 oracle parity)
+  2. oracle_parity — the sf0.01 DuckDB differential over the FULL registry
+                     (the driver's t2 gate, all queries not just the window)
+  3. plan_sweep    — plans.probe anti-pattern sweep over every plan
+  4. degen_oracle  — both-engine comparison on the pathological-values lake
+  5. bench         — bench.py at sf0.1 (sentinel + subtotals)
+
+— and writes pass counts, timestamps, and wall-clock per surface to
+``VERIFY_r{N}.json``. Usage::
+
+    python verify_round.py 7            # writes VERIFY_r07.json
+    python verify_round.py 7 bench      # re-run one surface, merge into file
+
+Each surface is a subprocess, so one crash cannot take down the record of
+the others; a failed surface records ok=false plus the tail of its output.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+SURFACES: dict[str, list[str]] = {
+    "pytest": [sys.executable, "-m", "pytest", "tests/", "-q", "--tb=no"],
+    "oracle_parity": [sys.executable, "-m", "feature_datalake_sl_mandic_spark.oracle"],
+    "plan_sweep": [sys.executable, "-m", "feature_datalake_sl_mandic_spark.plans.probe"],
+    "degen_oracle": [
+        sys.executable,
+        "-m",
+        "pytest",
+        "tests/test_degenerate_lake.py",
+        "-q",
+        "--tb=no",
+    ],
+    "bench": [sys.executable, "bench.py"],
+}
+
+# Surface-specific environment additions.
+ENV_EXTRA = {"degen_oracle": {"SPARK_GRAFT_DEGEN_ORACLE": "1"}}
+
+# What "pass" looks like per surface, extracted from the output tail.
+_SUMMARY_RES = {
+    "pytest": re.compile(r"(\d+) passed(?:, (\d+) skipped)?"),
+    "oracle_parity": re.compile(r"(\d+) queries, (\d+) failures"),
+    "plan_sweep": re.compile(
+        r"(\d+) queries flagged \((\d+) flags\), (\d+) UNEXPLAINED, (\d+) stale"
+    ),
+    "degen_oracle": re.compile(r"(\d+) passed(?:, (\d+) skipped)?"),
+    "bench": re.compile(r'"metric"\s*:\s*"'),
+}
+
+
+def run_surface(name: str) -> dict:
+    env = dict(os.environ, **ENV_EXTRA.get(name, {}))
+    started = datetime.datetime.now(datetime.timezone.utc)
+    proc = subprocess.run(
+        SURFACES[name],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    ended = datetime.datetime.now(datetime.timezone.utc)
+    out = proc.stdout + proc.stderr
+    m = _SUMMARY_RES[name].search(out)
+    rec: dict = {
+        "ok": proc.returncode == 0 and m is not None,
+        "returncode": proc.returncode,
+        "started_utc": started.isoformat(timespec="seconds"),
+        "wall_clock_sec": round((ended - started).total_seconds(), 1),
+    }
+    if name in ("pytest", "degen_oracle") and m:
+        rec["passed"] = int(m.group(1))
+        rec["skipped"] = int(m.group(2) or 0)
+        fail = re.search(r"(\d+) failed", out)
+        rec["failed"] = int(fail.group(1)) if fail else 0
+        rec["ok"] = rec["ok"] and rec["failed"] == 0
+    elif name == "oracle_parity" and m:
+        rec["queries"] = int(m.group(1))
+        rec["failures"] = int(m.group(2))
+        rec["ok"] = rec["ok"] and rec["failures"] == 0
+    elif name == "plan_sweep" and m:
+        rec["flagged_queries"] = int(m.group(1))
+        rec["flags"] = int(m.group(2))
+        rec["unexplained"] = int(m.group(3))
+        rec["stale_allow"] = int(m.group(4))
+        rec["ok"] = rec["ok"] and rec["unexplained"] == 0 and rec["stale_allow"] == 0
+    elif name == "bench":
+        line = next(
+            (
+                ln
+                for ln in proc.stdout.splitlines()
+                if ln.startswith('{"metric"')
+            ),
+            None,
+        )
+        if line:
+            parsed = json.loads(line)
+            rec["value"] = parsed["value"]
+            rec["subtotals"] = parsed["subtotals"]
+            rec["sentinel"] = parsed["sentinel"]
+            rec["sf"] = parsed["sf"]
+        else:
+            rec["ok"] = False
+    if not rec["ok"]:
+        rec["tail"] = out[-2000:]
+    return rec
+
+
+def main() -> int:
+    rnd = int(sys.argv[1])
+    only = sys.argv[2:] or list(SURFACES)
+    path = os.path.join(REPO, f"VERIFY_r{rnd:02d}.json")
+    try:
+        with open(path) as f:
+            record = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        record = {}
+    for name in only:
+        print(f"[verify] running {name} ...", flush=True)
+        record[name] = run_surface(name)
+        print(f"[verify] {name}: {json.dumps(record[name])[:300]}", flush=True)
+        with open(path, "w") as f:
+            json.dump(record, f, indent=1)
+    bad = [n for n, r in record.items() if not r.get("ok")]
+    print(f"[verify] wrote {path}; failing surfaces: {bad or 'none'}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
