@@ -310,6 +310,7 @@ def main() -> None:
                 "queries": {n: round(t, 3) for n, t in times.items()},
                 "subtotals": subtotals,
                 "sentinel": {
+                    "runs": sentinel_runs,
                     "min": sent_min,
                     "median": sent_median,
                     "ref": SENTINEL_REF_SEC,
