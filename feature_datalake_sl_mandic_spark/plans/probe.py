@@ -22,6 +22,10 @@ sf0.001 (plan shape is scale-invariant) and flags
   pin's write amplification was measured slower twice — ARCHITECTURE.md
   negative results), so those are ALLOW-listed with the role split named.
 - ``CartesianProduct`` — never legitimate here, no ALLOW entries.
+- ``BatchEvalPython`` (row-at-a-time Python UDF) — the serialize-per-row
+  slow path; Arrow-batched forms (ArrowEvalPython, Map/FlatMapGroupsIn
+  Pandas) are the sanctioned Python boundary and are not flagged. No ALLOW
+  entries.
 
 ``BroadcastNestedLoopJoin`` is deliberately NOT flagged: every crossJoin in
 the package broadcasts a tiny aggregate relation (cutoffs, centroids,
@@ -236,6 +240,12 @@ def flags_for_plan(plan: str) -> list[str]:
             flags.append(f"window partitionBy={keys}")
     if "CartesianProduct" in plan:
         flags.append("CartesianProduct")
+    # Row-at-a-time Python UDFs serialize every row through pickle one at a
+    # time — the 10-100x-slower path the repo bans in favor of Arrow-batched
+    # pandas UDFs (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas,
+    # all fine and not flagged). No ALLOW entries exist for this class.
+    if "BatchEvalPython" in plan:
+        flags.append("BatchEvalPython")
     return flags
 
 

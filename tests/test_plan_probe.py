@@ -57,6 +57,13 @@ class TestParser:
     def test_cartesian_flagged(self):
         assert "CartesianProduct" in probe.flags_for_plan("CartesianProduct")
 
+    def test_row_at_a_time_python_udf_flagged(self):
+        """BatchEvalPython (pickle-per-row UDF) is banned; the Arrow-batched
+        forms are the sanctioned Python boundary and must NOT flag."""
+        assert "BatchEvalPython" in probe.flags_for_plan("(3) BatchEvalPython")
+        for ok in ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+            assert not probe.flags_for_plan(f"(3) {ok}")
+
     def test_dim_scan_thresholds(self):
         """Fact tables flag at x2; dims only at x3."""
         nation2 = (
