@@ -123,13 +123,17 @@ HEAVY_WIDE = [
 # judge adjudication of bench drift that turned out to be machine load;
 # the sentinel makes that attribution mechanical: if the sentinel is
 # inflated by the same factor as the queries, the drift is the machine.
-# SENTINEL_REF_SEC is the pinned round-7 calibration (min of 11 warm runs
-# on an idle local[32] machine, first compile run excluded; observed
-# 0.213-0.305); sentinel-normalized subtotals scale by REF/measured-min
-# and are comparable to that calibration, while the raw subtotals stay
-# comparable across rounds.
+# SENTINEL_REF_SEC is the pinned round-7 calibration: the MINIMUM
+# IN-BENCH sentinel across repeated bench runs in the quietest machine
+# state observed (0.250; standalone idle runs measure ~0.21, but inside a
+# bench run the JVM carries the bench's heap/GC state and the sentinel
+# sits ~20% higher — the ref is calibrated in-bench so the load factor
+# compares like with like and the normalization can't flatter).
+# Sentinel-normalized subtotals scale by REF/measured-min and are
+# comparable to this calibration; the raw subtotals stay comparable
+# across rounds.
 _SENTINEL_ROWS = 400_000_000
-SENTINEL_REF_SEC = 0.21
+SENTINEL_REF_SEC = 0.25
 
 
 def _sentinel_once(spark) -> float:
