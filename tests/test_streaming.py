@@ -327,6 +327,65 @@ def test_matview_retried_batch_skips_via_in_view_marker(spark, events_dir, tmp_p
     assert after == before
 
 
+def test_bucketed_index_restart_with_new_files(spark, tmp_path):
+    """Production restart scenario for the bucketed index layout: the job
+    stops, NEW documents arrive, and a fresh job instance on the same
+    checkpoint must (a) emit exactly the late documents' pairs against the
+    full prior index, (b) append exactly one batch_id partition per new
+    micro-batch to the managed table — no duplicate index rows from the
+    table surviving across job instances."""
+    from feature_datalake_sl_mandic_spark.operators.dedup import dedup_minhash_lsh
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    first = docs.where(F.col("doc_id") % 3 != 0)
+    late = docs.where(F.col("doc_id") % 3 == 0)
+    src = str(tmp_path / "docs_src")
+    first.repartition(2).write.parquet(src)
+    bands_table = f"lsh_band_growth_t{abs(hash(str(tmp_path))) % 10**9}"
+    args = (
+        str(tmp_path / "idx"),
+        str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"),
+    )
+    kw = dict(bucketed=True, bands_table=bands_table)
+    try:
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        jobs.incremental_minhash_foreach_batch(stream, *args, **kw)
+        n_batches_first = (
+            spark.table(bands_table).select("batch_id").distinct().count()
+        )
+
+        # job instance 2: the late docs land as one more file
+        late.repartition(1).write.mode("append").parquet(src)
+        stream2 = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        jobs.incremental_minhash_foreach_batch(stream2, *args, **kw)
+
+        got = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+        }
+        want = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in dedup_minhash_lsh(spark, SF_SMALL, max_df=10**9).collect()
+        }
+        assert got == want and len(want) > 0
+        # exactly one new batch partition; per-doc band rows unique
+        tbl = spark.table(bands_table)
+        assert tbl.select("batch_id").distinct().count() == n_batches_first + 1
+        n_rows = tbl.count()
+        assert n_rows == tbl.dropDuplicates(["doc_id", "band_sig"]).count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {bands_table}")
+
+
 def test_bucketed_band_index_joins_with_zero_index_shuffle(spark, tmp_path):
     """Measures the production claim in incremental_minhash_foreach_batch's
     docstring (round-5 verdict ask #7): storing the band index BUCKETED by
