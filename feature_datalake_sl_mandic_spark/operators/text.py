@@ -632,10 +632,16 @@ def corpus_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     escape hatch for one-row-to-many transforms too irregular for
     sequence+explode. Hash-identical output to the declarative twin (shared
     oracle) proves the two paths agree; the declarative plan remains the
-    100 TB hot path (UDTFs cross the Python boundary per row-group)."""
+    100 TB hot path (UDTFs still cross the Python boundary). ``useArrow``
+    makes that boundary Arrow-batched (ArrowEvalPythonUDTF): the plan sweep
+    bans the pickle-per-row BatchEvalPython node, and this query is exactly
+    the plan that would otherwise carry it."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="doc_id bigint, chunk_id bigint, chunk_tokens bigint, chunk_md5 string")
+    @udtf(
+        returnType="doc_id bigint, chunk_id bigint, chunk_tokens bigint, chunk_md5 string",
+        useArrow=True,
+    )
     class ChunkDoc:
         def eval(self, doc_id: int, text: str):
             import hashlib

@@ -199,6 +199,10 @@ _PRIORITY: list[str] = [
     "join_lateral_topn_grouped",
     # --- value path changed this round (ADVICE norm guard)
     "ann_two_stage_rerank",
+    # --- plan changed this round (UDTF transport Batch->Arrow; values
+    #     identical under the shared oracle, caught by the new
+    #     BatchEvalPython probe rule)
+    "corpus_chunk_udtf",
     # --- round-6 rotation debt (changed in r6 after last driver-green)
     "q17_small_quantity_revenue",
     "q21_sole_late_supplier",
@@ -248,7 +252,11 @@ _PRIORITY: list[str] = [
     "dedup_embedding_cosine",
     "text_hybrid_rrf_search",
     "eval_retrieval_metrics",
-    "eval_matryoshka_recall",
+    # (eval_matryoshka_recall — the 15th oracle-text-only precision entry —
+    # rotates to the round-8 window head to make room for the
+    # corpus_chunk_udtf plan change above: plan changes outrank
+    # oracle-text-only changes, and the precision fix is value-neutral on
+    # the fixture, verified by two full 238-query sf0.01 sweeps this round.)
 ]
 # (multimodal_feature_extract was retired from the registry in round 4: its
 # codec stubs made it permanently rows-only and every registered query must
