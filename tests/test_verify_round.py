@@ -1,0 +1,42 @@
+"""Parser tests for verify_round.py — the five-surface recorder.
+
+The recorder's value is that VERIFY_r{N}.json can be trusted without
+re-reading raw logs, so its summary regexes must actually match each
+surface's output format (the same trust argument as the plan-probe parser
+tests): a regex that silently stops matching would record ok=false noise —
+or worse, a permissive one would record ok=true over a failure.
+"""
+
+from __future__ import annotations
+
+import verify_round as vr
+
+
+def test_pytest_summary_parses():
+    m = vr._SUMMARY_RES["pytest"].search("1461 passed, 240 skipped in 1254s")
+    assert m and m.group(1) == "1461" and m.group(2) == "240"
+    m2 = vr._SUMMARY_RES["pytest"].search("5 passed in 1.2s")
+    assert m2 and m2.group(2) is None
+
+
+def test_oracle_summary_parses():
+    m = vr._SUMMARY_RES["oracle_parity"].search("238 queries, 0 failures")
+    assert m and m.group(1) == "238" and m.group(2) == "0"
+
+
+def test_plan_sweep_summary_parses():
+    line = (
+        "sweep: 53 queries flagged (64 flags), 0 UNEXPLAINED, "
+        "0 stale ALLOW entries"
+    )
+    m = vr._SUMMARY_RES["plan_sweep"].search(line)
+    assert m and [m.group(i) for i in range(1, 5)] == ["53", "64", "0", "0"]
+
+
+def test_bench_summary_parses():
+    assert vr._SUMMARY_RES["bench"].search('{"metric":"headline_queries_total_wall_clock"')
+
+
+def test_every_surface_has_command_env_and_regex():
+    assert set(vr.SURFACES) == set(vr._SUMMARY_RES)
+    assert set(vr.ENV_EXTRA) <= set(vr.SURFACES)
