@@ -123,25 +123,31 @@ HEAVY_WIDE = [
 # judge adjudication of bench drift that turned out to be machine load;
 # the sentinel makes that attribution mechanical: if the sentinel is
 # inflated by the same factor as the queries, the drift is the machine.
-# SENTINEL_REF_SEC is the pinned round-7 calibration: the MINIMUM
-# IN-BENCH sentinel across repeated bench runs in the quietest machine
-# state observed (0.250; standalone idle runs measure ~0.21, but inside a
-# bench run the JVM carries the bench's heap/GC state and the sentinel
-# sits ~20% higher — the ref is calibrated in-bench so the load factor
-# compares like with like and the normalization can't flatter).
-# Sentinel-normalized subtotals scale by REF/measured-min and are
-# comparable to this calibration; the raw subtotals stay comparable
-# across rounds.
+# A single sentinel sample is noisy (observed 0.18-0.33 across ~30 samples
+# on one machine, loaded or not), so each run times _SENTINEL_REPS samples
+# and the run's sentinel is their min — with reps x runs samples per bench,
+# the min converges to the machine's true floor on an idle box, while on a
+# loaded box EVERY sample inflates and the min stays inflated (that
+# asymmetry is what makes the min the right load detector).
+# SENTINEL_REF_SEC is the pinned round-7 floor across all calibration
+# samples (standalone idle min 0.178, in-bench min 0.181). The
+# sentinel-normalized subtotals scale by REF/min-of-all-samples; the raw
+# subtotals stay comparable across rounds and remain authoritative — the
+# normalization is an attribution aid, not a replacement.
 _SENTINEL_ROWS = 400_000_000
-SENTINEL_REF_SEC = 0.25
+_SENTINEL_REPS = 3
+SENTINEL_REF_SEC = 0.18
 
 
 def _sentinel_once(spark) -> float:
-    t0 = time.perf_counter()
-    spark.range(_SENTINEL_ROWS).selectExpr(
-        "sum(cast(id as double) * cast(id as double)) as s"
-    ).collect()
-    return round(time.perf_counter() - t0, 4)
+    best = float("inf")
+    for _ in range(_SENTINEL_REPS):
+        t0 = time.perf_counter()
+        spark.range(_SENTINEL_ROWS).selectExpr(
+            "sum(cast(id as double) * cast(id as double)) as s"
+        ).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
 
 
 def _run_queries(spark, specs, names, sf_dir, n_runs):

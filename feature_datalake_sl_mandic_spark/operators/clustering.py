@@ -70,9 +70,18 @@ def _assign(e: DataFrame, centroids: DataFrame, out: str) -> DataFrame:
 
 
 def _final_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """init assign -> one Lloyd centroid update -> reassign."""
+    """init assign -> one Lloyd centroid update -> reassign.
+
+    Non-finite vectors are excluded BEFORE seeding: one NaN entry in a seed
+    (vec_id < K draws from this relation) silently poisons a whole
+    centroid's means (round-7 NaN/Inf lake probe). The zero vector stays —
+    squared distance is well-defined for it."""
+    from feature_datalake_sl_mandic_spark.operators.similarity import _finite_rows
+
     (em,) = _t(spark, sf_dir, "embeddings")
-    e = em.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    e = _finite_rows(em).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
     c0 = e.where(F.col("vec_id") < K).select(
         F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
     )
@@ -102,7 +111,9 @@ def _final_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared oracle CTE chain mirroring _final_assignments.
 _ASSIGN_CTES = f"""
     e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
-          FROM embeddings),
+          FROM embeddings
+          WHERE isfinite(list_sum(list_transform(embedding,
+                                                 x -> x::DOUBLE * x::DOUBLE)))),
     c0 AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < {K}),
     d0 AS (SELECT e.vec_id, c0.cid,
                   round(list_sum(list_transform(range(1, {DIM + 1}),
@@ -203,7 +214,8 @@ def kmeans_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_standardize_dims",
     oracle=f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
-               FROM embeddings),
+               FROM embeddings
+               WHERE isfinite(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))),
     long AS (
       SELECT vec_id, t.i - 1 AS pos, emb[t.i] AS v
       FROM e CROSS JOIN range(1, {DIM + 1}) t(i)
@@ -227,8 +239,12 @@ def embedding_standardize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast back), pure projection after that. Stats are rounded to 6
     for the distributed-sum parity contract; output long-format (array
     columns crash the driver canonicalizer)."""
+    from feature_datalake_sl_mandic_spark.operators.similarity import _finite_rows
+
     (em,) = _t(spark, sf_dir, "embeddings")
-    long = em.select(
+    # one NaN entry would poison its whole dimension's (mu, sigma); the
+    # zero vector is legitimate input here (round-7 NaN/Inf lake probe)
+    long = _finite_rows(em).select(
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
     )
@@ -321,7 +337,8 @@ def semdedup_cluster_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS (SELECT vec_id, label, vec_id % 2 AS half,
                       list_transform(embedding, x -> x::DOUBLE) AS emb
-               FROM embeddings),
+               FROM embeddings
+               WHERE isfinite(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))),
     long AS (
       SELECT label, half, t.i - 1 AS pos, emb[t.i] AS v
       FROM e CROSS JOIN range(1, {DIM + 1}) t(i)
@@ -363,8 +380,12 @@ def drift_embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFram
     O(|labels| x d), independent of corpus size. Per-dim centroids round to
     6 before the distance math so distributed-sum ordering can't leak into
     the checked output."""
+    from feature_datalake_sl_mandic_spark.operators.similarity import _finite_rows
+
     (em,) = _t(spark, sf_dir, "embeddings")
-    long = em.select(
+    # corrupt (non-finite) vectors excluded — one NaN poisons a cohort
+    # centroid and the cosine/L2 shift built from it (round-7 lake probe)
+    long = _finite_rows(em).select(
         "label",
         (F.col("vec_id") % 2).alias("half"),
         F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
@@ -455,7 +476,8 @@ def _pca_oracle() -> str:
     return f"""
     WITH e AS MATERIALIZED (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
-      FROM embeddings WHERE embedding IS NOT NULL
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND isfinite(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
     ),
     long_ AS MATERIALIZED (
       SELECT vec_id, CAST(t.i AS BIGINT) AS i, emb[t.i + 1] AS v
@@ -554,11 +576,15 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     import numpy as np
     import pandas as pd
 
+    from feature_datalake_sl_mandic_spark.operators.similarity import _finite_rows
+
     (em,) = _t(spark, sf_dir, "embeddings")
     # NOT pinned: the means pass and the covariance pass each rescan parquet
     # — measured faster than checkpointing the array column through the
-    # block manager (array<double> round-trips cost more than the scan)
-    e = em.where(F.col("embedding").isNotNull()).select(
+    # block manager (array<double> round-trips cost more than the scan).
+    # Non-finite vectors excluded: one NaN entry would poison its dim's
+    # mean AND every covariance cell its row touches (round-7 lake probe).
+    e = _finite_rows(em.where(F.col("embedding").isNotNull())).select(
         F.col("embedding").cast("array<double>").alias("emb")
     )
     # bounded control plane: n and the 64 per-dim means (rounded so both

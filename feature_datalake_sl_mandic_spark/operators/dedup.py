@@ -585,7 +585,8 @@ _DUCK_COS = (
     oracle=f"""
     WITH nz AS (
       SELECT * FROM embeddings
-      WHERE list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0
+      WHERE isfinite(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+            AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
            round({_DUCK_COS}, 6) AS cosine
@@ -600,18 +601,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via blocked pair join (block key = label; at scale,
     an LSH bucket — see ann_lsh_bucketed): cosine in pure JVM higher-order
     functions over double-cast arrays, no UDF."""
-    from feature_datalake_sl_mandic_spark.operators.similarity import _dot as dot
+    from feature_datalake_sl_mandic_spark.operators.similarity import (
+        _dot as dot,
+        _finite_pred,
+    )
 
     (em,) = _t(spark, sf_dir, "embeddings")
 
     # norm precomputed once per vector (not once per PAIR): 3x less HOF work
-    # in the pair join; identical arithmetic, so oracle parity is unchanged
-    # zero-norm vectors have no direction: cosine is undefined for them, so
-    # they are excluded on BOTH engines (round-6 degenerate-input audit)
+    # in the pair join; identical arithmetic, so oracle parity is unchanged.
+    # zero-norm vectors have no direction (round-6 audit) and non-finite
+    # vectors are corrupt input that would rank FIRST under Spark's NaN
+    # ordering (round-7 NaN/Inf lake probe) — both excluded on BOTH engines
     emd = (
         em.withColumn("emb", F.col("embedding").cast("array<double>"))
-        .withColumn("norm", F.sqrt(dot("emb", "emb")))
-        .where(F.col("norm") > 0)
+        .withColumn("ssq", dot("emb", "emb"))
+        .where(_finite_pred(F.col("ssq")) & (F.col("ssq") > 0))
+        .withColumn("norm", F.sqrt("ssq"))
     )
     a = emd.alias("a")
     b = emd.alias("b")

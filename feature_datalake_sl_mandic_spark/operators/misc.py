@@ -783,6 +783,7 @@ def txlog_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 6)
              AS l2_norm
     FROM embeddings
+    WHERE isfinite(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
     ORDER BY vec_id
     """,
     tags=("arrow", "mapInArrow", "udf", "embeddings"),
@@ -820,10 +821,15 @@ def arrow_batch_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             for out in tbl.to_batches():
                 yield out
 
+    from feature_datalake_sl_mandic_spark.operators.similarity import _finite_rows
+
     return (
-        em.select("vec_id", "embedding")
-        # a NULL embedding has no norm; drop before the Arrow kernel
-        .where(F.col("embedding").isNotNull())
+        _finite_rows(em.select("vec_id", "embedding")
+                     # a NULL embedding has no norm; drop before Arrow
+                     .where(F.col("embedding").isNotNull()))
+        # non-finite vectors excluded like every numeric embedding consumer
+        # — a NaN l2_norm in hash-checked output is an engine-parity hazard
+        # (round-7 NaN/Inf lake probe); the guard itself flags corrupt rows
         .mapInArrow(norms, "vec_id BIGINT, dim BIGINT, l2_norm DOUBLE")
         .orderBy("vec_id")
     )

@@ -65,7 +65,8 @@ _IVF_ORACLE = _REGISTRY["ann_ivf_cells"].oracle
     ),
     e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
           FROM embeddings
-          WHERE list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0),
+          WHERE isfinite(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+            AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0),
     dense_scored AS (
       SELECT c.vec_id AS doc_id, round({_DUCK_PAIR_COS}, 6) AS cosine
       FROM (SELECT emb FROM e WHERE vec_id = {DENSE_QUERY_ID}) q
@@ -252,7 +253,8 @@ def _duck_sliced_knn(d: int) -> str:
     oracle=f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb
                FROM embeddings
-               WHERE list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0),
+               WHERE isfinite(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+            AND list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)) > 0),
     sys AS ({" UNION ALL ".join(_duck_sliced_knn(d) for d in MRL_DIMS)}),
     gt AS (
       SELECT query_id, neighbor_id FROM ({_KNN_ORACLE}) g

@@ -116,13 +116,28 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     corpus_cdc_chunking, corpus_pack_shards) plus
 #     cms_heavy_hitters_events, ts_cross_correlation_lags,
 #     text_tfidf_top_terms.
-#   - The remaining 14 slots: the cosine-family queries whose ORACLE text
+#   - The remaining slots: the cosine-family queries whose ORACLE text
 #     changed this round (ADVICE: the nonzero filter now casts to DOUBLE
 #     before squaring so a subnormal-magnitude vector can't underflow to
-#     zero in DuckDB only — value-neutral on the fixture, but source
-#     changed after green so they re-earn). ann_two_stage_rerank is
-#     already windowed above; arrow_batch_embedding_norms already used
-#     the cast-first form and is unchanged.
+#     zero in DuckDB only) AND whose VALUE path then changed again in the
+#     round's NaN/Inf audit: the nonzero guard is now finite+nonzero
+#     (Spark's NaN > 0 is TRUE, so the old guard passed corrupt vectors
+#     and ranked them FIRST; a round-7 lake probe measured 16 queries
+#     silently emitting NaN/Inf into checked output). Value-neutral on
+#     the healthy fixture, verified by full sf0.01 sweeps; the poisoned
+#     lake itself is permanent both-engine test surface
+#     (tests/test_degenerate_embeddings.py::test_nan_inf_*).
+#   - Rotating to the ROUND-8 window head: the nine distance-space /
+#     profiling queries whose value paths gained the SAME finite guard
+#     (zero vectors stay; non-finite rows excluded before they poison
+#     means/covariances/stats) but do not fit this window —
+#     kmeans_lloyd_embeddings, kmeans_balanced_sample,
+#     embedding_pca_power_iteration, embedding_standardize_dims,
+#     embedding_outliers_mahalanobis, drift_embedding_centroid_shift,
+#     arrow_batch_embedding_norms, semdedup_cluster_cosine,
+#     eval_matryoshka_recall (the last also carries the precision-fix
+#     rotation noted below). Each is sf0.01-sweep-green post-change and
+#     pinned by the NaN/Inf + degenerate-embedding oracle suites.
 #
 # ---- round-6 window rationale (kept for provenance) ----
 # Round-6 window: the 20 queries whose plans changed this round (banded

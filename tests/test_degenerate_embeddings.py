@@ -94,3 +94,60 @@ def test_degenerate_embeddings_match_oracle(spark, degen_emb_dir, query):
     dkdf = con.execute(spec.oracle).df()
     errs = [e for e in compare(spdf, dkdf, query) if "WARNING" not in e]
     assert not errs, "\n".join(errs)
+
+
+@pytest.fixture(scope="module")
+def nan_inf_emb_dir(spark, tmp_path_factory):
+    """NaN/Inf-poisoned lake (round 7): corrupt encoder output is the
+    production case the zero-vector audit missed. A round-7 probe showed
+    NO query crashed on this lake — 16 silently emitted NaN/Inf into
+    hash-checked output, because Spark's NaN semantics make ``NaN > 0``
+    TRUE (the zero-norm guard passed corrupt vectors) and NaN sorts ABOVE
+    every real cosine (corrupt rows ranked FIRST in top-k). Poison sits in
+    every sensitive range: an ordinary corpus row, the PQ seed range
+    (a NaN seed would poison a codebook entry), and the query range
+    (vec_id < N_QUERIES)."""
+    d = str(tmp_path_factory.mktemp("nan_inf_emb"))
+    random.seed(11)
+    nan, inf = float("nan"), float("inf")
+    rows = []
+    for i in range(40):
+        emb = [round(random.uniform(-1, 1), 3) for _ in range(DIM)]
+        if i == 2:  # query range: NaN entry
+            emb[3] = nan
+        elif i == 6:  # corpus row: +Inf entry
+            emb[5] = inf
+        elif i == 12:  # PQ seed range [10, 26): -Inf entry
+            emb[0] = -inf
+        elif i == 15:  # PQ seed range: every entry NaN
+            emb = [nan] * DIM
+        elif i == 30:  # NaN and Inf together (sum is NaN)
+            emb[1], emb[2] = nan, inf
+        rows.append((i, emb, i % 3))
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("query", COSINE_QUERIES + DISTANCE_QUERIES)
+def test_nan_inf_embeddings_match_oracle(spark, nan_inf_emb_dir, query):
+    """Both engines must agree on the poisoned lake AND the checked output
+    must contain no NaN/Inf anywhere — the finite guard excludes corrupt
+    vectors at every numeric base relation, mirrored in every oracle."""
+    spec = SPECS[query]
+    spdf = spec.fn(spark, nan_inf_emb_dir).toPandas()
+    for col in spdf.columns:
+        vals = spdf[col]
+        if vals.dtype.kind == "f":
+            import numpy as np
+
+            assert np.isfinite(vals.dropna()).all(), (query, col)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{os.path.join(nan_inf_emb_dir, 'embeddings.parquet')}/*.parquet')"
+    )
+    dkdf = con.execute(spec.oracle).df()
+    errs = [e for e in compare(spdf, dkdf, query) if "WARNING" not in e]
+    assert not errs, "\n".join(errs)
