@@ -129,14 +129,18 @@ HEAVY_WIDE = [
 # the min converges to the machine's true floor on an idle box, while on a
 # loaded box EVERY sample inflates and the min stays inflated (that
 # asymmetry is what makes the min the right load detector).
-# SENTINEL_REF_SEC is the pinned round-7 floor across all calibration
-# samples (standalone idle min 0.178, in-bench min 0.181). The
-# sentinel-normalized subtotals scale by REF/min-of-all-samples; the raw
-# subtotals stay comparable across rounds and remain authoritative — the
-# normalization is an attribution aid, not a replacement.
+# SENTINEL_REF_SEC is the pinned round-7 idle floor of THIS estimator
+# (min-of-3 back-to-back reps: 0.130-0.137 across 5 runs on an idle
+# machine whose raw headline matched the round-6 judge's clean 4.50s —
+# single-shot sentinels measure ~0.18+ because the first sample pays a
+# recurring dispatch/GC cost the back-to-back repeats skip; calibration
+# must match the estimator). The sentinel-normalized subtotals scale by
+# REF/min-of-all-samples; the raw subtotals stay comparable across rounds
+# and remain authoritative — the normalization is an attribution aid, not
+# a replacement.
 _SENTINEL_ROWS = 400_000_000
 _SENTINEL_REPS = 3
-SENTINEL_REF_SEC = 0.18
+SENTINEL_REF_SEC = 0.13
 
 
 def _sentinel_once(spark) -> float:
