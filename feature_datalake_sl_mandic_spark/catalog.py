@@ -105,12 +105,39 @@ def _session_key(spark: SparkSession) -> str:
         return f"dead-{id(spark)}"
 
 
+def _clean_event_values(df: DataFrame) -> DataFrame:
+    """Non-finite ``value`` -> NULL at the load boundary (round-7 audit).
+
+    A NaN/Inf-poisoned events lake crashed 17 of the 41 value-consuming
+    queries (ANSI CAST_OVERFLOW on NaN->decimal, DuckDB STDDEV
+    out-of-range) and silently DIVERGED four more between engines
+    (Theil-Sen slopes, MAD outlier sets, PSI bucket counts — Spark and
+    DuckDB disagree on NaN bucketing/quantiles). NULLing the corrupt
+    measurement keeps the event itself (counts, sessions, funnels are
+    value-independent facts) while every aggregate skips it — and NULL
+    semantics are exactly what the null-injection suite already hardened
+    and oracle-verified for every one of these queries. The DuckDB side
+    of the poisoned-lake parity test applies the identical normalization
+    to its view (tests/test_degenerate_events.py); on a healthy lake the
+    projection is an identity."""
+    if "value" not in df.columns:
+        return df
+    v = F.col("value")
+    cleaned = F.when(
+        F.isnan(v) | (F.abs(v) == F.lit(float("inf"))), F.lit(None)
+    ).otherwise(v)
+    return df.withColumn("value", cleaned)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (_session_key(spark), sf_dir, name)
     df = _DF_CACHE.get(key)
     if df is None:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        df = _read_events(spark, path) if name == "events" else spark.read.parquet(path)
+        if name == "events":
+            df = _clean_event_values(_read_events(spark, path))
+        else:
+            df = spark.read.parquet(path)
         _DF_CACHE[key] = df
     return df
 

@@ -1144,7 +1144,11 @@ BALANCE_USER_CAP = 40  # users included (bounds the recursive oracle's depth)
                   THEN CAST(round(value * 100) AS BIGINT)
                   ELSE -CAST(round(value * 100) AS BIGINT) END AS delta_cents
       FROM events
+      -- value IS NOT NULL on BOTH engines: a missing measurement cannot
+      -- apply a delta to the ledger, and an unfiltered NULL would shift
+      -- every later row's rn (round-7 NaN-events parity suite)
       WHERE event_type IN ('purchase', 'error') AND user_id < {BALANCE_USER_CAP}
+        AND value IS NOT NULL
     ),
     bal AS (
       SELECT user_id, rn, delta_cents,
@@ -1188,6 +1192,7 @@ def events_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame
     base = ev.where(
         F.col("event_type").isin("purchase", "error")
         & (F.col("user_id") < BALANCE_USER_CAP)
+        & F.col("value").isNotNull()
     ).select(
         "user_id",
         "ts",

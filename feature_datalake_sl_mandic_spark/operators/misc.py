@@ -401,10 +401,15 @@ def sample_stratified_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "groupmap_user_value_trend",
     oracle="""
     WITH seq AS (
+      -- mirrors the Spark-side kernel filter: a NULL value would shift
+      -- every later row's rn (the regression's x axis) and inflate
+      -- count(*), splitting the engines on lakes with missing
+      -- measurements (round-7 NaN-events parity suite)
       SELECT user_id, value,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
       FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
     )
     SELECT user_id,
            CAST(count(*) AS BIGINT) AS n_events,
@@ -842,10 +847,17 @@ MAP_RATE_THRESHOLD = 60.0
     "maps_zipwith_type_rates",
     oracle=f"""
     WITH cents AS (
+      -- value IS NOT NULL mirrors the Spark-side pre-filter: count(*)
+      -- would count NULL-value rows that sum() skips, splitting the
+      -- engines on any lake with missing measurements (exposed by the
+      -- round-7 NaN-events parity suite; invisible on the null-free
+      -- fixture)
       SELECT user_id, event_type,
              sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS s100,
              count(*) AS c
-      FROM events GROUP BY user_id, event_type
+      FROM events
+      WHERE value IS NOT NULL
+      GROUP BY user_id, event_type
     )
     SELECT user_id, event_type,
            ((2 * s100 * 100 + c) // (2 * c)) / 10000.0 AS avg_value

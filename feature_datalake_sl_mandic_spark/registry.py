@@ -138,6 +138,18 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     eval_matryoshka_recall (the last also carries the precision-fix
 #     rotation noted below). Each is sf0.01-sweep-green post-change and
 #     pinned by the NaN/Inf + degenerate-embedding oracle suites.
+#     The same audit then escalated to events.value (NaN/Inf measurement
+#     values): the shared loader now normalizes non-finite value -> NULL
+#     (catalog._clean_event_values — plan-only for every events consumer,
+#     identity on finite data), and the NaN-events parity suite exposed
+#     three latent NULL-semantics oracle/filter mismatches fixed on both
+#     engines: maps_zipwith_type_rates (oracle count(*) counted NULL-value
+#     rows its sum skipped), groupmap_user_value_trend (oracle rn ran over
+#     NULL-value rows the kernel filters), events_capped_running_balance
+#     (NULL delta shifted every later rn; both sides now filter). These
+#     three join the round-8 window head with the nine above; all are
+#     sf0.01-sweep-green post-change and pinned by
+#     tests/test_degenerate_events.py (42 both-engine comparisons).
 #
 # ---- round-6 window rationale (kept for provenance) ----
 # Round-6 window: the 20 queries whose plans changed this round (banded

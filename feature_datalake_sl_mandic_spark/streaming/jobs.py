@@ -41,10 +41,14 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
+    from feature_datalake_sl_mandic_spark.catalog import _clean_event_values
+
     reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return reader.parquet(path)
+    # same load-boundary contract as the batch loader: non-finite value ->
+    # NULL, so stream==batch equality holds on corrupt lakes too
+    return _clean_event_values(reader.parquet(path))
 
 
 def windowed_counts(
