@@ -119,7 +119,15 @@ def _clean_event_values(df: DataFrame) -> DataFrame:
     and oracle-verified for every one of these queries. The DuckDB side
     of the poisoned-lake parity test applies the identical normalization
     to its view (tests/test_degenerate_events.py); on a healthy lake the
-    projection is an identity."""
+    projection is an identity.
+
+    Scale trade-off, measured: a predicate on the derived ``value`` can no
+    longer push to the parquet scan (Catalyst won't push through the
+    CASE). Audited across all registered plans: the only value predicates
+    ever pushed were two ``IsNotNull(value)`` filters — which MUST now
+    evaluate post-normalization anyway (a NaN row is not null at the scan
+    but must be treated as null) — and no query carries a static
+    comparative value predicate, so nothing loses row-group skipping."""
     if "value" not in df.columns:
         return df
     v = F.col("value")
