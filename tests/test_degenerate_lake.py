@@ -166,3 +166,52 @@ def single_row_lake_dir(spark, tmp_path_factory):
 def test_query_survives_single_row_lake(name, spark, single_row_lake_dir):
     rows = SPECS[name].fn(spark, single_row_lake_dir).collect()
     assert len(rows) >= 0
+
+
+def test_nonfinite_money_is_quarantined_identically(spark, tmp_path):
+    """Non-finite MONEY (a NaN/Inf o_totalprice): money columns are
+    DECIMAL-sourced in the reference's data model (S9 type mapping — a
+    relational source cannot emit NaN), so the engine's enforcement point
+    is the INGEST EXPECTATION, not read-time normalization: the existing
+    price_range rule (0 < price <= cap) fails every non-finite value under
+    BOTH engines' NaN total orders (NaN fails <= cap; +Inf fails the cap;
+    -Inf fails > 0), so corrupt money lands in quarantine with the rule
+    named — pinned here on a poisoned lake with the driver's own DuckDB
+    comparison."""
+    import duckdb
+
+    from feature_datalake_sl_mandic_spark.oracle import compare
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "nanmoney")
+    for t in catalog.TABLE_NAMES:
+        src = os.path.join(SF_SMALL, f"{t}.parquet")
+        if not os.path.exists(src):
+            continue
+        df = catalog.load_table(spark, SF_SMALL, t)
+        if t == "orders":
+            df = df.withColumn(
+                "o_totalprice",
+                F.when(F.col("o_orderkey") % 83 == 0, F.lit(float("nan")))
+                .when(F.col("o_orderkey") % 83 == 1, F.lit(float("inf")))
+                .when(F.col("o_orderkey") % 83 == 2, F.lit(float("-inf")))
+                .otherwise(F.col("o_totalprice")),
+            )
+        df.write.mode("overwrite").parquet(os.path.join(out, f"{t}.parquet"))
+
+    spec = SPECS["validate_quarantine_orders"]
+    spdf = spec.fn(spark, out).toPandas()
+    # every poisoned key is quarantined and price_range is among its reasons
+    poisoned = spdf[spdf.o_orderkey % 83 <= 2]
+    assert len(poisoned) > 0
+    assert poisoned.failed_rules.str.contains("price_range").all()
+    con = duckdb.connect()
+    for t in catalog.TABLE_NAMES:
+        p = os.path.join(out, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+            )
+    dkdf = con.execute(spec.oracle).df()
+    errs = [e for e in compare(spdf, dkdf, "validate_quarantine_orders") if "WARNING" not in e]
+    assert not errs, "\n".join(errs)
