@@ -1,0 +1,194 @@
+"""Scale-ramp probe: do the heavy plans stay linear past the bench fixture?
+
+`BENCH_DETAIL_r{N}.json` records sf0.001 -> sf0.1 (100x) scale ratios; this
+probe extends the evidence another decade. It inflates the sf0.1 lake
+REPLICAS-fold (default 10x — sf1-equivalent on the corpus tables) the way
+TPC-H scales: each replica is a disjoint key universe (every BIGINT key
+shifted by ``replica * STRIDE``) sharing the fixed dims (region, nation).
+Replica documents get every token tagged with the replica id, so vocabulary
+and shingle space grow with the corpus and near-dup structure scales
+linearly (exact copies would instead grow intra-bucket pair counts
+quadratically in REPLICAS — a property of copied data, not of the plans).
+``n_chars`` is recomputed so metadata stays consistent with the tagged text.
+Embedding/event/relational rows replicate verbatim under their shifted keys;
+the query sets stay fixed (``vec_id < N_QUERIES`` and the PQ codebook rows
+live only in replica 0), which is the right shape: queries constant, corpus
+growing.
+
+For each probed query the probe times base sf0.1 and the inflated lake in
+the same session (min over N_RUNS, bench's estimator) and reports
+``ratio = scaled/base`` and ``per_replica = ratio/REPLICAS``: at-most-linear
+scaling means ratio <= REPLICAS (per_replica <= 1); sub-linear values mean
+fixed overhead still dominates. The bench's co-tenant sentinel runs
+alongside so an inflated ratio can be attributed to machine load.
+
+Prints ONE JSON line (``{"metric": "scale_probe", ...}``); wired into
+``verify_round.py`` as the ``scale_probe`` surface.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
+N_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
+
+# Linearity gate: flag a query as superlinear only when BOTH hold. The
+# tolerance absorbs run-to-run noise on an idle box (bench dispersion shows
+# >=15% min-to-median spread is routine); the floor excludes queries whose
+# scaled run is still sub-second — at that size per-task fixed costs (task
+# launch, codegen dispatch, more files in the scaled lake) are the same
+# order as the measurement, so a high ratio there says nothing about the
+# plan's asymptotics.
+SUPERLINEAR_TOL = 1.15
+MIN_SCALED_SEC = 1.0
+STRIDE = 1 << 33  # far above any fixture key; products/joins stay exact BIGINT
+
+# Keys shifted per replica so each replica is a disjoint, FK-consistent
+# sub-universe (the TPC-H scaling model). region/nation are shared dims.
+_SHIFT_COLS: dict[str, list[str]] = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+# Corpus tables fan out inside the scan task (shingles, tokens, vector HOFs),
+# so give them cores-wide file counts; relational tables stay modest.
+_WIDE_FILES = {"documents", "embeddings", "events"}
+
+
+def probe_names() -> list[str]:
+    """HEAVY + HEAVY_WIDE + representative headline queries, minus plans
+    that ignore sf_dir (multimodal payloads are deterministic in-plan)."""
+    import bench
+
+    names = list(bench.HEAVY) + list(bench.HEAVY_WIDE) + [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "window_rank_orders",
+        "knn_cosine_topk",
+        "events_sessionize",
+        "dedup_exact_documents",
+    ]
+    return [n for n in names if n != "multimodal_phash_banded_pairs"]
+
+
+def prepare_scaled_dir(spark, sf_dir: str, replicas: int) -> str:
+    """Materialize (once, manifest-cached) the replicas-fold lake."""
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    from feature_datalake_sl_mandic_spark import catalog
+
+    src_manifest: dict[str, int] = {}
+    for t in catalog.TABLE_NAMES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            src_manifest[t] = os.path.getsize(p)
+    target = os.path.join(
+        REPO, ".bench_data", f"{os.path.basename(sf_dir.rstrip('/'))}x{replicas}"
+    )
+    marker = os.path.join(target, ".ready.json")
+    want = {"src": sf_dir, "replicas": replicas, "sizes": src_manifest}
+    try:
+        with open(marker) as f:
+            if json.load(f) == want:
+                return target
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
+    shutil.rmtree(target, ignore_errors=True)
+    os.makedirs(target, exist_ok=True)
+    for t in src_manifest:
+        df = catalog.load_table(spark, sf_dir, t)
+        shift = _SHIFT_COLS.get(t)
+        if shift is None or replicas <= 1:
+            out_df = df
+        else:
+            reps = []
+            for r in range(replicas):
+                d = df
+                for c in shift:
+                    d = d.withColumn(c, (F.col(c) + F.lit(r * STRIDE)).cast("bigint"))
+                if t == "documents" and r > 0:
+                    d = d.withColumn(
+                        "text", F.regexp_replace("text", r"(\S+)", f"r{r}w$1")
+                    ).withColumn("n_chars", F.length("text").cast("bigint"))
+                reps.append(d)
+            out_df = functools.reduce(DataFrame.unionByName, reps)
+        n_files = 32 if t in _WIDE_FILES else (8 if t in _SHIFT_COLS else 1)
+        out_df.repartition(n_files).write.mode("overwrite").parquet(
+            os.path.join(target, f"{t}.parquet")
+        )
+    with open(marker, "w") as f:
+        json.dump(want, f)
+    return target
+
+
+def main() -> int:
+    import bench
+    from feature_datalake_sl_mandic_spark import registry
+    from feature_datalake_sl_mandic_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale-probe")
+    t0 = time.perf_counter()
+    base_dir = bench.prepare_bench_dir(spark, sf_dir)
+    scaled_dir = prepare_scaled_dir(spark, sf_dir, REPLICAS)
+    prep_sec = round(time.perf_counter() - t0, 1)
+
+    specs = registry.load_all()
+    names = probe_names()
+    base, _rows, _s, sent_base = bench._run_queries(spark, specs, names, base_dir, N_RUNS)
+    scaled, _rows2, _s2, sent_scaled = bench._run_queries(
+        spark, specs, names, scaled_dir, N_RUNS
+    )
+    queries = {}
+    for n in names:
+        ratio = round(scaled[n] / max(base[n], 1e-9), 2)
+        queries[n] = {
+            "base_sec": base[n],
+            "scaled_sec": scaled[n],
+            "ratio": ratio,
+            "per_replica": round(ratio / REPLICAS, 3),
+        }
+    worst = max(queries.values(), key=lambda q: q["per_replica"])
+    out = {
+        "metric": "scale_probe",
+        "replicas": REPLICAS,
+        "sf": sf_dir,
+        "n_runs": N_RUNS,
+        "prep_sec": prep_sec,
+        "queries": queries,
+        "max_per_replica": worst["per_replica"],
+        "superlinear": sorted(
+            n
+            for n, q in queries.items()
+            if q["per_replica"] > SUPERLINEAR_TOL and q["scaled_sec"] >= MIN_SCALED_SEC
+        ),
+        "sentinel": {
+            "base_min": min(sent_base),
+            "scaled_min": min(sent_scaled),
+            "ref": bench.SENTINEL_REF_SEC,
+        },
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

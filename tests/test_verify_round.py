@@ -1,4 +1,4 @@
-"""Parser tests for verify_round.py — the five-surface recorder.
+"""Parser tests for verify_round.py — the per-round surface recorder.
 
 The recorder's value is that VERIFY_r{N}.json can be trusted without
 re-reading raw logs, so its summary regexes must actually match each
@@ -35,6 +35,14 @@ def test_plan_sweep_summary_parses():
 
 def test_bench_summary_parses():
     assert vr._SUMMARY_RES["bench"].search('{"metric":"headline_queries_total_wall_clock"')
+
+
+def test_scale_probe_summary_parses():
+    assert vr._SUMMARY_RES["scale_probe"].search('{"metric": "scale_probe", "replicas": 10')
+    # must NOT match the bench line (both start with {"metric")
+    assert not vr._SUMMARY_RES["scale_probe"].search(
+        '{"metric": "headline_queries_total_wall_clock"'
+    )
 
 
 def test_every_surface_has_command_env_and_regex():

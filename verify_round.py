@@ -1,15 +1,21 @@
-"""Run the five verify surfaces and record one line each in VERIFY_r{N}.json.
+"""Run the verify surfaces and record one line each in VERIFY_r{N}.json.
 
 Round-6 verdict ask #3: the gated heavy suites (degenerate-lake oracle
 comparison, plan anti-pattern sweep) ran every round but left no committed
-evidence beyond prose. This runner executes all five surfaces —
+evidence beyond prose. This runner executes all six surfaces —
 
   1. pytest        — full test suite (includes sf0.001 oracle parity)
   2. oracle_parity — the sf0.01 DuckDB differential over the FULL registry
                      (the driver's t2 gate, all queries not just the window)
-  3. plan_sweep    — plans.probe anti-pattern sweep over every plan
-  4. degen_oracle  — both-engine comparison on the pathological-values lake
-  5. bench         — bench.py at sf0.1 (sentinel + subtotals)
+  3. oracle_parity_sf01 — the same full-registry differential at sf0.1,
+                     10x the driver's checked scale: catches divergences
+                     that only appear with more data (overflow, precision
+                     drift in larger aggregates, sampling-fraction edges)
+  4. plan_sweep    — plans.probe anti-pattern sweep over every plan
+  5. degen_oracle  — both-engine comparison on the pathological-values lake
+  6. bench         — bench.py at sf0.1 (sentinel + subtotals)
+  7. scale_probe   — heavy plans timed on a 10x-inflated sf0.1 lake
+                     (sf1-equivalent): ratio vs base must stay at-most-linear
 
 — and writes pass counts, timestamps, and wall-clock per surface to
 ``VERIFY_r{N}.json``. Usage::
@@ -35,6 +41,11 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 SURFACES: dict[str, list[str]] = {
     "pytest": [sys.executable, "-m", "pytest", "tests/", "-q", "--tb=no"],
     "oracle_parity": [sys.executable, "-m", "feature_datalake_sl_mandic_spark.oracle"],
+    "oracle_parity_sf01": [
+        sys.executable,
+        "-m",
+        "feature_datalake_sl_mandic_spark.oracle",
+    ],
     "plan_sweep": [sys.executable, "-m", "feature_datalake_sl_mandic_spark.plans.probe"],
     "degen_oracle": [
         sys.executable,
@@ -45,20 +56,26 @@ SURFACES: dict[str, list[str]] = {
         "--tb=no",
     ],
     "bench": [sys.executable, "bench.py"],
+    "scale_probe": [sys.executable, "scale_probe.py"],
 }
 
 # Surface-specific environment additions.
-ENV_EXTRA = {"degen_oracle": {"SPARK_GRAFT_DEGEN_ORACLE": "1"}}
+ENV_EXTRA = {
+    "degen_oracle": {"SPARK_GRAFT_DEGEN_ORACLE": "1"},
+    "oracle_parity_sf01": {"SPARK_GRAFT_ORACLE_SF": "/root/testdata/sf0.1"},
+}
 
 # What "pass" looks like per surface, extracted from the output tail.
 _SUMMARY_RES = {
     "pytest": re.compile(r"(\d+) passed(?:, (\d+) skipped)?"),
     "oracle_parity": re.compile(r"(\d+) queries, (\d+) failures"),
+    "oracle_parity_sf01": re.compile(r"(\d+) queries, (\d+) failures"),
     "plan_sweep": re.compile(
         r"(\d+) queries flagged \((\d+) flags\), (\d+) UNEXPLAINED, (\d+) stale"
     ),
     "degen_oracle": re.compile(r"(\d+) passed(?:, (\d+) skipped)?"),
     "bench": re.compile(r'"metric"\s*:\s*"'),
+    "scale_probe": re.compile(r'"metric"\s*:\s*"scale_probe"'),
 }
 
 
@@ -88,7 +105,7 @@ def run_surface(name: str) -> dict:
         fail = re.search(r"(\d+) failed", out)
         rec["failed"] = int(fail.group(1)) if fail else 0
         rec["ok"] = rec["ok"] and rec["failed"] == 0
-    elif name == "oracle_parity" and m:
+    elif name.startswith("oracle_parity") and m:
         rec["queries"] = int(m.group(1))
         rec["failures"] = int(m.group(2))
         rec["ok"] = rec["ok"] and rec["failures"] == 0
@@ -113,6 +130,26 @@ def run_surface(name: str) -> dict:
             rec["subtotals"] = parsed["subtotals"]
             rec["sentinel"] = parsed["sentinel"]
             rec["sf"] = parsed["sf"]
+        else:
+            rec["ok"] = False
+    elif name == "scale_probe":
+        line = next(
+            (
+                ln
+                for ln in proc.stdout.splitlines()
+                if ln.startswith('{"metric": "scale_probe"')
+                or ln.startswith('{"metric":"scale_probe"')
+            ),
+            None,
+        )
+        if line:
+            parsed = json.loads(line)
+            rec["replicas"] = parsed["replicas"]
+            rec["max_per_replica"] = parsed["max_per_replica"]
+            rec["superlinear"] = parsed["superlinear"]
+            rec["queries"] = parsed["queries"]
+            rec["sentinel"] = parsed["sentinel"]
+            rec["ok"] = rec["ok"] and not parsed["superlinear"]
         else:
             rec["ok"] = False
     if not rec["ok"]:
