@@ -28,7 +28,6 @@ Prints ONE JSON line (``{"metric": "scale_probe", ...}``); wired into
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import shutil
@@ -90,7 +89,6 @@ def probe_names() -> list[str]:
 
 def prepare_scaled_dir(spark, sf_dir: str, replicas: int) -> str:
     """Materialize (once, manifest-cached) the replicas-fold lake."""
-    from pyspark.sql import DataFrame
     from pyspark.sql import functions as F
 
     from feature_datalake_sl_mandic_spark import catalog
@@ -119,17 +117,25 @@ def prepare_scaled_dir(spark, sf_dir: str, replicas: int) -> str:
         if shift is None or replicas <= 1:
             out_df = df
         else:
-            reps = []
-            for r in range(replicas):
-                d = df
-                for c in shift:
-                    d = d.withColumn(c, (F.col(c) + F.lit(r * STRIDE)).cast("bigint"))
-                if t == "documents" and r > 0:
-                    d = d.withColumn(
-                        "text", F.regexp_replace("text", r"(\S+)", f"r{r}w$1")
-                    ).withColumn("n_chars", F.length("text").cast("bigint"))
-                reps.append(d)
-            out_df = functools.reduce(DataFrame.unionByName, reps)
+            # One explode, not an N-way union: the plan stays O(1) in the
+            # replica count (a 100-way union is 100 scan branches per table).
+            d = df.withColumn(
+                "_r", F.explode(F.array(*[F.lit(r) for r in range(replicas)]))
+            )
+            for c in shift:
+                d = d.withColumn(c, (F.col(c) + F.col("_r") * STRIDE).cast("bigint"))
+            if t == "documents":
+                d = d.withColumn(
+                    "text",
+                    F.when(F.col("_r") == 0, F.col("text")).otherwise(
+                        F.regexp_replace(
+                            F.col("text"),
+                            F.lit(r"(\S+)"),
+                            F.concat(F.lit("r"), F.col("_r"), F.lit("w$1")),
+                        )
+                    ),
+                ).withColumn("n_chars", F.length("text").cast("bigint"))
+            out_df = d.drop("_r")
         n_files = 32 if t in _WIDE_FILES else (8 if t in _SHIFT_COLS else 1)
         out_df.repartition(n_files).write.mode("overwrite").parquet(
             os.path.join(target, f"{t}.parquet")

@@ -16,6 +16,9 @@ evidence beyond prose. This runner executes all six surfaces —
   6. bench         — bench.py at sf0.1 (sentinel + subtotals)
   7. scale_probe   — heavy plans timed on a 10x-inflated sf0.1 lake
                      (sf1-equivalent): ratio vs base must stay at-most-linear
+  8. scale_probe_x100 — the same probe at 100x (sf10-equivalent, ~1M docs /
+                     ~60M lineitem rows): the decade where data volume, not
+                     fixed overhead, dominates the heavy plans
 
 — and writes pass counts, timestamps, and wall-clock per surface to
 ``VERIFY_r{N}.json``. Usage::
@@ -57,12 +60,14 @@ SURFACES: dict[str, list[str]] = {
     ],
     "bench": [sys.executable, "bench.py"],
     "scale_probe": [sys.executable, "scale_probe.py"],
+    "scale_probe_x100": [sys.executable, "scale_probe.py"],
 }
 
 # Surface-specific environment additions.
 ENV_EXTRA = {
     "degen_oracle": {"SPARK_GRAFT_DEGEN_ORACLE": "1"},
     "oracle_parity_sf01": {"SPARK_GRAFT_ORACLE_SF": "/root/testdata/sf0.1"},
+    "scale_probe_x100": {"SPARK_GRAFT_SCALE_REPLICAS": "100"},
 }
 
 # What "pass" looks like per surface, extracted from the output tail.
@@ -76,6 +81,7 @@ _SUMMARY_RES = {
     "degen_oracle": re.compile(r"(\d+) passed(?:, (\d+) skipped)?"),
     "bench": re.compile(r'"metric"\s*:\s*"'),
     "scale_probe": re.compile(r'"metric"\s*:\s*"scale_probe"'),
+    "scale_probe_x100": re.compile(r'"metric"\s*:\s*"scale_probe"'),
 }
 
 
@@ -132,7 +138,7 @@ def run_surface(name: str) -> dict:
             rec["sf"] = parsed["sf"]
         else:
             rec["ok"] = False
-    elif name == "scale_probe":
+    elif name.startswith("scale_probe"):
         line = next(
             (
                 ln
