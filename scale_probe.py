@@ -20,10 +20,21 @@ the same session (min over N_RUNS, bench's estimator) and reports
 ``ratio = scaled/base`` and ``per_replica = ratio/REPLICAS``: at-most-linear
 scaling means ratio <= REPLICAS (per_replica <= 1); sub-linear values mean
 fixed overhead still dominates. The bench's co-tenant sentinel runs
-alongside so an inflated ratio can be attributed to machine load.
+alongside so an inflated ratio can be attributed to machine load. Queries
+defined over a FIXED id subset (``text_sparse_cosine_pairs``: doc_id <
+1000; the retrieval-eval fixed query/pair sets) stay near-flat by
+construction — their work does not grow with the lake, so a ~1.0 ratio
+there is the expected reading, not missing coverage.
+
+By default the probe covers the bench's HEAVY/HEAVY_WIDE sets plus
+representative headline queries; ``SPARK_GRAFT_SCALE_ALL=1`` sweeps the
+ENTIRE registry instead (every registered plan timed base-vs-scaled, each
+query crash-isolated), turning the linearity claim from "the known-heavy
+plans" into "every plan we ship".
 
 Prints ONE JSON line (``{"metric": "scale_probe", ...}``); wired into
-``verify_round.py`` as the ``scale_probe`` surface.
+``verify_round.py`` as the ``scale_probe`` / ``scale_probe_x100`` /
+``scale_probe_all`` surfaces.
 """
 
 from __future__ import annotations
@@ -40,7 +51,11 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
-N_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
+ALL_QUERIES = os.environ.get("SPARK_GRAFT_SCALE_ALL", "0") == "1"
+# Full-registry sweeps take ~2 base + ~2 scaled registry passes; two runs
+# keep the wall clock near an hour while still absorbing first-run codegen
+# warm-up in the min. The curated heavy set affords a third sample.
+N_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2" if ALL_QUERIES else "3"))
 
 # Linearity gate: flag a query as superlinear only when BOTH hold. The
 # tolerance absorbs run-to-run noise on an idle box (bench dispersion shows
@@ -73,9 +88,16 @@ _WIDE_FILES = {"documents", "embeddings", "events"}
 
 def probe_names() -> list[str]:
     """HEAVY + HEAVY_WIDE + representative headline queries, minus plans
-    that ignore sf_dir (multimodal payloads are deterministic in-plan)."""
+    that ignore sf_dir (multimodal payloads are deterministic in-plan).
+    With SPARK_GRAFT_SCALE_ALL=1: every registered query (sf_dir-ignoring
+    plans stay in — they pass trivially at ratio ~1 and cost their base
+    time, which keeps the claim simple: ALL of them)."""
     import bench
 
+    if ALL_QUERIES:
+        from feature_datalake_sl_mandic_spark import registry
+
+        return sorted(registry.load_all())
     names = list(bench.HEAVY) + list(bench.HEAVY_WIDE) + [
         "q1_pricing_summary",
         "q3_shipping_priority",
@@ -85,6 +107,35 @@ def probe_names() -> list[str]:
         "dedup_exact_documents",
     ]
     return [n for n in names if n != "multimodal_phash_banded_pairs"]
+
+
+def _time_queries(spark, specs, names, sf_dir, n_runs):
+    """Min-of-n wall clock per query (bench's estimator), with each query
+    crash-isolated: a failure on the inflated lake (an id-density or
+    capacity assumption the base fixtures never stress) is recorded per
+    query instead of aborting the sweep. Returns (times, errors,
+    sentinel_runs)."""
+    import bench
+    from feature_datalake_sl_mandic_spark.session import release_cached
+
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    errors: dict[str, str] = {}
+    sentinel_runs: list[float] = []
+    for _run in range(n_runs):
+        for n in names:
+            if n in errors:
+                continue
+            t0 = time.perf_counter()
+            try:
+                specs[n].fn(spark, sf_dir).count()  # force full execution
+            except Exception as e:  # noqa: BLE001
+                errors[n] = f"{type(e).__name__}: {e}"[:300]
+                continue
+            samples[n].append(round(time.perf_counter() - t0, 4))
+        sentinel_runs.append(bench._sentinel_once(spark))
+        release_cached(spark)
+    times = {n: min(ts) for n, ts in samples.items() if ts}
+    return times, errors, sentinel_runs
 
 
 def prepare_scaled_dir(spark, sf_dir: str, replicas: int) -> str:
@@ -159,12 +210,16 @@ def main() -> int:
 
     specs = registry.load_all()
     names = probe_names()
-    base, _rows, _s, sent_base = bench._run_queries(spark, specs, names, base_dir, N_RUNS)
-    scaled, _rows2, _s2, sent_scaled = bench._run_queries(
+    base, base_errs, sent_base = _time_queries(spark, specs, names, base_dir, N_RUNS)
+    scaled, scaled_errs, sent_scaled = _time_queries(
         spark, specs, names, scaled_dir, N_RUNS
     )
+    errors = {n: f"base: {m}" for n, m in base_errs.items()}
+    errors.update({n: f"scaled: {m}" for n, m in scaled_errs.items()})
     queries = {}
     for n in names:
+        if n not in base or n not in scaled:
+            continue
         ratio = round(scaled[n] / max(base[n], 1e-9), 2)
         queries[n] = {
             "base_sec": base[n],
@@ -178,8 +233,10 @@ def main() -> int:
         "replicas": REPLICAS,
         "sf": sf_dir,
         "n_runs": N_RUNS,
+        "all_queries": ALL_QUERIES,
         "prep_sec": prep_sec,
         "queries": queries,
+        "errors": errors,
         "max_per_replica": worst["per_replica"],
         "superlinear": sorted(
             n

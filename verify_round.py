@@ -19,6 +19,9 @@ evidence beyond prose. This runner executes all six surfaces —
   8. scale_probe_x100 — the same probe at 100x (sf10-equivalent, ~1M docs /
                      ~60M lineitem rows): the decade where data volume, not
                      fixed overhead, dominates the heavy plans
+  9. scale_probe_all — the 10x probe over the ENTIRE registry, each query
+                     crash-isolated: "no registered plan is superlinear,
+                     none crashes on an inflated lake"
 
 — and writes pass counts, timestamps, and wall-clock per surface to
 ``VERIFY_r{N}.json``. Usage::
@@ -61,6 +64,7 @@ SURFACES: dict[str, list[str]] = {
     "bench": [sys.executable, "bench.py"],
     "scale_probe": [sys.executable, "scale_probe.py"],
     "scale_probe_x100": [sys.executable, "scale_probe.py"],
+    "scale_probe_all": [sys.executable, "scale_probe.py"],
 }
 
 # Surface-specific environment additions.
@@ -68,6 +72,7 @@ ENV_EXTRA = {
     "degen_oracle": {"SPARK_GRAFT_DEGEN_ORACLE": "1"},
     "oracle_parity_sf01": {"SPARK_GRAFT_ORACLE_SF": "/root/testdata/sf0.1"},
     "scale_probe_x100": {"SPARK_GRAFT_SCALE_REPLICAS": "100"},
+    "scale_probe_all": {"SPARK_GRAFT_SCALE_ALL": "1"},
 }
 
 # What "pass" looks like per surface, extracted from the output tail.
@@ -82,6 +87,7 @@ _SUMMARY_RES = {
     "bench": re.compile(r'"metric"\s*:\s*"'),
     "scale_probe": re.compile(r'"metric"\s*:\s*"scale_probe"'),
     "scale_probe_x100": re.compile(r'"metric"\s*:\s*"scale_probe"'),
+    "scale_probe_all": re.compile(r'"metric"\s*:\s*"scale_probe"'),
 }
 
 
@@ -151,11 +157,22 @@ def run_surface(name: str) -> dict:
         if line:
             parsed = json.loads(line)
             rec["replicas"] = parsed["replicas"]
+            rec["n_queries"] = len(parsed["queries"])
             rec["max_per_replica"] = parsed["max_per_replica"]
             rec["superlinear"] = parsed["superlinear"]
-            rec["queries"] = parsed["queries"]
+            rec["errors"] = parsed.get("errors", {})
+            # full-registry mode: keep the record readable — persist only
+            # the slowest-growing plans, the full map lives in the run log
+            rec["queries"] = dict(
+                sorted(
+                    parsed["queries"].items(),
+                    key=lambda kv: -kv[1]["per_replica"],
+                )[:20]
+            )
             rec["sentinel"] = parsed["sentinel"]
-            rec["ok"] = rec["ok"] and not parsed["superlinear"]
+            rec["ok"] = (
+                rec["ok"] and not parsed["superlinear"] and not rec["errors"]
+            )
         else:
             rec["ok"] = False
     if not rec["ok"]:
