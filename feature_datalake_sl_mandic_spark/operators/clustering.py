@@ -300,7 +300,14 @@ def semdedup_cluster_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     each cluster's pair join is an equi-join Catalyst hash-partitions by
     cluster id. The assignment relation is localCheckpoint'd once and reused
     for both sides of the self-join — without it each side replays the whole
-    Lloyd chain (broadcast-assign, centroid update, reassign) from parquet."""
+    Lloyd chain (broadcast-assign, centroid update, reassign) from parquet.
+
+    The O(|c|^2) argument requires k to GROW with the corpus (the paper's
+    setting: k ~ n / target cluster size, so |c| stays bounded); k is
+    pinned here so the oracle's Lloyd trajectory is deterministic, which
+    means replica inflation grows |c| linearly and the pair work
+    quadratically by construction — measured and allowlisted in
+    scale_probe.py (SCALE_ALLOW), not a plan defect."""
     from feature_datalake_sl_mandic_spark.operators.similarity import _dot as dot
 
     # clustering keeps the zero vector (distance is defined for it); the

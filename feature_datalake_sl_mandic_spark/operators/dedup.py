@@ -600,7 +600,15 @@ _DUCK_COS = (
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via blocked pair join (block key = label; at scale,
     an LSH bucket — see ann_lsh_bucketed): cosine in pure JVM higher-order
-    functions over double-cast arrays, no UDF."""
+    functions over double-cast arrays, no UDF.
+
+    Scale boundary (measured by scale_probe.py, SCALE_ALLOW entry): the
+    oracle DEFINES the candidate set as all pairs per label, and label
+    cardinality is fixed — so corpus growth makes the defined pair set
+    quadratic in per-label occupancy, for any engine. This query is the
+    exact, oracle-checkable form; the corpus-scale candidate generators are
+    ann_lsh_bucketed, dedup_minhash_lsh, and semdedup with corpus-scaled k,
+    whose blocking-key counts grow with the data."""
     from feature_datalake_sl_mandic_spark.operators.similarity import (
         _dot as dot,
         _finite_pred,
@@ -662,7 +670,15 @@ def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     levenshtein only runs on 60-char prefixes of those candidates. Blocking
     keys shuffle-partition the pair generation, so the quadratic term is per
     bucket, not per corpus; the distance itself is the built-in JVM
-    ``levenshtein`` (no Python)."""
+    ``levenshtein`` (no Python).
+
+    Scale boundary (scale_probe.py SCALE_ALLOW): (lang, len_bucket) has
+    fixed cardinality, so the DEFINED candidate set grows quadratically in
+    block occupancy as the corpus grows — a semantics property shared by
+    any engine running this oracle. Content-derived blocking (PassJoin-style
+    prefix segments, or the registered dedup_minhash_lsh /
+    dedup_ngram_jaccard candidates) is the corpus-scale form: its key count
+    grows with the data, keeping occupancy bounded."""
     (dc,) = _t(spark, sf_dir, "documents")
     d = dc.select(
         "doc_id",

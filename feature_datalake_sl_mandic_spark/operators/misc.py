@@ -687,7 +687,19 @@ def recursive_cte_customer_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     (iterative union with a fixpoint) is the declarative twin of the manual
     loops in ``dedup_cluster_components``/``graph_pagerank_cosupply``; depth
     is bounded by log10(maxkey), so state stays small at any scale.
+
+    Total recursion output is |customer| x (log10(maxkey) + 1) — LINEAR in
+    the input — but Spark guards every recursive CTE with a fixed
+    ``spark.sql.cteRecursionRowLimit`` (default 1e6) that a 10x-inflated
+    lake legitimately exceeds (found by the scale probe: 1.5M customers x
+    ~11 levels under 2^33-shifted keys). The limit is a runaway-recursion
+    safety net, not a capacity bound, so size it to the known-linear bound
+    rather than letting the default fail correct queries at scale.
     """
+    try:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
+    except Exception:
+        pass  # pre-recursion builds: the query below won't parse anyway
     (cu,) = _t(spark, sf_dir, "customer")
     cu.select("c_custkey").createOrReplaceTempView("rcte_customer")
     return spark.sql(

@@ -66,6 +66,36 @@ N_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2" if ALL_QUERIES else "3
 # plan's asymptotics.
 SUPERLINEAR_TOL = 1.15
 MIN_SCALED_SEC = 1.0
+
+# Superlinear ALLOW list (the plans/probe.py pattern: every entry carries
+# the argument for why the flag is the SEMANTICS, not a plan defect). These
+# queries' oracles DEFINE the work as all pairs within a blocking key of
+# FIXED cardinality, so replica inflation grows block occupancy linearly
+# and the defined pair set quadratically — ANY engine computing these
+# semantics does Theta(sum |block|^2) work; the Spark plan is still the
+# minimal one shuffle on the block key. A flagged query with no entry here
+# fails the sweep; an entry names the registered scale path whose candidate
+# generation keeps bucket occupancy controlled as the corpus grows.
+SCALE_ALLOW: dict[str, str] = {
+    "dedup_embedding_cosine": (
+        "oracle joins all pairs per LABEL (fixed fixture cardinality); the "
+        "pair set itself is quadratic in per-label occupancy. Scale path: "
+        "ann_lsh_bucketed / semdedup with corpus-scaled k / dedup_minhash_lsh."
+    ),
+    "dedup_levenshtein_blocked": (
+        "oracle joins all pairs per (lang, len_bucket) block — fixed "
+        "cardinality, so the DEFINED candidate set is quadratic in block "
+        "occupancy. Scale path: dedup_minhash_lsh / dedup_ngram_jaccard "
+        "(content-derived blocking keys whose count grows with the corpus)."
+    ),
+    "semdedup_cluster_cosine": (
+        "within-cluster exact cosine with k PINNED for oracle determinism; "
+        "the paper's production setting scales k with n (k ~ n/target "
+        "cluster size), keeping |cluster| bounded and the pair work linear "
+        "— at pinned k, inflation grows |cluster| linearly and pairs "
+        "quadratically by construction."
+    ),
+}
 STRIDE = 1 << 33  # far above any fixture key; products/joins stay exact BIGINT
 
 # Keys shifted per replica so each replica is a disjoint, FK-consistent
@@ -241,8 +271,17 @@ def main() -> int:
         "superlinear": sorted(
             n
             for n, q in queries.items()
-            if q["per_replica"] > SUPERLINEAR_TOL and q["scaled_sec"] >= MIN_SCALED_SEC
+            if q["per_replica"] > SUPERLINEAR_TOL
+            and q["scaled_sec"] >= MIN_SCALED_SEC
+            and n not in SCALE_ALLOW
         ),
+        "allowed_superlinear": {
+            n: SCALE_ALLOW[n]
+            for n, q in sorted(queries.items())
+            if q["per_replica"] > SUPERLINEAR_TOL
+            and q["scaled_sec"] >= MIN_SCALED_SEC
+            and n in SCALE_ALLOW
+        },
         "sentinel": {
             "base_min": min(sent_base),
             "scaled_min": min(sent_scaled),

@@ -160,6 +160,7 @@ def run_surface(name: str) -> dict:
             rec["n_queries"] = len(parsed["queries"])
             rec["max_per_replica"] = parsed["max_per_replica"]
             rec["superlinear"] = parsed["superlinear"]
+            rec["allowed_superlinear"] = parsed.get("allowed_superlinear", {})
             rec["errors"] = parsed.get("errors", {})
             # full-registry mode: keep the record readable — persist only
             # the slowest-growing plans, the full map lives in the run log
