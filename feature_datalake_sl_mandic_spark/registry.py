@@ -230,6 +230,11 @@ _PRIORITY: list[str] = [
     #     identical under the shared oracle, caught by the new
     #     BatchEvalPython probe rule)
     "corpus_chunk_udtf",
+    # --- execution changed this round (cteRecursionRowLimit sized to the
+    #     query's known-linear bound after the 10x full-registry scale
+    #     sweep tripped the 1e6 default; values identical on the fixture,
+    #     sf0.01 parity re-verified post-change)
+    "recursive_cte_customer_chain",
     # --- round-6 rotation debt (changed in r6 after last driver-green)
     "q17_small_quantity_revenue",
     "q21_sole_late_supplier",
