@@ -137,8 +137,19 @@ def _clean_event_values(df: DataFrame) -> DataFrame:
     return df.withColumn("value", cleaned)
 
 
+_CONFS_APPLIED: set = set()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (_session_key(spark), sf_dir, name)
+    # every query loads through here, so this is the one place that can
+    # guarantee RUNTIME_CONFS on an externally-created (bare driver)
+    # session too — load_tables() alone only covers callers of the plural
+    # form. Once per session: the confs are idempotent but py4j isn't free.
+    skey = _session_key(spark)
+    if skey not in _CONFS_APPLIED:
+        apply_runtime_confs(spark)
+        _CONFS_APPLIED.add(skey)
+    key = (skey, sf_dir, name)
     df = _DF_CACHE.get(key)
     if df is None:
         path = os.path.join(sf_dir, f"{name}.parquet")

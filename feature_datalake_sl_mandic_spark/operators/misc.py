@@ -693,13 +693,11 @@ def recursive_cte_customer_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``spark.sql.cteRecursionRowLimit`` (default 1e6) that a 10x-inflated
     lake legitimately exceeds (found by the scale probe: 1.5M customers x
     ~11 levels under 2^33-shifted keys). The limit is a runaway-recursion
-    safety net, not a capacity bound, so size it to the known-linear bound
-    rather than letting the default fail correct queries at scale.
+    safety net, not a capacity bound; it is sized to the engine's
+    known-linear recursion bound in ``session.RUNTIME_CONFS`` (the session
+    -level home for runtime confs, applied defensively to external
+    sessions by the catalog) rather than mutated per query.
     """
-    try:
-        spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
-    except Exception:
-        pass  # pre-recursion builds: the query below won't parse anyway
     (cu,) = _t(spark, sf_dir, "customer")
     cu.select("c_custkey").createOrReplaceTempView("rcte_customer")
     return spark.sql(

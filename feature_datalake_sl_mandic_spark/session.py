@@ -28,6 +28,13 @@ RUNTIME_CONFS: dict[str, str] = {
     # 64m is safe with 100 TB fact tables because the threshold gates the
     # *small* side only.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Every recursive CTE in the engine is bounded-depth by construction
+    # (recursive_cte_customer_chain: |customer| x log10(maxkey) rows), but
+    # Spark's default runaway-recursion guardrail (1e6 rows) fails that
+    # LINEAR output on a 10x-inflated lake (found by scale_probe.py).
+    # Size the safety net to the linear bound's headroom instead of
+    # letting the default fail correct queries at scale.
+    "spark.sql.cteRecursionRowLimit": str(200_000_000),
 }
 
 

@@ -169,7 +169,17 @@ def _time_queries(spark, specs, names, sf_dir, n_runs):
 
 
 def prepare_scaled_dir(spark, sf_dir: str, replicas: int) -> str:
-    """Materialize (once, manifest-cached) the replicas-fold lake."""
+    """Materialize (once, manifest-cached) the replicas-fold lake.
+
+    ``replicas=1`` builds the probe's BASE lake: identical rows to the
+    source, written under the SAME file-count policy as the scaled lake so
+    the two timed runs see identical scan-stage parallelism — if the base
+    came from bench's layout (8 files on wide tables) while the scaled lake
+    had 32, a scan-bound plan's ratio would be deflated up to 4x by the
+    parallelism difference alone, and the superlinearity gate would measure
+    the layout, not the plan. The cache manifest includes every
+    generation-affecting parameter, so editing the shift/tagging/layout
+    logic invalidates stale lakes instead of silently reusing them."""
     from pyspark.sql import functions as F
 
     from feature_datalake_sl_mandic_spark import catalog
@@ -183,7 +193,18 @@ def prepare_scaled_dir(spark, sf_dir: str, replicas: int) -> str:
         REPO, ".bench_data", f"{os.path.basename(sf_dir.rstrip('/'))}x{replicas}"
     )
     marker = os.path.join(target, ".ready.json")
-    want = {"src": sf_dir, "replicas": replicas, "sizes": src_manifest}
+    want = {
+        "src": sf_dir,
+        "replicas": replicas,
+        "sizes": src_manifest,
+        "gen": {
+            "stride": STRIDE,
+            "shift_cols": _SHIFT_COLS,
+            "wide_files": sorted(_WIDE_FILES),
+            "tag": "r{r}w-token-prefix+n_chars",
+            "files": "32/8/1",
+        },
+    }
     try:
         with open(marker) as f:
             if json.load(f) == want:
@@ -234,7 +255,7 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("scale-probe")
     t0 = time.perf_counter()
-    base_dir = bench.prepare_bench_dir(spark, sf_dir)
+    base_dir = prepare_scaled_dir(spark, sf_dir, 1)  # same layout policy
     scaled_dir = prepare_scaled_dir(spark, sf_dir, REPLICAS)
     prep_sec = round(time.perf_counter() - t0, 1)
 
@@ -257,7 +278,11 @@ def main() -> int:
             "ratio": ratio,
             "per_replica": round(ratio / REPLICAS, 3),
         }
-    worst = max(queries.values(), key=lambda q: q["per_replica"])
+    worst = (
+        max(queries.values(), key=lambda q: q["per_replica"])
+        if queries
+        else {"per_replica": None}
+    )
     out = {
         "metric": "scale_probe",
         "replicas": REPLICAS,
@@ -282,6 +307,19 @@ def main() -> int:
             and q["scaled_sec"] >= MIN_SCALED_SEC
             and n in SCALE_ALLOW
         },
+        # plans/probe.py discipline: an ALLOW entry whose (measured) query
+        # no longer flags is stale — the quadratic semantics were rewritten
+        # or renamed, and a rotting entry would suppress a future genuine
+        # flag. Judged only when the query was measured AND its scaled run
+        # is above the gate floor (a sub-second scaled run can't distinguish
+        # quadratic from overhead, so it can't prove an entry stale either).
+        "stale_scale_allow": sorted(
+            n
+            for n in SCALE_ALLOW
+            if n in queries
+            and queries[n]["scaled_sec"] >= MIN_SCALED_SEC
+            and queries[n]["per_replica"] <= SUPERLINEAR_TOL
+        ),
         "sentinel": {
             "base_min": min(sent_base),
             "scaled_min": min(sent_scaled),
@@ -289,7 +327,10 @@ def main() -> int:
         },
     }
     print(json.dumps(out))
-    return 0
+    # the exit code IS the gate (SKILL.md: the surface "fails on superlinear
+    # growth") — standalone runs must not exit green past a regression
+    bad = out["superlinear"] or errors or out["stale_scale_allow"]
+    return 1 if bad else 0
 
 
 if __name__ == "__main__":

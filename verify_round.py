@@ -2,7 +2,9 @@
 
 Round-6 verdict ask #3: the gated heavy suites (degenerate-lake oracle
 comparison, plan anti-pattern sweep) ran every round but left no committed
-evidence beyond prose. This runner executes all six surfaces —
+evidence beyond prose. This runner executes every surface in SURFACES
+(that dict is the authoritative list — the enumeration below describes
+each one, nine as of round 7):
 
   1. pytest        — full test suite (includes sf0.001 oracle parity)
   2. oracle_parity — the sf0.01 DuckDB differential over the FULL registry
@@ -91,17 +93,40 @@ _SUMMARY_RES = {
 }
 
 
+# Per-surface wall-clock caps. The scale sweeps legitimately approach the
+# old one-hour default on a loaded box (full-registry 10x: ~27 min idle;
+# 100x pays lake prep); give them headroom so a slow machine degrades to a
+# recorded-slow run, not a dropped record.
+TIMEOUT_SEC = {"scale_probe_all": 7200, "scale_probe_x100": 7200}
+
+
 def run_surface(name: str) -> dict:
     env = dict(os.environ, **ENV_EXTRA.get(name, {}))
     started = datetime.datetime.now(datetime.timezone.utc)
-    proc = subprocess.run(
-        SURFACES[name],
-        cwd=REPO,
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=3600,
-    )
+    try:
+        proc = subprocess.run(
+            SURFACES[name],
+            cwd=REPO,
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=TIMEOUT_SEC.get(name, 3600),
+        )
+    except subprocess.TimeoutExpired as e:
+        # a timed-out surface must record ok=false with its output tail,
+        # not take down the record of the surfaces after it
+        ended = datetime.datetime.now(datetime.timezone.utc)
+        tail = ((e.stdout or b"") + (e.stderr or b""))
+        if isinstance(tail, bytes):
+            tail = tail.decode(errors="replace")
+        return {
+            "ok": False,
+            "returncode": None,
+            "timed_out_after_sec": TIMEOUT_SEC.get(name, 3600),
+            "started_utc": started.isoformat(timespec="seconds"),
+            "wall_clock_sec": round((ended - started).total_seconds(), 1),
+            "tail": tail[-2000:],
+        }
     ended = datetime.datetime.now(datetime.timezone.utc)
     out = proc.stdout + proc.stderr
     m = _SUMMARY_RES[name].search(out)
@@ -161,6 +186,7 @@ def run_surface(name: str) -> dict:
             rec["max_per_replica"] = parsed["max_per_replica"]
             rec["superlinear"] = parsed["superlinear"]
             rec["allowed_superlinear"] = parsed.get("allowed_superlinear", {})
+            rec["stale_scale_allow"] = parsed.get("stale_scale_allow", [])
             rec["errors"] = parsed.get("errors", {})
             # full-registry mode: keep the record readable — persist only
             # the slowest-growing plans, the full map lives in the run log
@@ -172,7 +198,10 @@ def run_surface(name: str) -> dict:
             )
             rec["sentinel"] = parsed["sentinel"]
             rec["ok"] = (
-                rec["ok"] and not parsed["superlinear"] and not rec["errors"]
+                rec["ok"]
+                and not parsed["superlinear"]
+                and not rec["errors"]
+                and not rec["stale_scale_allow"]
             )
         else:
             rec["ok"] = False
