@@ -235,6 +235,13 @@ _PRIORITY: list[str] = [
     #     sweep tripped the 1e6 default; values identical on the fixture,
     #     sf0.01 parity re-verified post-change)
     "recursive_cte_customer_chain",
+    # --- plan changed this round (brand joined the ER block key — pure
+    #     candidate pruning, output-equivalence pinned by the module
+    #     assert; found by the 10x full-registry scale sweep). Takes the
+    #     slot of eval_retrieval_metrics (shared-relation pin, value path
+    #     untouched, twice-sweep-verified this round), which rotates to
+    #     the round-8 window head.
+    "er_parts_scored_matches",
     # --- round-6 rotation debt (changed in r6 after last driver-green)
     "q17_small_quantity_revenue",
     "q21_sole_late_supplier",
@@ -282,8 +289,13 @@ _PRIORITY: list[str] = [
     "ann_pq_lloyd_refined",
     "mine_hard_negatives",
     "dedup_embedding_cosine",
-    "text_hybrid_rrf_search",
-    "eval_retrieval_metrics",
+    "text_hybrid_rrf_search",  # window position 51: rotates to round 8
+    # (eval_retrieval_metrics rotated to the round-8 window head for
+    # er_parts_scored_matches above; text_hybrid_rrf_search — the other
+    # oracle-text-only precision entry at the tail — now sits just past
+    # the 50-name window for the same reason (plan/execution changes
+    # outrank value-neutral oracle-text fixes that two full sf0.01 sweeps
+    # already re-verified post-change).)
     # (eval_matryoshka_recall — the 15th oracle-text-only precision entry —
     # rotates to the round-8 window head to make room for the
     # corpus_chunk_udtf plan change above: plan changes outrank
