@@ -289,13 +289,12 @@ _PRIORITY: list[str] = [
     "ann_pq_lloyd_refined",
     "mine_hard_negatives",
     "dedup_embedding_cosine",
-    "text_hybrid_rrf_search",  # window position 51: rotates to round 8
-    # (eval_retrieval_metrics rotated to the round-8 window head for
-    # er_parts_scored_matches above; text_hybrid_rrf_search — the other
-    # oracle-text-only precision entry at the tail — now sits just past
-    # the 50-name window for the same reason (plan/execution changes
-    # outrank value-neutral oracle-text fixes that two full sf0.01 sweeps
-    # already re-verified post-change).)
+    # (eval_retrieval_metrics and text_hybrid_rrf_search — the two
+    # oracle-text-only precision entries at the tail — rotated to the
+    # round-8 window head to make room for recursive_cte_customer_chain
+    # and er_parts_scored_matches above: plan/execution changes outrank
+    # value-neutral oracle-text fixes that two full sf0.01 sweeps already
+    # re-verified post-change.)
     # (eval_matryoshka_recall — the 15th oracle-text-only precision entry —
     # rotates to the round-8 window head to make room for the
     # corpus_chunk_udtf plan change above: plan changes outrank
