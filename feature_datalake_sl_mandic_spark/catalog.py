@@ -137,19 +137,30 @@ def _clean_event_values(df: DataFrame) -> DataFrame:
     return df.withColumn("value", cleaned)
 
 
-_CONFS_APPLIED: set = set()
+_CONFS_MARKER = "spark.feature_datalake.runtimeConfsApplied"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # every query loads through here, so this is the one place that can
     # guarantee RUNTIME_CONFS on an externally-created (bare driver)
     # session too — load_tables() alone only covers callers of the plural
-    # form. Once per session: the confs are idempotent but py4j isn't free.
-    skey = _session_key(spark)
-    if skey not in _CONFS_APPLIED:
+    # form. Once per session, tracked by a marker conf ON the session
+    # itself (one py4j read) rather than any Python-side key:
+    # RUNTIME_CONFS live in per-session SQLConf, and spark.newSession()
+    # siblings share one applicationId while each starting from default
+    # confs — an appId key would silently skip every sibling, and a
+    # wrapper-id key can false-hit after id reuse.
+    try:
+        applied = spark.conf.get(_CONFS_MARKER, "0") == "1"
+    except Exception:
+        applied = False
+    if not applied:
         apply_runtime_confs(spark)
-        _CONFS_APPLIED.add(skey)
-    key = (skey, sf_dir, name)
+        try:
+            spark.conf.set(_CONFS_MARKER, "1")
+        except Exception:
+            pass
+    key = (_session_key(spark), sf_dir, name)
     df = _DF_CACHE.get(key)
     if df is None:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -171,8 +182,9 @@ def load_tables(
 
     Registration gives the SQL surface (``spark.sql``) the same catalog the
     DataFrame surface sees — the engine's equivalent of the reference's
-    BigQuery dataset-of-tables."""
-    apply_runtime_confs(spark)
+    BigQuery dataset-of-tables. (RUNTIME_CONFS are applied by load_table
+    below, once per session — no unconditional re-apply here, so a caller
+    that deliberately overrides a conf between calls keeps its override.)"""
     out: dict[str, DataFrame] = {}
     for name in names or TABLE_NAMES:
         df = load_table(spark, sf_dir, name)

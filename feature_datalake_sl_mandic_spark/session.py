@@ -32,9 +32,11 @@ RUNTIME_CONFS: dict[str, str] = {
     # (recursive_cte_customer_chain: |customer| x log10(maxkey) rows), but
     # Spark's default runaway-recursion guardrail (1e6 rows) fails that
     # LINEAR output on a 10x-inflated lake (found by scale_probe.py).
-    # Size the safety net to the linear bound's headroom instead of
-    # letting the default fail correct queries at scale.
-    "spark.sql.cteRecursionRowLimit": str(200_000_000),
+    # Sized to the largest legitimate use with ~30x headroom (full-registry
+    # 10x sweep: 150k customers x ~11 levels ~ 1.7M rows) while keeping a
+    # real runaway net — 200M would let a buggy recursion balloon 200x
+    # further before failing, for no consumer that needs it.
+    "spark.sql.cteRecursionRowLimit": str(50_000_000),
 }
 
 

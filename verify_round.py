@@ -116,9 +116,11 @@ def run_surface(name: str) -> dict:
         # a timed-out surface must record ok=false with its output tail,
         # not take down the record of the surfaces after it
         ended = datetime.datetime.now(datetime.timezone.utc)
-        tail = ((e.stdout or b"") + (e.stderr or b""))
-        if isinstance(tail, bytes):
-            tail = tail.decode(errors="replace")
+
+        def _s(x):
+            return x.decode(errors="replace") if isinstance(x, bytes) else (x or "")
+
+        tail = _s(e.stdout) + _s(e.stderr)
         return {
             "ok": False,
             "returncode": None,
@@ -184,6 +186,7 @@ def run_surface(name: str) -> dict:
             rec["replicas"] = parsed["replicas"]
             rec["n_queries"] = len(parsed["queries"])
             rec["max_per_replica"] = parsed["max_per_replica"]
+            rec["max_allowed_per_replica"] = parsed.get("max_allowed_per_replica")
             rec["superlinear"] = parsed["superlinear"]
             rec["allowed_superlinear"] = parsed.get("allowed_superlinear", {})
             rec["stale_scale_allow"] = parsed.get("stale_scale_allow", [])
