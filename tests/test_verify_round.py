@@ -48,3 +48,46 @@ def test_scale_probe_summary_parses():
 def test_every_surface_has_command_env_and_regex():
     assert set(vr.SURFACES) == set(vr._SUMMARY_RES)
     assert set(vr.ENV_EXTRA) <= set(vr.SURFACES)
+
+
+def test_artifact_re_ignores_round_artifacts_only():
+    # artifacts the runner/driver write mid-run must not mark the tree dirty
+    for path in (
+        "VERIFY_r08.json",
+        "BENCH_r08.json",
+        "BENCH_DETAIL_r08.json",
+        "CORRECTNESS_r08.json",
+        "derby.log",
+        "spark-warehouse/t/part-0.parquet",
+        "feature_datalake_sl_mandic_spark/__pycache__/x.pyc",
+    ):
+        assert vr._ARTIFACT_RE.search(path), path
+    # source files MUST mark it dirty
+    for path in (
+        "feature_datalake_sl_mandic_spark/operators/joins.py",
+        "bench.py",
+        "tests/test_plans.py",
+        "COVERAGE.md",
+    ):
+        assert not vr._ARTIFACT_RE.search(path), path
+
+
+def test_git_state_reports_head_and_clean_flag():
+    head, dirty = vr._git_state()
+    assert len(head) == 40 and all(c in "0123456789abcdef" for c in head)
+    assert isinstance(dirty, bool)
+
+
+def test_check_final_flags_stale_and_failed_surfaces():
+    head, _ = vr._git_state()
+    record = {
+        "good": {"ok": True, "commit": head, "source_dirty": False},
+        "stale": {"ok": True, "commit": "0" * 40, "source_dirty": False},
+        "dirty": {"ok": True, "commit": head, "source_dirty": True},
+        "failed": {"ok": False, "commit": head, "source_dirty": False},
+        "legacy": {"ok": True},  # pre-r8 record without staleness fields
+    }
+    bad = vr.check_final(record)
+    names = {line.split(":")[0] for line in bad}
+    assert "good" not in names
+    assert {"stale", "dirty", "failed", "legacy"} <= names

@@ -33,6 +33,14 @@ each one, nine as of round 7):
 
 Each surface is a subprocess, so one crash cannot take down the record of
 the others; a failed surface records ok=false plus the tail of its output.
+
+Round-7 verdict ask #1 (staleness): each surface records the git commit the
+repo was at when the surface STARTED, plus a source-dirty flag (untracked /
+modified source files, excluding the per-round artifacts this runner itself
+writes). ``python verify_round.py N --final`` validates the finished record:
+every surface must be ok, carry ``commit`` equal to the repo HEAD at check
+time, and have been recorded over a clean tree — so "every surface describes
+the shipped code" is machine-checked, not hand-audited.
 """
 
 from __future__ import annotations
@@ -100,8 +108,55 @@ _SUMMARY_RES = {
 TIMEOUT_SEC = {"scale_probe_all": 7200, "scale_probe_x100": 7200}
 
 
+# Artifacts this runner (and the round driver) write during a run; their
+# presence/modification must not mark the source tree dirty, or every
+# surface after the first would self-report stale.
+_ARTIFACT_RE = re.compile(
+    r"(VERIFY_r\d+\.json|BENCH(_DETAIL)?_r\d+\.json|CORRECTNESS_r\d+\.json"
+    r"|derby\.log|spark-warehouse/|metastore_db/|__pycache__/|\.pyc$"
+    r"|\.pytest_cache/|\.hypothesis/)"
+)
+
+
+def _git_state() -> tuple[str, bool]:
+    """(HEAD commit, source-dirty flag) — dirty ignores round artifacts."""
+    head = subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=REPO, capture_output=True, text=True
+    ).stdout.strip()
+    porcelain = subprocess.run(
+        ["git", "status", "--porcelain"], cwd=REPO, capture_output=True, text=True
+    ).stdout.splitlines()
+    dirty = any(
+        ln.strip() and not _ARTIFACT_RE.search(ln[3:].strip())
+        for ln in porcelain
+    )
+    return head, dirty
+
+
+def check_final(record: dict) -> list[str]:
+    """Names of surfaces that do NOT describe the shipped code (or failed).
+
+    A surface is stale when its recorded commit differs from the repo HEAD
+    at check time, when it was recorded over a dirty source tree, or when it
+    predates the staleness fields entirely (no commit recorded).
+    """
+    head, dirty = _git_state()
+    bad = []
+    for name, rec in record.items():
+        if not rec.get("ok"):
+            bad.append(f"{name}: ok=false")
+        elif rec.get("commit") != head:
+            bad.append(f"{name}: commit {str(rec.get('commit'))[:12]} != HEAD {head[:12]}")
+        elif rec.get("source_dirty"):
+            bad.append(f"{name}: recorded over a dirty source tree")
+    if dirty:
+        bad.append("(repo): source tree is dirty at check time")
+    return bad
+
+
 def run_surface(name: str) -> dict:
     env = dict(os.environ, **ENV_EXTRA.get(name, {}))
+    commit, dirty = _git_state()
     started = datetime.datetime.now(datetime.timezone.utc)
     try:
         proc = subprocess.run(
@@ -125,6 +180,8 @@ def run_surface(name: str) -> dict:
             "ok": False,
             "returncode": None,
             "timed_out_after_sec": TIMEOUT_SEC.get(name, 3600),
+            "commit": commit,
+            "source_dirty": dirty,
             "started_utc": started.isoformat(timespec="seconds"),
             "wall_clock_sec": round((ended - started).total_seconds(), 1),
             "tail": tail[-2000:],
@@ -135,6 +192,8 @@ def run_surface(name: str) -> dict:
     rec: dict = {
         "ok": proc.returncode == 0 and m is not None,
         "returncode": proc.returncode,
+        "commit": commit,
+        "source_dirty": dirty,
         "started_utc": started.isoformat(timespec="seconds"),
         "wall_clock_sec": round((ended - started).total_seconds(), 1),
     }
@@ -222,6 +281,16 @@ def main() -> int:
             record = json.load(f)
     except (FileNotFoundError, json.JSONDecodeError):
         record = {}
+    if only == ["--final"]:
+        missing = [n for n in SURFACES if n not in record]
+        stale = check_final(record) + [f"{n}: never recorded" for n in missing]
+        if stale:
+            print(f"[verify] FINAL CHECK FAILED for {path}:")
+            for line in stale:
+                print(f"  - {line}")
+            return 1
+        print(f"[verify] final check OK: all {len(record)} surfaces green at HEAD over a clean tree")
+        return 0
     for name in only:
         print(f"[verify] running {name} ...", flush=True)
         record[name] = run_surface(name)
