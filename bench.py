@@ -281,6 +281,7 @@ def main() -> None:
         subtotals["headline_12"] * norm, 4
     )
     subtotals["heavy_llm_sentinel_norm"] = round(subtotals["heavy_llm"] * norm, 4)
+    subtotals["heavy_wide_sentinel_norm"] = round(subtotals["heavy_wide"] * norm, 4)
     sentinel = {
         "runs": sentinel_runs,
         "min": sent_min,

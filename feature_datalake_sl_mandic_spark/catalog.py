@@ -12,6 +12,7 @@ microsecond TIMESTAMP (identical to DuckDB's CAST(ts_ns AS TIMESTAMP)).
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -139,27 +140,42 @@ def _clean_event_values(df: DataFrame) -> DataFrame:
 
 _CONFS_MARKER = "spark.feature_datalake.runtimeConfsApplied"
 
+# Fallback once-per-wrapper memo for sessions whose conf surface REJECTS
+# reads (the except branch below). Without it, a conf-get that keeps
+# raising would re-apply RUNTIME_CONFS on every load_table call, silently
+# clobbering deliberate caller overrides — the exact guarantee the marker
+# conf exists to provide. WeakSet: holds no session alive, and a reused
+# id() after GC cannot false-hit because membership is by live reference.
+_CONFS_APPLIED_FALLBACK: "weakref.WeakSet" = weakref.WeakSet()
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # every query loads through here, so this is the one place that can
     # guarantee RUNTIME_CONFS on an externally-created (bare driver)
     # session too — load_tables() alone only covers callers of the plural
-    # form. Once per session, tracked by a marker conf ON the session
-    # itself (one py4j read) rather than any Python-side key:
+    # form. NOTE: this means load_table applies session-level runtime confs
+    # as a side effect, once per session. Tracked by a marker conf ON the
+    # session itself (one py4j read) rather than any Python-side key:
     # RUNTIME_CONFS live in per-session SQLConf, and spark.newSession()
     # siblings share one applicationId while each starting from default
     # confs — an appId key would silently skip every sibling, and a
-    # wrapper-id key can false-hit after id reuse.
+    # wrapper-id key can false-hit after id reuse. If the conf surface
+    # itself raises, fall back to a per-wrapper WeakSet so the apply still
+    # happens at most once per session wrapper.
     try:
         applied = spark.conf.get(_CONFS_MARKER, "0") == "1"
     except Exception:
-        applied = False
+        applied = spark in _CONFS_APPLIED_FALLBACK
     if not applied:
         apply_runtime_confs(spark)
         try:
             spark.conf.set(_CONFS_MARKER, "1")
         except Exception:
             pass
+        try:
+            _CONFS_APPLIED_FALLBACK.add(spark)
+        except TypeError:
+            pass  # un-weakref-able wrapper: degrade to the pre-memo behavior
     key = (_session_key(spark), sf_dir, name)
     df = _DF_CACHE.get(key)
     if df is None:

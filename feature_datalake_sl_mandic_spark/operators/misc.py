@@ -691,8 +691,8 @@ def recursive_cte_customer_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     Total recursion output is |customer| x (log10(maxkey) + 1) — LINEAR in
     the input — but Spark guards every recursive CTE with a fixed
     ``spark.sql.cteRecursionRowLimit`` (default 1e6) that a 10x-inflated
-    lake legitimately exceeds (found by the scale probe: 1.5M customers x
-    ~11 levels under 2^33-shifted keys). The limit is a runaway-recursion
+    lake legitimately exceeds (found by the scale probe: 150k customers x
+    ~11 levels ~ 1.7M rows under 2^33-shifted keys). The limit is a runaway-recursion
     safety net, not a capacity bound; it is sized to the engine's
     known-linear recursion bound in ``session.RUNTIME_CONFS`` (the session
     -level home for runtime confs, applied defensively to external
