@@ -18,6 +18,97 @@ import pandas as pd
 from feature_datalake_sl_mandic_spark.catalog import TABLE_NAMES
 
 
+# --- REAL-precision fold guard (round-7 verdict ask #7) -------------------
+#
+# Bug class (found round 6, fixed at every then-existing site): DuckDB's
+# `embedding` views are REAL[] (float32). An oracle that multiplies two
+# un-cast list elements — `x -> x * x`, or `(x * x)::DOUBLE` with the cast
+# OUTSIDE the product — squares in REAL precision first, so subnormal
+# entries (|x| < ~4e-23) underflow to exactly 0.0 while Spark's
+# array<double> path keeps them nonzero, and the engines silently disagree
+# on e.g. nonzero-vector exclusion sets. The correct spelling casts each
+# operand BEFORE multiplying: `x -> x::DOUBLE * x::DOUBLE`. These regexes
+# make the class mechanically un-reintroducible: tests fail on any
+# registered oracle whose text (when it touches an embedding column)
+# contains an un-cast lambda product or a cast-after-product.
+import re as _re
+
+# `( x * x )::DOUBLE` — cast applied after the REAL-precision product. This
+# spelling is banned uniformly in embedding-touching texts (even where the
+# operands happen to be DOUBLE) so reviews never reason about promotion
+# order; zero legitimate instances exist in the registry.
+_CAST_AFTER_PRODUCT = _re.compile(
+    r"\(\s*\w+\s*\*\s*[\w.:]+\s*\)\s*::\s*DOUBLE", _re.IGNORECASE
+)
+# An operand participating in `*` without its own element cast: identifier
+# directly left of `*` not reached through `::`, or identifier directly
+# right of `*` not followed by `::`.
+_UNCAST_OPERAND = _re.compile(r"(?<!:)\b\w+\s*\*|\*\s*\w+\b(?!\s*::)")
+_EMBEDDING_WORD = _re.compile(r"\bembedding\b")
+
+
+def _lambda_regions(sql: str):
+    """Yield (list_args_text, body_text) for every `->` lambda in sql.
+
+    list_args_text = everything inside the enclosing function call that
+    precedes the lambda (the list argument(s) the lambda folds over);
+    body_text = the lambda body up to the call's top-level `,` or `)`.
+    Paren-aware so nested calls like list_sum(list_transform(...)) resolve
+    to the INNER call's argument.
+    """
+    for m in _re.finditer(r"->", sql):
+        depth = 0
+        start = None
+        for i in range(m.start() - 1, -1, -1):
+            c = sql[i]
+            if c == ")":
+                depth += 1
+            elif c == "(":
+                depth -= 1
+                if depth < 0:
+                    start = i + 1
+                    break
+        if start is None:
+            continue
+        depth = 0
+        end = len(sql)
+        for j in range(m.end(), len(sql)):
+            c = sql[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    end = j
+                    break
+                depth -= 1
+            elif c == "," and depth == 0:
+                end = j
+                break
+        yield sql[start : m.start()], sql[m.end() : end]
+
+
+def real_precision_folds(sql: str) -> list[str]:
+    """Offending snippets (empty = clean) for the REAL-precision fold class.
+
+    Scoped to texts that read an embedding column — the lake's only REAL
+    storage. Flags (a) any `(a * b)::DOUBLE` cast-after-product, and (b) a
+    lambda whose enclosing call takes the raw `embedding` column directly
+    and whose body multiplies an operand lacking its own `::DOUBLE` cast.
+    Lists already cast element-wise in a CTE (the registry convention:
+    `list_transform(embedding, x -> x::DOUBLE) AS emb`) are DOUBLE and out
+    of scope; the degenerate-embeddings suite remains the semantic backstop
+    for REAL lists smuggled through un-cast aliases.
+    """
+    if "embedding" not in sql:
+        return []
+    hits = [m.group(0) for m in _CAST_AFTER_PRODUCT.finditer(sql)]
+    for list_args, body in _lambda_regions(sql):
+        if _EMBEDDING_WORD.search(list_args) and _UNCAST_OPERAND.search(body):
+            snippet = f"{list_args.strip()[:60]} -> {body.strip()[:60]}"
+            hits.append(snippet)
+    return hits
+
+
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLE_NAMES:
