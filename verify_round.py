@@ -24,6 +24,13 @@ each one, nine as of round 7):
   9. scale_probe_all — the 10x probe over the ENTIRE registry, each query
                      crash-isolated: "no registered plan is superlinear,
                      none crashes on an inflated lake"
+ 10. scale_probe_all_x100 — the full-registry probe at 100x (minus the
+                     three quadratic-by-definition SCALE_ALLOW oracles,
+                     recorded as skipped): closes the 10x sweep's
+                     MIN_SCALED_SEC blind spot, since quadratic growth at
+                     100x clears the sub-second floor from any base
+                     (round-7 ask #4 / advice #3). One timing run
+                     (SPARK_GRAFT_SCALE_RUNS=1) bounds the wall clock.
 
 — and writes pass counts, timestamps, and wall-clock per surface to
 ``VERIFY_r{N}.json``. Usage::
@@ -75,6 +82,7 @@ SURFACES: dict[str, list[str]] = {
     "scale_probe": [sys.executable, "scale_probe.py"],
     "scale_probe_x100": [sys.executable, "scale_probe.py"],
     "scale_probe_all": [sys.executable, "scale_probe.py"],
+    "scale_probe_all_x100": [sys.executable, "scale_probe.py"],
 }
 
 # Surface-specific environment additions.
@@ -83,6 +91,11 @@ ENV_EXTRA = {
     "oracle_parity_sf01": {"SPARK_GRAFT_ORACLE_SF": "/root/testdata/sf0.1"},
     "scale_probe_x100": {"SPARK_GRAFT_SCALE_REPLICAS": "100"},
     "scale_probe_all": {"SPARK_GRAFT_SCALE_ALL": "1"},
+    "scale_probe_all_x100": {
+        "SPARK_GRAFT_SCALE_ALL": "1",
+        "SPARK_GRAFT_SCALE_REPLICAS": "100",
+        "SPARK_GRAFT_SCALE_RUNS": "1",
+    },
 }
 
 # What "pass" looks like per surface, extracted from the output tail.
@@ -98,6 +111,7 @@ _SUMMARY_RES = {
     "scale_probe": re.compile(r'"metric"\s*:\s*"scale_probe"'),
     "scale_probe_x100": re.compile(r'"metric"\s*:\s*"scale_probe"'),
     "scale_probe_all": re.compile(r'"metric"\s*:\s*"scale_probe"'),
+    "scale_probe_all_x100": re.compile(r'"metric"\s*:\s*"scale_probe"'),
 }
 
 
@@ -105,7 +119,11 @@ _SUMMARY_RES = {
 # old one-hour default on a loaded box (full-registry 10x: ~27 min idle;
 # 100x pays lake prep); give them headroom so a slow machine degrades to a
 # recorded-slow run, not a dropped record.
-TIMEOUT_SEC = {"scale_probe_all": 7200, "scale_probe_x100": 7200}
+TIMEOUT_SEC = {
+    "scale_probe_all": 7200,
+    "scale_probe_x100": 7200,
+    "scale_probe_all_x100": 14400,
+}
 
 
 # Artifacts this runner (and the round driver) write during a run; their
@@ -248,6 +266,9 @@ def run_surface(name: str) -> dict:
             rec["max_allowed_per_replica"] = parsed.get("max_allowed_per_replica")
             rec["superlinear"] = parsed["superlinear"]
             rec["allowed_superlinear"] = parsed.get("allowed_superlinear", {})
+            rec["skipped_allowed_quadratic"] = parsed.get(
+                "skipped_allowed_quadratic", []
+            )
             rec["stale_scale_allow"] = parsed.get("stale_scale_allow", [])
             rec["errors"] = parsed.get("errors", {})
             # full-registry mode: keep the record readable — persist only
