@@ -63,6 +63,7 @@ _QUERY_MODULES = [
     "feature_datalake_sl_mandic_spark.ingest.change_detection",
     "feature_datalake_sl_mandic_spark.ingest.scd",
     "feature_datalake_sl_mandic_spark.ingest.incremental",
+    "feature_datalake_sl_mandic_spark.ingest.cdf",
     "feature_datalake_sl_mandic_spark.multimodal.media",
     "feature_datalake_sl_mandic_spark.sources.pyds",
 ]
