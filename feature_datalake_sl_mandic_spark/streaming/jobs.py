@@ -468,9 +468,26 @@ def incremental_minhash_foreach_batch(
                 retried = (
                     tbl.where(F.col("batch_id") == batch_id).limit(1).count() > 0
                 )
-                idx_b = tbl.where(F.col("batch_id") != batch_id).select(
-                    "doc_id", "n", "band_sig"
-                )
+                # Bounded control-plane collect: the batch's DISTINCT band_sig
+                # set (<= batch_docs x LSH_BANDS strings). Pushed as an IN
+                # filter into the bucketed, band_sig-sorted index read it
+                # buys bucket pruning + row-group skipping, so the per-batch
+                # index cost follows the BATCH's signature set, not the
+                # stored index size — the flatness the round-7 ask #5 probe
+                # measures. Semantically a no-op (the equi-join discards
+                # non-matching sigs anyway); skipped for giant batches where
+                # the literal list would outweigh the scan it prunes.
+                sig_vals = [
+                    r[0]
+                    for r in bands_new_f.select("band_sig")
+                    .distinct()
+                    .limit(100_001)
+                    .collect()
+                ]
+                idx_b = tbl.where(F.col("batch_id") != batch_id)
+                if len(sig_vals) <= 100_000:
+                    idx_b = idx_b.where(F.col("band_sig").isin(sig_vals))
+                idx_b = idx_b.select("doc_id", "n", "band_sig")
                 cand_idx = pair_cols(
                     idx_b.alias("a").join(bands_new_f.alias("b"), "band_sig")
                 )
@@ -514,10 +531,25 @@ def incremental_minhash_foreach_batch(
         ).distinct()
         # ONE pass over the index prunes it to candidate docs; the two pair
         # joins then read the bounded pruned relation, and the intersection
-        # happens in-row — no (doc, h) shuffle, no per-pair groupBy.
-        arrs_pruned = all_arrs.join(
-            F.broadcast(cand_docs), "doc_id", "left_semi"
-        ).localCheckpoint()
+        # happens in-row — no (doc, h) shuffle, no per-pair groupBy. The
+        # candidate id set is batch-bounded (cand is localCheckpoint'd, ids
+        # <= 2x verified candidates), so push it as an IN filter: parquet
+        # footer min/max on doc_id skips whole historical array files whose
+        # id range can't match — the arrays read cost follows the candidate
+        # set, not the accumulated index (a broadcast semi-join would still
+        # DECODE every stored row). Fallback to the semi-join only for a
+        # pathological candidate explosion.
+        # limit(cap+1): the collect itself stays bounded even when the
+        # candidate set explodes — cap+1 rows back means "over cap", fall back
+        cand_ids = [r[0] for r in cand_docs.limit(100_001).collect()]
+        if len(cand_ids) <= 100_000:
+            arrs_pruned = all_arrs.where(
+                F.col("doc_id").isin(cand_ids) if cand_ids else F.lit(False)
+            ).localCheckpoint()
+        else:
+            arrs_pruned = all_arrs.join(
+                F.broadcast(cand_docs), "doc_id", "left_semi"
+            ).localCheckpoint()
         aa = arrs_pruned.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
         ab = arrs_pruned.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
         n_inter = F.size(F.array_intersect("ha", "hb")).cast("bigint")

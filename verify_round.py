@@ -24,7 +24,12 @@ each one, nine as of round 7):
   9. scale_probe_all — the 10x probe over the ENTIRE registry, each query
                      crash-isolated: "no registered plan is superlinear,
                      none crashes on an inflated lake"
- 10. scale_probe_all_x100 — the full-registry probe at 100x (minus the
+ 10. stream_lsh_scale — the streaming LSH index job timed against 1x/10x/
+                     100x pre-built indexes (same micro-batch, tagged
+                     replicas): per-batch wall clock must stay within a 3x
+                     flatness bound and the emitted pair set must be
+                     decade-invariant (round-7 ask #5)
+ 11. scale_probe_all_x100 — the full-registry probe at 100x (minus the
                      three quadratic-by-definition SCALE_ALLOW oracles,
                      recorded as skipped): closes the 10x sweep's
                      MIN_SCALED_SEC blind spot, since quadratic growth at
@@ -78,6 +83,14 @@ SURFACES: dict[str, list[str]] = {
         "-q",
         "--tb=no",
     ],
+    "stream_lsh_scale": [
+        sys.executable,
+        "-m",
+        "pytest",
+        "tests/test_streaming_scale.py",
+        "-q",
+        "--tb=short",
+    ],
     "bench": [sys.executable, "bench.py"],
     "scale_probe": [sys.executable, "scale_probe.py"],
     "scale_probe_x100": [sys.executable, "scale_probe.py"],
@@ -88,6 +101,7 @@ SURFACES: dict[str, list[str]] = {
 # Surface-specific environment additions.
 ENV_EXTRA = {
     "degen_oracle": {"SPARK_GRAFT_DEGEN_ORACLE": "1"},
+    "stream_lsh_scale": {"SPARK_GRAFT_STREAM_SCALE": "1"},
     "oracle_parity_sf01": {"SPARK_GRAFT_ORACLE_SF": "/root/testdata/sf0.1"},
     "scale_probe_x100": {"SPARK_GRAFT_SCALE_REPLICAS": "100"},
     "scale_probe_all": {"SPARK_GRAFT_SCALE_ALL": "1"},
@@ -107,6 +121,7 @@ _SUMMARY_RES = {
         r"(\d+) queries flagged \((\d+) flags\), (\d+) UNEXPLAINED, (\d+) stale"
     ),
     "degen_oracle": re.compile(r"(\d+) passed(?:, (\d+) skipped)?"),
+    "stream_lsh_scale": re.compile(r"(\d+) passed(?:, (\d+) skipped)?"),
     "bench": re.compile(r'"metric"\s*:\s*"'),
     "scale_probe": re.compile(r'"metric"\s*:\s*"scale_probe"'),
     "scale_probe_x100": re.compile(r'"metric"\s*:\s*"scale_probe"'),
@@ -215,7 +230,7 @@ def run_surface(name: str) -> dict:
         "started_utc": started.isoformat(timespec="seconds"),
         "wall_clock_sec": round((ended - started).total_seconds(), 1),
     }
-    if name in ("pytest", "degen_oracle") and m:
+    if name in ("pytest", "degen_oracle", "stream_lsh_scale") and m:
         rec["passed"] = int(m.group(1))
         rec["skipped"] = int(m.group(2) or 0)
         fail = re.search(r"(\d+) failed", out)
