@@ -223,26 +223,23 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # (sketch_kmv_set_algebra_users, lm_bigram_next_tokens,
 # stats_bootstrap_ci_mean).
 _PRIORITY: list[str] = [
+    # ===== round-8 head =====
     # --- new this round (never driver-checked)
-    "join_lateral_topn_grouped",
-    # --- value path changed this round (ADVICE norm guard)
-    "ann_two_stage_rerank",
-    # --- plan changed this round (UDTF transport Batch->Arrow; values
-    #     identical under the shared oracle, caught by the new
-    #     BatchEvalPython probe rule)
-    "corpus_chunk_udtf",
-    # --- execution changed this round (cteRecursionRowLimit sized to the
-    #     query's known-linear bound after the 10x full-registry scale
-    #     sweep tripped the 1e6 default; values identical on the fixture,
-    #     sf0.01 parity re-verified post-change)
-    "recursive_cte_customer_chain",
-    # --- plan changed this round (brand joined the ER block key — pure
-    #     candidate pruning, output-equivalence pinned by the module
-    #     assert; found by the 10x full-registry scale sweep). Takes the
-    #     slot of eval_retrieval_metrics (shared-relation pin, value path
-    #     untouched, twice-sweep-verified this round), which rotates to
-    #     the round-8 window head.
-    "er_parts_scored_matches",
+    "semdedup_scaled_k_pairs",  # corpus-scaled-k SemDeDup (verdict ask #3)
+    "cdf_incremental_ingest",   # txlog-CDF incremental ingest (ask #6)
+    # --- round-7 rotation debt: oracle-text precision entries displaced
+    #     at 4165fa5/fa1765f/36c419b (value-neutral on the fixture, twice
+    #     full-sweep-verified in r7, queued for a driver check since)
+    "eval_retrieval_metrics",
+    "text_hybrid_rrf_search",
+    "eval_matryoshka_recall",
+    # (the five r7-head names — join_lateral_topn_grouped,
+    # ann_two_stage_rerank, corpus_chunk_udtf, recursive_cte_customer_chain,
+    # er_parts_scored_matches — were driver-hash-green in r7 under their
+    # current plans/oracles and are unchanged in r8, so they rotate out;
+    # cumulative coverage keeps them green. No other registered query's
+    # plan or value path changed this round: the r8 streaming-job pruning
+    # touched streaming/jobs.py only, which has no registered query.)
     # --- round-6 rotation debt (changed in r6 after last driver-green)
     "q17_small_quantity_revenue",
     "q21_sole_late_supplier",
@@ -290,17 +287,6 @@ _PRIORITY: list[str] = [
     "ann_pq_lloyd_refined",
     "mine_hard_negatives",
     "dedup_embedding_cosine",
-    # (eval_retrieval_metrics and text_hybrid_rrf_search — the two
-    # oracle-text-only precision entries at the tail — rotated to the
-    # round-8 window head to make room for recursive_cte_customer_chain
-    # and er_parts_scored_matches above: plan/execution changes outrank
-    # value-neutral oracle-text fixes that two full sf0.01 sweeps already
-    # re-verified post-change.)
-    # (eval_matryoshka_recall — the 15th oracle-text-only precision entry —
-    # rotates to the round-8 window head to make room for the
-    # corpus_chunk_udtf plan change above: plan changes outrank
-    # oracle-text-only changes, and the precision fix is value-neutral on
-    # the fixture, verified by two full 238-query sf0.01 sweeps this round.)
 ]
 # (multimodal_feature_extract was retired from the registry in round 4: its
 # codec stubs made it permanently rows-only and every registered query must
