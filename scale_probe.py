@@ -261,6 +261,26 @@ def prepare_scaled_dir(spark, sf_dir: str, replicas: int) -> str:
                         )
                     ),
                 ).withColumn("n_chars", F.length("text").cast("bigint"))
+            if t == "part":
+                # p_name is CONTENT, same as document text: a real 100x
+                # catalog has ~100x distinct names, not 100 verbatim copies
+                # of each. Untagged replication grew the (adj, noun, brand)
+                # ER block occupancy linearly and the DEFINED candidate set
+                # quadratically (1.35e9 pairs at 100x — a property of the
+                # copied data, not the plan); token tagging grows block
+                # COUNT instead, keeping occupancy constant. Substring
+                # filters elsewhere (LIKE '%gear%') still match the tagged
+                # tokens, so scan selectivities keep their shape.
+                d = d.withColumn(
+                    "p_name",
+                    F.when(F.col("_r") == 0, F.col("p_name")).otherwise(
+                        F.regexp_replace(
+                            F.col("p_name"),
+                            F.lit(r"(\S+)"),
+                            F.concat(F.lit("r"), F.col("_r"), F.lit("w$1")),
+                        )
+                    ),
+                )
             out_df = d.drop("_r")
         n_files = 32 if t in _WIDE_FILES else (8 if t in _SHIFT_COLS else 1)
         out_df.repartition(n_files).write.mode("overwrite").parquet(
