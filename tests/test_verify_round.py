@@ -79,15 +79,33 @@ def test_git_state_reports_head_and_clean_flag():
 
 
 def test_check_final_flags_stale_and_failed_surfaces():
+    engine_head = vr._engine_head()
     head, _ = vr._git_state()
     record = {
-        "good": {"ok": True, "commit": head, "source_dirty": False},
+        "good": {"ok": True, "commit": engine_head, "source_dirty": False},
+        # a LATER commit containing the engine head is also fine (artifact /
+        # recorder-only commits after the record must not invalidate it)
+        "good_at_head": {"ok": True, "commit": head, "source_dirty": False},
         "stale": {"ok": True, "commit": "0" * 40, "source_dirty": False},
-        "dirty": {"ok": True, "commit": head, "source_dirty": True},
-        "failed": {"ok": False, "commit": head, "source_dirty": False},
+        "dirty": {"ok": True, "commit": engine_head, "source_dirty": True},
+        "failed": {"ok": False, "commit": engine_head, "source_dirty": False},
         "legacy": {"ok": True},  # pre-r8 record without staleness fields
     }
     bad = vr.check_final(record)
     names = {line.split(":")[0] for line in bad}
-    assert "good" not in names
+    assert "good" not in names and "good_at_head" not in names
     assert {"stale", "dirty", "failed", "legacy"} <= names
+
+
+def test_engine_head_is_a_commit_reachable_from_head():
+    import subprocess
+
+    engine_head = vr._engine_head()
+    assert len(engine_head) == 40
+    assert (
+        subprocess.run(
+            ["git", "merge-base", "--is-ancestor", engine_head, "HEAD"],
+            cwd=vr.REPO,
+        ).returncode
+        == 0
+    )

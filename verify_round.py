@@ -166,21 +166,65 @@ def _git_state() -> tuple[str, bool]:
     return head, dirty
 
 
+# Pathspec defining the ENGINE — what the surfaces actually verify. Round
+# artifacts are excluded (committing VERIFY_r{N}.json must not invalidate
+# the record that produced it), and so is this recorder + its parser tests
+# (the recorder is the measuring instrument, not the code under test — a
+# post-record recorder fix cannot invalidate engine evidence).
+_ENGINE_PATHSPEC = [
+    ".",
+    ":(exclude)VERIFY_r*.json",
+    ":(exclude)BENCH_r*.json",
+    ":(exclude)BENCH_DETAIL_r*.json",
+    ":(exclude)CORRECTNESS_r*.json",
+    ":(exclude)PROGRESS.jsonl",
+    ":(exclude)verify_round.py",
+    ":(exclude)tests/test_verify_round.py",
+]
+
+
+def _engine_head() -> str:
+    """Newest commit that touched any engine path (see _ENGINE_PATHSPEC)."""
+    return subprocess.run(
+        ["git", "log", "-1", "--format=%H", "--", *_ENGINE_PATHSPEC],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    ).stdout.strip()
+
+
 def check_final(record: dict) -> list[str]:
     """Names of surfaces that do NOT describe the shipped code (or failed).
 
-    A surface is stale when its recorded commit differs from the repo HEAD
-    at check time, when it was recorded over a dirty source tree, or when it
-    predates the staleness fields entirely (no commit recorded).
+    A surface is stale when the newest engine-source commit is not reachable
+    from the commit it was recorded at (i.e. engine code changed after the
+    surface ran), when it was recorded over a dirty source tree, or when it
+    predates the staleness fields entirely (no commit recorded). Artifact
+    and recorder-only commits after the record do not invalidate it, so the
+    check stays reproducible after the record itself is committed.
     """
-    head, dirty = _git_state()
+    engine_head = _engine_head()
+    _, dirty = _git_state()
     bad = []
     for name, rec in record.items():
+        commit = rec.get("commit")
         if not rec.get("ok"):
             bad.append(f"{name}: ok=false")
-        elif rec.get("commit") != head:
-            bad.append(f"{name}: commit {str(rec.get('commit'))[:12]} != HEAD {head[:12]}")
-        elif rec.get("source_dirty"):
+        elif not commit:
+            bad.append(f"{name}: never recorded with a commit (pre-r8 record)")
+        elif commit != engine_head:
+            # the surface's commit must CONTAIN the newest engine commit
+            anc = subprocess.run(
+                ["git", "merge-base", "--is-ancestor", engine_head, commit],
+                cwd=REPO,
+                capture_output=True,
+            )
+            if anc.returncode != 0:
+                bad.append(
+                    f"{name}: commit {commit[:12]} predates engine head "
+                    f"{engine_head[:12]}"
+                )
+        if rec.get("ok") and commit and rec.get("source_dirty"):
             bad.append(f"{name}: recorded over a dirty source tree")
     if dirty:
         bad.append("(repo): source tree is dirty at check time")
