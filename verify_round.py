@@ -109,6 +109,12 @@ ENV_EXTRA = {
         "SPARK_GRAFT_SCALE_ALL": "1",
         "SPARK_GRAFT_SCALE_REPLICAS": "100",
         "SPARK_GRAFT_SCALE_RUNS": "1",
+        # local mode shares ONE JVM heap across all 32 executor threads;
+        # the default 8g that fits every other surface died (driver JVM
+        # gone, ConnectionRefused) partway through the heaviest plans on
+        # the 100x lake. The machine has 125 GiB; heap sizing per workload
+        # is deployment conf, not engine code.
+        "SPARK_DRIVER_MEM": "48g",
     },
 }
 
