@@ -186,6 +186,11 @@ _ENGINE_PATHSPEC = [
     ":(exclude)PROGRESS.jsonl",
     ":(exclude)verify_round.py",
     ":(exclude)tests/test_verify_round.py",
+    # documentation: no surface reads it at runtime, so a docs-only commit
+    # cannot invalidate recorded evidence (PLANS.md is generated from code,
+    # but the generating code itself is in-pathspec — a plan change always
+    # rides a .py commit)
+    ":(exclude)*.md",
 ]
 
 
