@@ -162,10 +162,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # wrapper-id key can false-hit after id reuse. If the conf surface
     # itself raises, fall back to a per-wrapper WeakSet so the apply still
     # happens at most once per session wrapper.
+    # The fallback memo is consulted on the happy path too: a session whose
+    # conf GET works but whose conf SET fails (swallowed below) would
+    # otherwise re-apply RUNTIME_CONFS on every call — the exact clobbering
+    # the memo exists to prevent. WeakSet membership of an un-weakref-able
+    # wrapper returns False (no raise), so no guard is needed here.
     try:
         applied = spark.conf.get(_CONFS_MARKER, "0") == "1"
     except Exception:
-        applied = spark in _CONFS_APPLIED_FALLBACK
+        applied = False
+    applied = applied or spark in _CONFS_APPLIED_FALLBACK
     if not applied:
         apply_runtime_confs(spark)
         try:

@@ -17,8 +17,9 @@ re-reads the state from the target log:
 
 - crash before the target commit     -> nothing recorded, batch re-applies;
 - crash after commit, before history -> ``last_applied_source_version``
-  says the batch landed, re-apply is a no-op (the audit row for that batch
-  is appended by the retry run);
+  says the batch landed, so the retry is a version-gated no-op that does
+  NOT re-append: one audit row is lost (never data), and the retry's no-op
+  summary identifies which batch the missing row belonged to;
 - the same batch applied twice       -> second apply is a version-gated
   no-op, never a double-MERGE.
 
@@ -102,7 +103,12 @@ def apply_cdf_batch(
     if to_v is None or to_v <= from_v:
         return summary  # replay after crash-post-commit, or nothing new
 
-    feed = source.change_feed(spark, key, from_version=from_v, to_version=to_v)
+    # Pin the feed before anything reads it: it is consumed TWICE (the
+    # change-type counts collect and the merged write), and each unpinned
+    # evaluation would replay the full-outer snapshot join (round-8 advice).
+    feed = source.change_feed(
+        spark, key, from_version=from_v, to_version=to_v
+    ).localCheckpoint()
     # bounded control-plane collect: at most 4 change-type rows
     counts = {
         r["_change_type"]: r["n"]
@@ -171,6 +177,34 @@ def ingest_incremental_cdf(
 
 from feature_datalake_sl_mandic_spark.registry import register  # noqa: E402
 
+# Scratch txlog roots for the registered query, ONE per sf_dir, wiped and
+# rebuilt on each execution and removed at process exit (round-8 advice:
+# mkdtemp-per-execution leaked multiple full customer-table copies per bench
+# run / probe sweep, material /tmp growth on the 100x inflated lake). The
+# rebuild invalidates any STILL-UNCONSUMED DataFrame from the previous
+# execution against the same sf_dir — every harness caller (bench, oracle
+# parity, scale probe, driver) forces execution before re-invoking, so the
+# bounded footprint is the right trade.
+_SCRATCH_BY_SF: dict[str, str] = {}
+
+
+def _scratch_dir(sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    d = _SCRATCH_BY_SF.get(sf_dir)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="cdf_query_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _SCRATCH_BY_SF[sf_dir] = d
+    else:
+        shutil.rmtree(d, ignore_errors=True)
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    return d
+
 
 @register(
     "cdf_incremental_ingest",
@@ -195,7 +229,7 @@ def cdf_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch breaks hash equality. The query exercises the real write path
     (txlog manifests, immutable files, version-gated state), not just the
     join shape."""
-    import tempfile
+    import os
 
     from feature_datalake_sl_mandic_spark.operators.relational import _t
 
@@ -214,10 +248,11 @@ def cdf_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bal"),
         F.col("c_mktsegment").alias("seg"),
     )
-    source = TxTable.create(spark, tempfile.mkdtemp(prefix="cdf_src_"), v0)
+    scratch = _scratch_dir(sf_dir)
+    source = TxTable.create(spark, os.path.join(scratch, "src"), v0)
     source.overwrite(v1)
     target = bootstrap_cdf(
-        spark, source, tempfile.mkdtemp(prefix="cdf_tgt_") + "/t", source_version=0
+        spark, source, os.path.join(scratch, "tgt"), source_version=0
     )
     ingest_incremental_cdf(spark, source, target, key="ckey")
     return target.read(spark).orderBy("ckey")

@@ -61,9 +61,45 @@ def test_distinct_wrappers_each_get_confs(spark, counting_apply):
 
 def test_marker_conf_path_applies_once(spark, counting_apply, monkeypatch):
     # healthy session: marker conf memoizes; force a fresh start by clearing
-    # the marker, then two loads must apply exactly once
+    # BOTH memos (the fallback WeakSet is consulted on the happy path too —
+    # round-8 advice), then two loads must apply exactly once
     spark.conf.unset(catalog._CONFS_MARKER)
+    catalog._CONFS_APPLIED_FALLBACK.discard(spark)
     catalog.load_table(spark, SF_SMALL, "region")
     catalog.load_table(spark, SF_SMALL, "nation")
     assert len(counting_apply) == 1
     assert spark.conf.get(catalog._CONFS_MARKER) == "1"
+
+
+class _SetFailsConfProxy:
+    """conf.get WORKS (returns the real value) but conf.set fails — the
+    round-8 advice hole: the marker can never be written, so without the
+    happy-path fallback consult every load_table re-applies RUNTIME_CONFS."""
+
+    def __init__(self, inner):
+        self._inner = inner
+
+        class _Conf:
+            def get(_self, *a, **k):
+                return inner.conf.get(*a, **k)
+
+            def set(_self, *a, **k):
+                raise RuntimeError("conf set rejected")
+
+        self.conf = _Conf()
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+def test_get_works_set_fails_applies_once(spark, counting_apply):
+    spark.conf.unset(catalog._CONFS_MARKER)
+    catalog._CONFS_APPLIED_FALLBACK.discard(spark)
+    proxy = _SetFailsConfProxy(spark)
+    catalog.load_table(proxy, SF_SMALL, "region")
+    catalog.load_table(proxy, SF_SMALL, "nation")
+    catalog.load_table(proxy, SF_SMALL, "region")
+    assert len(counting_apply) == 1, (
+        "a working conf.get with a failing conf.set must still memoize via "
+        "the fallback WeakSet, not re-apply per call"
+    )
