@@ -268,20 +268,26 @@ def main() -> None:
     sent_min = min(sentinel_runs)
     sent_sorted = sorted(sentinel_runs)
     sent_median = sent_sorted[len(sent_sorted) // 2]
-    # min-normalized: the subtotals aggregate per-query MINs, so the
-    # matching sentinel statistic is the min. load_factor > ~1.5 on the
-    # MEDIAN with a clean min says "co-tenant noise, engine fine".
+    # Two normalizations, used for different jobs (round-8 verdict ask #4):
+    # the MIN-based one matches the subtotals' estimator (they aggregate
+    # per-query mins) but is noisy — r8's sentinel mins spanned 25%
+    # min-to-median, enough to flip a 13%-faster raw round into a
+    # 40%-"slower" normalized one. The MEDIAN-based one is the stable
+    # statistic for ROUND-OVER-ROUND comparisons (COVERAGE.md compares on
+    # it); the raw subtotals remain authoritative, normalization is an
+    # attribution aid.
     norm = SENTINEL_REF_SEC / max(sent_min, 1e-9)
+    norm_med = SENTINEL_REF_SEC / max(sent_median, 1e-9)
     subtotals = {
         "headline_12": round(sum(times[n] for n in headline), 4),
         "heavy_llm": round(sum(times[n] for n in heavy), 4),
         "heavy_wide": round(sum(times[n] for n in heavy_wide), 4),
     }
-    subtotals["headline_12_sentinel_norm"] = round(
-        subtotals["headline_12"] * norm, 4
-    )
-    subtotals["heavy_llm_sentinel_norm"] = round(subtotals["heavy_llm"] * norm, 4)
-    subtotals["heavy_wide_sentinel_norm"] = round(subtotals["heavy_wide"] * norm, 4)
+    for key in ("headline_12", "heavy_llm", "heavy_wide"):
+        subtotals[f"{key}_sentinel_norm"] = round(subtotals[key] * norm, 4)
+        subtotals[f"{key}_sentinel_norm_median"] = round(
+            subtotals[key] * norm_med, 4
+        )
     sentinel = {
         "runs": sentinel_runs,
         "min": sent_min,

@@ -267,10 +267,22 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact word-trigram Jaccard: inverted-index equi-join
-    on shared shingles generates candidates, |A∩B|/|A∪B| filters them."""
+    on shared shingles generates candidates, |A∩B|/|A∪B| filters them.
+
+    Uncapped shingles: the ORACLE-defined exact semantics. The 100 TB form
+    is ``dedup_ngram_jaccard_capped`` below — same pipeline over
+    ``shingles_with_df_cap``, which bounds any one shingle's candidate
+    contribution (a boilerplate trigram shared by 1M docs contributes 10^12
+    pairs here)."""
     (dc,) = _t(spark, sf_dir, "documents")
     dc.createOrReplaceTempView("documents")
-    sh = _spark_shingles(dc).localCheckpoint()
+    return _jaccard_pairs(_spark_shingles(dc).localCheckpoint())
+
+
+def _jaccard_pairs(sh: DataFrame) -> DataFrame:
+    """Jaccard >= threshold pairs from a pinned (doc_id, s) shingle relation:
+    inverted-index equi-join candidates + exact |A∩B|/|A∪B| filter. Shared
+    by the uncapped (oracle-exact) and DF-capped (100 TB) registrations."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -288,6 +300,55 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# DF cap for the CAPPED ngram near-dup registrations: the same guard value
+# the MinHash/LSH path applies before its candidate join. On web-scale
+# corpora the cap is what bounds the inverted-index join — candidate pairs
+# per shingle are at most max_df^2 regardless of corpus size — while
+# near-dup semantics survive because ultra-common shingles carry no
+# discriminating signal.
+NGRAM_MAX_DF = MINHASH_MAX_DF
+
+_DUCK_SHINGLES_CAPPED = f"""
+    SELECT doc_id, s FROM ({_DUCK_SHINGLES}) sh0
+    WHERE s IN (SELECT s FROM ({_DUCK_SHINGLES}) g
+                GROUP BY s HAVING count(*) <= {NGRAM_MAX_DF})
+"""
+
+
+@register(
+    "dedup_ngram_jaccard_capped",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLES_CAPPED}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "near-dedup", "ngram-jaccard", "df-cap", "self-join"),
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``dedup_ngram_jaccard`` (round-8 verdict ask #2):
+    identical pair pipeline, but candidates come from
+    ``shingles_with_df_cap`` so no single shingle can contribute more than
+    ~NGRAM_MAX_DF^2 candidate pairs however large the corpus — the guard the
+    module already applied on its MinHash path, now carried by a registered,
+    oracle-verified exact-ngram plan. Jaccard is computed over the CAPPED
+    shingle sets on both engines (the cap is part of the semantics, mirrored
+    in the oracle as a HAVING count(*) <= max_df sub-select)."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    dc.createOrReplaceTempView("documents")
+    return _jaccard_pairs(shingles_with_df_cap(dc, NGRAM_MAX_DF).localCheckpoint())
 
 
 def _duck_minhash_lsh_sql(batch_min: int | None = None) -> str:
@@ -951,10 +1012,18 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     long side. Pairs where either direction's containment >= 0.8 are
     flagged; both directions are emitted so the caller knows which doc is
     the fragment. Same inverted-index candidate join as
-    ``dedup_ngram_jaccard`` — candidates only from shared shingles."""
+    ``dedup_ngram_jaccard`` — candidates only from shared shingles.
+
+    Uncapped shingles (the oracle-exact semantics); the 100 TB form is
+    ``dedup_ngram_containment_capped`` below."""
     (dc,) = _t(spark, sf_dir, "documents")
     dc.createOrReplaceTempView("documents")
-    sh = _spark_shingles(dc).localCheckpoint()
+    return _containment_pairs(_spark_shingles(dc).localCheckpoint())
+
+
+def _containment_pairs(sh: DataFrame) -> DataFrame:
+    """Containment >= threshold pairs from a pinned (doc_id, s) shingle
+    relation; shared by the uncapped and DF-capped registrations."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -978,6 +1047,42 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cb, 6).alias("containment_b"),
         )
         .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dedup_ngram_containment_capped",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLES_CAPPED}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_inter,
+           round(n_inter * 1.0 / sa.n, 6) AS containment_a,
+           round(n_inter * 1.0 / sb.n, 6) AS containment_b
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE greatest(n_inter * 1.0 / sa.n, n_inter * 1.0 / sb.n)
+          >= {CONTAINMENT_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "near-dedup", "containment", "df-cap", "self-join"),
+)
+def dedup_ngram_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``dedup_ngram_containment`` (round-8 verdict ask
+    #2): the same asymmetric-containment pipeline over
+    ``shingles_with_df_cap``, bounding every shingle's candidate fan-out at
+    NGRAM_MAX_DF regardless of corpus size. Containment denominators are the
+    CAPPED per-doc shingle counts on both engines (the cap is part of the
+    semantics, mirrored in the oracle)."""
+    (dc,) = _t(spark, sf_dir, "documents")
+    dc.createOrReplaceTempView("documents")
+    return _containment_pairs(
+        shingles_with_df_cap(dc, NGRAM_MAX_DF).localCheckpoint()
     )
 
 

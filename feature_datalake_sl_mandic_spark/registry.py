@@ -222,71 +222,75 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # more slots from thrice-sweep-verified entries
 # (sketch_kmv_set_algebra_users, lm_bigram_next_tokens,
 # stats_bootstrap_ci_mean).
+# ---- round-9 window (exactly the r8 verdict ask #6 prescription) ----
+# Head: every round-9 new/changed value or plan path — the two DF-capped
+# ngram registrations (ask #2), their uncapped twins (whose bodies moved
+# into shared pair-builders this round; plan-identical, but code motion
+# re-earns its driver row), and cdf_incremental_ingest (its feed is now
+# localCheckpoint-pinned and its scratch txlog root reused per sf_dir —
+# advice items 2-4). Then the five r7-head names the verdict called the
+# next-stalest. The remaining 40 slots fill oldest-driver-green-first
+# (judge convention: last round each name hash-matched in any
+# CORRECTNESS_r*.json): all 34 names last green in ROUND 1 plus the six
+# oldest round-2 names. None of their plans or oracles changed since
+# (value-path changes always window immediately), and all are green in
+# every full sf0.01/sf0.1 parity sweep — this rotation turns that into
+# fresh driver-hash evidence for the longest-unchecked rows.
 _PRIORITY: list[str] = [
-    # ===== round-8 head =====
-    # --- new this round (never driver-checked)
-    "semdedup_scaled_k_pairs",  # corpus-scaled-k SemDeDup (verdict ask #3)
-    "cdf_incremental_ingest",   # txlog-CDF incremental ingest (ask #6)
-    # --- round-7 rotation debt: oracle-text precision entries displaced
-    #     at 4165fa5/fa1765f/36c419b (value-neutral on the fixture, twice
-    #     full-sweep-verified in r7, queued for a driver check since)
-    "eval_retrieval_metrics",
-    "text_hybrid_rrf_search",
-    "eval_matryoshka_recall",
-    # (the five r7-head names — join_lateral_topn_grouped,
-    # ann_two_stage_rerank, corpus_chunk_udtf, recursive_cte_customer_chain,
-    # er_parts_scored_matches — were driver-hash-green in r7 under their
-    # current plans/oracles and are unchanged in r8, so they rotate out;
-    # cumulative coverage keeps them green. No other registered query's
-    # plan or value path changed this round: the r8 streaming-job pruning
-    # touched streaming/jobs.py only, which has no registered query.)
-    # --- round-6 rotation debt (changed in r6 after last driver-green)
-    "q17_small_quantity_revenue",
-    "q21_sole_late_supplier",
-    "validate_referential_integrity",
-    "sketch_hll_manual_users",
-    "sketch_hll_daily_to_weekly_merge",
-    "scd2_customer_dim",
-    "scd2_point_in_time_join",
-    "events_funnel_three_step",
-    "events_dedup_replayed",
-    "events_salted_user_totals",
-    "events_dau_wau_stickiness",
-    "events_gapfill_resample",
-    "drift_psi_event_values",
-    "customers_cohort_ltv",
-    "quality_repetition_stats",
-    "dedup_simhash",
-    "dedup_ngram_containment",
-    "dedup_cluster_components",
-    "eval_rouge_redaction_impact",
-    "sketch_kmv_set_algebra_users",
-    "lm_bigram_next_tokens",
-    "stats_bootstrap_ci_mean",
-    "validate_benford_order_values",
-    "agg_histogram_order_value",
-    "layout_zorder_files",
-    "profile_partition_skew",
-    "customers_rfm_segments",
-    "eval_langid_confusion",
-    "corpus_chunk_dedup_crossdoc",
-    "corpus_cdc_chunking",
-    "corpus_pack_shards",
-    "cms_heavy_hitters_events",
-    "ts_cross_correlation_lags",
-    "text_tfidf_top_terms",
-    # --- oracle text changed this round (nonzero-filter precision fix)
-    "knn_cosine_topk",
-    "knn_cosine_matmul",
-    "ann_lsh_bucketed",
-    "ann_ivf_cells",
-    "ann_ivf_cells_nprobe2",
-    "ann_scalar_quantized",
-    "ann_ivf_pq",
-    "ann_ivf_pq_packed",
-    "ann_pq_lloyd_refined",
-    "mine_hard_negatives",
-    "dedup_embedding_cosine",
+    # --- round-9 new / changed paths
+    "dedup_ngram_jaccard_capped",  # NEW r9: DF-capped 100 TB ngram path (r8 verdict ask #2)
+    "dedup_ngram_containment_capped",  # NEW r9: capped containment twin
+    "dedup_ngram_jaccard",  # shared-pair-builder refactor r9 (plan-identical code motion)
+    "dedup_ngram_containment",  # shared-pair-builder refactor r9
+    "cdf_incremental_ingest",  # r9: feed localCheckpoint + scratch-root reuse (advice fixes)
+    # --- the five r7-head names (green r7, unchanged, queued since)
+    "join_lateral_topn_grouped",
+    "ann_two_stage_rerank",
+    "corpus_chunk_udtf",
+    "recursive_cte_customer_chain",
+    "er_parts_scored_matches",
+    # --- oldest driver-green: the full last-green-in-r1 set (34)
+    "topk_orders",
+    "set_ops_nations",
+    "q6_forecast_revenue",
+    "q13_customer_order_distribution",
+    "q8_market_share",
+    "q16_supplier_count_by_part",
+    "join_full_outer_nation_activity",
+    "merge_upsert_orders",
+    "pivot_status_by_nation",
+    "subquery_above_segment_avg",
+    "text_tokenize_vectorized_udf",
+    "maps_event_type_counts",
+    "join_not_in_null_aware",
+    "groupmap_user_value_trend",
+    "q22_inactive_high_balance",
+    "sample_deterministic_hash",
+    "join_broadcast_order_priority",
+    "join_semi_customers_with_urgent_orders",
+    "join_anti_customers_no_urgent",
+    "join_range_lineitem_shipped_late",
+    "join_asof_purchase_after_click",
+    "window_rank_orders",
+    "window_lag_order_gaps",
+    "window_running_totals",
+    "window_first_last_nth_order",
+    "window_range_frame_moving_avg",
+    "agg_rollup_orders",
+    "agg_cube_lineitem",
+    "agg_grouping_sets_events",
+    "agg_distinct_suppliers",
+    "agg_stats_acctbal",
+    "agg_conditional_pivot",
+    "agg_unpivot_nation_metrics",
+    "scalar_string_part",
+    # --- then the six oldest last-green-in-r2 names
+    "scalar_date_orders",
+    "scalar_math_lineitem",
+    "scalar_json_events",
+    "arrays_posexplode_leading_tokens",
+    "events_tumbling_hourly",
+    "events_sessionize",
 ]
 # (multimodal_feature_extract was retired from the registry in round 4: its
 # codec stubs made it permanently rows-only and every registered query must

@@ -109,16 +109,16 @@ def _build_index(spark, tmp_path, decade: int, bands, arrs):
     return index_dir, table
 
 
-def _run_one_batch(spark, tmp_path, decade, index_dir, table, docs) -> float:
-    src = str(tmp_path / f"src_x{decade}")
+def _run_one_batch(spark, tmp_path, label, index_dir, table, docs) -> float:
+    src = str(tmp_path / f"src_{label}")
     docs.where(F.col("doc_id") < BATCH_DOCS).coalesce(1).write.parquet(src)
     stream = spark.readStream.schema(docs.schema).parquet(src)
     t0 = time.perf_counter()
     jobs.incremental_minhash_foreach_batch(
         stream,
         index_dir,
-        str(tmp_path / f"pairs_x{decade}"),
-        str(tmp_path / f"ckpt_x{decade}"),
+        str(tmp_path / f"pairs_{label}"),
+        str(tmp_path / f"ckpt_{label}"),
         bucketed=True,
         bands_table=table,
     )
@@ -136,8 +136,19 @@ def test_batch_cost_flat_across_index_decades(spark, tmp_path):
     try:
         for decade in DECADES:
             index_dir, table = _build_index(spark, tmp_path, decade, bands, arrs)
+            if decade == DECADES[0]:
+                # JIT/codegen warm-up (round-8 verdict ask #3): the very
+                # first batch pays whole-stage codegen compilation and
+                # class-loading that later batches skip; timing it as the
+                # flatness FLOOR made the 3x bound ~25 s instead of ~14 s
+                # (r8 measured 8.5/4.9/4.7 s — decade 1 above decade 100).
+                # One throwaway batch, separate pairs/ckpt dirs; its writes
+                # are neutral to the timed run by the job's own retry
+                # idempotence (same batch_id=0: the table append is
+                # skipped, the index read excludes batch 0 either way).
+                _run_one_batch(spark, tmp_path, "warm", index_dir, table, docs)
             times[decade] = _run_one_batch(
-                spark, tmp_path, decade, index_dir, table, docs
+                spark, tmp_path, f"x{decade}", index_dir, table, docs
             )
             pair_sets[decade] = {
                 tuple(r)

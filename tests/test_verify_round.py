@@ -97,6 +97,61 @@ def test_check_final_flags_stale_and_failed_surfaces():
     assert {"stale", "dirty", "failed", "legacy"} <= names
 
 
+def test_check_final_flags_env_drift(monkeypatch):
+    """Round-8 ask #5: a surface recorded under one ENV_EXTRA must go stale
+    when the recorder's CURRENT env for that surface differs — ENV_EXTRA
+    lives in the (pathspec-excluded) recorder yet changes what a surface
+    measures."""
+    engine_head = vr._engine_head()
+    ok = {"ok": True, "commit": engine_head, "source_dirty": False}
+    record = {
+        "bench": {**ok, "env": vr._effective_env("bench")},
+        "scale_probe_all_x100": {
+            **ok,
+            # seeded mismatch: recorded at a different heap than the
+            # recorder's current ENV_EXTRA prescribes
+            "env": {
+                **vr._effective_env("scale_probe_all_x100"),
+                "SPARK_DRIVER_MEM": "8g",
+                "driver_mem_effective": "8g",
+            },
+        },
+        "degen_oracle": dict(ok),  # recorded without env (pre-r9)
+    }
+    bad = vr.check_final(record)
+    names = {line.split(":")[0] for line in bad}
+    assert "bench" not in names
+    assert "scale_probe_all_x100" in names
+    assert any(
+        line.startswith("scale_probe_all_x100:") and "env" in line
+        for line in bad
+    )
+    assert "degen_oracle" in names
+
+
+def test_effective_env_carries_heap():
+    env = vr._effective_env("scale_probe_all_x100")
+    assert env["SPARK_DRIVER_MEM"] == "48g"
+    assert env["driver_mem_effective"] == "48g"
+    # a surface with no ENV_EXTRA still records the effective default heap
+    assert "driver_mem_effective" in vr._effective_env("bench")
+
+
+def test_all_sweep_decade_envs_match():
+    """scale_probe.py's decade gate only compares same-env decades; the
+    recorder must therefore prescribe identical estimator + heap for the
+    10x/100x pairs (N_RUNS comes from SPARK_GRAFT_SCALE_RUNS, absent from
+    both = the mode default for both)."""
+    lo = vr.ENV_EXTRA["scale_probe_all"]
+    hi = vr.ENV_EXTRA["scale_probe_all_x100"]
+    assert lo.get("SPARK_GRAFT_SCALE_RUNS") == hi.get("SPARK_GRAFT_SCALE_RUNS")
+    assert lo.get("SPARK_DRIVER_MEM") == hi.get("SPARK_DRIVER_MEM")
+    lo_h = vr.ENV_EXTRA.get("scale_probe", {})
+    hi_h = vr.ENV_EXTRA["scale_probe_x100"]
+    assert lo_h.get("SPARK_GRAFT_SCALE_RUNS") == hi_h.get("SPARK_GRAFT_SCALE_RUNS")
+    assert lo_h.get("SPARK_DRIVER_MEM") == hi_h.get("SPARK_DRIVER_MEM")
+
+
 def test_engine_head_is_a_commit_reachable_from_head():
     import subprocess
 

@@ -98,17 +98,24 @@ SURFACES: dict[str, list[str]] = {
     "scale_probe_all_x100": [sys.executable, "scale_probe.py"],
 }
 
-# Surface-specific environment additions.
+# Surface-specific environment additions. The two ALL sweeps run under the
+# SAME estimator and heap (N_RUNS defaults to 2 in ALL mode for both; 48g
+# both) — scale_probe.py's decade gate (round-8 ask #1) refuses to compare
+# a 100x run against a 10x record taken under a different env, so the pair
+# must match here. Likewise the heavy pair (scale_probe / scale_probe_x100)
+# shares N_RUNS=3 and the default heap.
 ENV_EXTRA = {
     "degen_oracle": {"SPARK_GRAFT_DEGEN_ORACLE": "1"},
     "stream_lsh_scale": {"SPARK_GRAFT_STREAM_SCALE": "1"},
     "oracle_parity_sf01": {"SPARK_GRAFT_ORACLE_SF": "/root/testdata/sf0.1"},
     "scale_probe_x100": {"SPARK_GRAFT_SCALE_REPLICAS": "100"},
-    "scale_probe_all": {"SPARK_GRAFT_SCALE_ALL": "1"},
+    "scale_probe_all": {
+        "SPARK_GRAFT_SCALE_ALL": "1",
+        "SPARK_DRIVER_MEM": "48g",
+    },
     "scale_probe_all_x100": {
         "SPARK_GRAFT_SCALE_ALL": "1",
         "SPARK_GRAFT_SCALE_REPLICAS": "100",
-        "SPARK_GRAFT_SCALE_RUNS": "1",
         # local mode shares ONE JVM heap across all 32 executor threads;
         # the default 8g that fits every other surface died (driver JVM
         # gone, ConnectionRefused) partway through the heaviest plans on
@@ -237,9 +244,43 @@ def check_final(record: dict) -> list[str]:
                 )
         if rec.get("ok") and commit and rec.get("source_dirty"):
             bad.append(f"{name}: recorded over a dirty source tree")
+        # Round-8 ask #5: the recorder is excluded from the engine pathspec
+        # as "the measuring instrument", but ENV_EXTRA lives in it and
+        # CHANGES WHAT A SURFACE MEASURES. Each record carries the effective
+        # env it ran under; a record whose env differs from the recorder's
+        # CURRENT env for that surface no longer describes what a rerun
+        # would measure, so it is stale.
+        if rec.get("ok") and name in SURFACES:
+            want_env = _effective_env(name)
+            if "env" not in rec:
+                bad.append(f"{name}: recorded without env (pre-r9 record)")
+            elif rec["env"] != want_env:
+                drift = sorted(
+                    k
+                    for k in set(rec["env"]) | set(want_env)
+                    if rec["env"].get(k) != want_env.get(k)
+                )
+                bad.append(
+                    f"{name}: recorded env differs from current recorder "
+                    f"env on {drift}"
+                )
     if dirty:
         bad.append("(repo): source tree is dirty at check time")
     return bad
+
+
+def _effective_env(name: str) -> dict:
+    """The surface's measured conditions (round-8 verdict ask #5): its
+    ENV_EXTRA plus the effective driver heap. Recorded per surface and
+    compared by --final, so a recorder-env edit AFTER a record stales that
+    record instead of silently re-labeling what it measured."""
+    extra = dict(ENV_EXTRA.get(name, {}))
+    return {
+        **extra,
+        "driver_mem_effective": extra.get(
+            "SPARK_DRIVER_MEM", os.environ.get("SPARK_DRIVER_MEM", "8g")
+        ),
+    }
 
 
 def run_surface(name: str) -> dict:
@@ -270,6 +311,7 @@ def run_surface(name: str) -> dict:
             "timed_out_after_sec": TIMEOUT_SEC.get(name, 3600),
             "commit": commit,
             "source_dirty": dirty,
+            "env": _effective_env(name),
             "started_utc": started.isoformat(timespec="seconds"),
             "wall_clock_sec": round((ended - started).total_seconds(), 1),
             "tail": tail[-2000:],
@@ -282,6 +324,7 @@ def run_surface(name: str) -> dict:
         "returncode": proc.returncode,
         "commit": commit,
         "source_dirty": dirty,
+        "env": _effective_env(name),
         "started_utc": started.isoformat(timespec="seconds"),
         "wall_clock_sec": round((ended - started).total_seconds(), 1),
     }
@@ -340,6 +383,7 @@ def run_surface(name: str) -> dict:
                 "skipped_allowed_quadratic", []
             )
             rec["stale_scale_allow"] = parsed.get("stale_scale_allow", [])
+            rec["decade"] = parsed.get("decade")
             rec["errors"] = parsed.get("errors", {})
             # full-registry mode: keep the record readable — persist only
             # the slowest-growing plans, the full map lives in the run log
