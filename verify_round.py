@@ -34,8 +34,10 @@ each one, nine as of round 7):
                      recorded as skipped): closes the 10x sweep's
                      MIN_SCALED_SEC blind spot, since quadratic growth at
                      100x clears the sub-second floor from any base
-                     (round-7 ask #4 / advice #3). One timing run
-                     (SPARK_GRAFT_SCALE_RUNS=1) bounds the wall clock.
+                     (round-7 ask #4 / advice #3). Runs under the SAME
+                     N_RUNS (2, the ALL-mode default) and heap (48g) as
+                     scale_probe_all so the decade-over-decade gate
+                     (round-8 ask #1) can compare the two records.
 
 — and writes pass counts, timestamps, and wall-clock per surface to
 ``VERIFY_r{N}.json``. Usage::
@@ -53,6 +55,12 @@ writes). ``python verify_round.py N --final`` validates the finished record:
 every surface must be ok, carry ``commit`` equal to the repo HEAD at check
 time, and have been recorded over a clean tree — so "every surface describes
 the shipped code" is machine-checked, not hand-audited.
+
+Round-8 verdict ask #5: each surface additionally records the effective
+environment it measured under (its ENV_EXTRA plus the effective driver
+heap), and ``--final`` fails when a record's env differs from the
+recorder's CURRENT env for that surface — a recorder-env edit after a
+record stales the record instead of silently re-labeling what it measured.
 """
 
 from __future__ import annotations
