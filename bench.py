@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -266,8 +267,10 @@ def main() -> None:
     # subtotal and the per-query dict.
     total = round(sum(times[n] for n in headline + heavy), 4)
     sent_min = min(sentinel_runs)
-    sent_sorted = sorted(sentinel_runs)
-    sent_median = sent_sorted[len(sent_sorted) // 2]
+    # true median (averages the two middle elements when the run count is
+    # even) — the upper-middle element would bias the *_sentinel_norm_median
+    # subtotals toward the slower sample on even run counts (round-9 advice)
+    sent_median = round(statistics.median(sentinel_runs), 4)
     # Two normalizations, used for different jobs (round-8 verdict ask #4):
     # the MIN-based one matches the subtotals' estimator (they aggregate
     # per-query mins) but is noisy — r8's sentinel mins spanned 25%

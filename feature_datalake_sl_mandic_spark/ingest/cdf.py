@@ -177,32 +177,47 @@ def ingest_incremental_cdf(
 
 from feature_datalake_sl_mandic_spark.registry import register  # noqa: E402
 
-# Scratch txlog roots for the registered query, ONE per sf_dir, wiped and
-# rebuilt on each execution and removed at process exit (round-8 advice:
-# mkdtemp-per-execution leaked multiple full customer-table copies per bench
-# run / probe sweep, material /tmp growth on the 100x inflated lake). The
-# rebuild invalidates any STILL-UNCONSUMED DataFrame from the previous
-# execution against the same sf_dir — every harness caller (bench, oracle
-# parity, scale probe, driver) forces execution before re-invoking, so the
-# bounded footprint is the right trade.
-_SCRATCH_BY_SF: dict[str, str] = {}
+# Scratch txlog roots for the registered query: one SHARED root per sf_dir
+# (removed at process exit), with a fresh uuid-named subdirectory per
+# EXECUTION and the previous execution's subdir deleted on entry (round-9
+# advice). The footprint stays bounded at ~one live lake copy per sf_dir
+# (the round-8 leak fix), but two executions never share a live txlog path:
+# a still-unconsumed DataFrame from execution N-1 goes stale only when
+# execution N starts tearing its subdir down, and two CONCURRENT executions
+# in one process (threads sharing a session) get disjoint paths — the lock
+# makes the swap-and-delete atomic, so neither can wipe a subdir the other
+# just allocated.
+_SCRATCH_BY_SF: dict[str, tuple[str, str]] = {}  # sf_dir -> (root, live subdir)
+_SCRATCH_LOCK = None  # created lazily; module import must stay cheap
 
 
 def _scratch_dir(sf_dir: str) -> str:
     import atexit
+    import os
     import shutil
     import tempfile
+    import threading
+    import uuid
 
-    d = _SCRATCH_BY_SF.get(sf_dir)
-    if d is None:
-        d = tempfile.mkdtemp(prefix="cdf_query_")
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
-        _SCRATCH_BY_SF[sf_dir] = d
-    else:
-        shutil.rmtree(d, ignore_errors=True)
-    import os
-
-    os.makedirs(d, exist_ok=True)
+    global _SCRATCH_LOCK
+    if _SCRATCH_LOCK is None:
+        _SCRATCH_LOCK = threading.Lock()
+    with _SCRATCH_LOCK:
+        entry = _SCRATCH_BY_SF.get(sf_dir)
+        if entry is None:
+            root = tempfile.mkdtemp(prefix="cdf_query_")
+            atexit.register(shutil.rmtree, root, ignore_errors=True)
+            prev = None
+        else:
+            root, prev = entry
+        d = os.path.join(root, uuid.uuid4().hex)
+        os.makedirs(d, exist_ok=True)
+        _SCRATCH_BY_SF[sf_dir] = (root, d)
+    # delete the superseded subdir OUTSIDE the lock (it can hold a full
+    # table copy; holding the lock through the rmtree would serialize
+    # concurrent executions on IO)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
     return d
 
 

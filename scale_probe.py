@@ -100,6 +100,16 @@ MIN_SCALED_SEC = 1.0
 # outlier class (33x) still trips it with 2x margin.
 DECADE_TOL = 1.5
 DECADE_BASE_REPLICAS = 10
+# Denominator floor for the decade ratio (round-9 verdict ask #4): a 10x
+# scaled time below this is fixed-overhead-dominated, so scaled_hi/scaled_10x
+# measures noise, not growth (r9: dedup_exact_documents read 13.19 on a
+# ~0.01 s/replica pair — clearly sub-linear in absolute terms, flapping the
+# 15x gate on ratio arithmetic alone). Such names are recorded in
+# ``below_floor`` instead of carrying a ratio; their asymptotics are still
+# covered by the per-replica gate on ABSOLUTE time at both decades. The
+# numerator side has the symmetric MIN_SCALED_SEC guard. Never widen
+# DECADE_TOL for a noisy denominator.
+DECADE_DENOM_FLOOR_SEC = 0.5
 _CACHE_DIR = os.path.join(REPO, ".bench_data", "scale_probe_cache")
 
 # Superlinear ALLOW list (the plans/probe.py pattern: every entry carries
@@ -337,11 +347,16 @@ def prepare_scaled_dir(spark, sf_dir: str, replicas: int) -> str:
 
 
 def _git_head() -> str:
-    import subprocess
+    """Newest ENGINE commit (round-9 verdict ask #3): the fingerprint used
+    to pin decades to a commit must survive artifact/docs/recorder commits
+    between a 10x record and its 100x twin — a README commit cannot change
+    what a plan measures, but pinning bare HEAD forced the builder to
+    sequence the entire two-decade record around zero intervening commits.
+    Reuses verify_round's _ENGINE_PATHSPEC (the one source of truth for
+    "what counts as the engine"); an actual engine commit still stales."""
+    import verify_round
 
-    return subprocess.run(
-        ["git", "rev-parse", "HEAD"], cwd=REPO, capture_output=True, text=True
-    ).stdout.strip()
+    return verify_round._engine_head()
 
 
 def _decade_fingerprint(sf_dir: str) -> dict:
@@ -360,6 +375,40 @@ def _decade_fingerprint(sf_dir: str) -> dict:
 def _decade_record_path(replicas: int) -> str:
     mode = "all" if ALL_QUERIES else "heavy"
     return os.path.join(_CACHE_DIR, f"{mode}_x{replicas}.json")
+
+
+def _persist_decade_record(
+    fingerprint: dict, base: dict, scaled: dict, errors: dict
+) -> None:
+    """Persist this run's per-query timings as the decade baseline record.
+
+    An error-ridden sweep must not silently replace a previously-good
+    baseline (round-9 advice): a clean run persists as-is; a run with
+    per-query errors persists with ``partial=true`` (so _decade_gate refuses
+    to gate against it, the same fail-closed treatment as an env mismatch) —
+    and never overwrites an existing CLEAN same-fingerprint record at all.
+    """
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    record = {
+        "fingerprint": fingerprint,
+        "replicas": REPLICAS,
+        "base": base,
+        "scaled": scaled,
+    }
+    if errors:
+        record["partial"] = True
+        record["errors"] = errors
+    rec_path = _decade_record_path(REPLICAS)
+    if errors:
+        try:
+            with open(rec_path) as f:
+                old = json.load(f)
+            if not old.get("partial") and old.get("fingerprint") == fingerprint:
+                return  # keep the clean baseline
+        except (FileNotFoundError, json.JSONDecodeError):
+            pass
+    with open(rec_path, "w") as f:
+        json.dump(record, f, indent=1)
 
 
 def _decade_gate(scaled: dict, fingerprint: dict) -> dict | None:
@@ -388,6 +437,16 @@ def _decade_gate(scaled: dict, fingerprint: dict) -> dict | None:
             f"{DECADE_BASE_REPLICAS}x probe first under this env"
         )
         return out
+    if rec.get("partial"):
+        # a 10x sweep that hit per-query errors persists only as partial
+        # (round-9 advice): gating against it would let the errored names
+        # escape the decade comparison while the surface reads green
+        out["status"] = (
+            f"{DECADE_BASE_REPLICAS}x record is partial (recorded with "
+            f"errors: {sorted(rec.get('errors', {}))[:5]}) — re-run the "
+            f"{DECADE_BASE_REPLICAS}x probe clean first"
+        )
+        return out
     got = dict(rec.get("fingerprint", {}))
     if got != fingerprint:
         diff = sorted(
@@ -401,19 +460,38 @@ def _decade_gate(scaled: dict, fingerprint: dict) -> dict | None:
         )
         return out
     base10 = rec.get("scaled", {})
+    # names timed at this decade but absent from the 10x record cannot be
+    # decade-checked at all; silently dropping them (the pre-r10 behavior)
+    # let a plan whose 10x run failed escape the gate (round-9 advice) —
+    # fail closed instead
+    out["uncompared"] = sorted(n for n in scaled if n not in base10)
+    if out["uncompared"]:
+        out["status"] = (
+            f"{len(out['uncompared'])} names have no {DECADE_BASE_REPLICAS}x "
+            f"timing to compare against ({out['uncompared'][:5]}...) — "
+            f"re-run the {DECADE_BASE_REPLICAS}x probe over the same set"
+        )
+        return out
+    # ratio only where the denominator clears the floor; sub-floor names are
+    # listed, not ratio'd (round-9 verdict ask #4 — see DECADE_DENOM_FLOOR_SEC)
     ratios = {
         n: round(sec / base10[n], 2)
         for n, sec in scaled.items()
-        if base10.get(n)
+        if base10[n] >= DECADE_DENOM_FLOOR_SEC
     }
+    out["below_floor"] = sorted(
+        n for n in scaled if base10[n] < DECADE_DENOM_FLOOR_SEC
+    )
     out["superlinear_decade"] = sorted(
         n
         for n, r in ratios.items()
         if r > gate and scaled[n] >= MIN_SCALED_SEC and n not in SCALE_ALLOW
     )
     out["n_compared"] = len(ratios)
+    out["n_below_floor"] = len(out["below_floor"])
     # keep the printed line readable: top growers only; the full map lives
-    # in the cache record
+    # in the cache record (snapshotted per round to SCALE_DECADE_r{N}.json
+    # by verify_round.py — round-9 verdict ask #2)
     out["ratios"] = dict(sorted(ratios.items(), key=lambda kv: -kv[1])[:20])
     return out
 
@@ -439,18 +517,7 @@ def main() -> int:
     errors = {n: f"base: {m}" for n, m in base_errs.items()}
     errors.update({n: f"scaled: {m}" for n, m in scaled_errs.items()})
     fingerprint = _decade_fingerprint(sf_dir)
-    os.makedirs(_CACHE_DIR, exist_ok=True)
-    with open(_decade_record_path(REPLICAS), "w") as f:
-        json.dump(
-            {
-                "fingerprint": fingerprint,
-                "replicas": REPLICAS,
-                "base": base,
-                "scaled": scaled,
-            },
-            f,
-            indent=1,
-        )
+    _persist_decade_record(fingerprint, base, scaled, errors)
     decade = _decade_gate(scaled, fingerprint)
     queries = {}
     for n in names:

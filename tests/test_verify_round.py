@@ -164,3 +164,51 @@ def test_engine_head_is_a_commit_reachable_from_head():
         ).returncode
         == 0
     )
+
+
+def test_artifact_re_covers_decade_and_skew_snapshots():
+    assert vr._ARTIFACT_RE.search("SCALE_DECADE_r10.json")
+    assert vr._ARTIFACT_RE.search("SKEW_PROBE_r10.json")
+
+
+def test_effective_env_ignores_checker_shell(monkeypatch):
+    """Round-9 advice: --final must not compare records against the
+    checker's shell — an exported SPARK_DRIVER_MEM used to spuriously stale
+    every default-heap surface (and silently re-label records made under a
+    non-default heap)."""
+    monkeypatch.setenv("SPARK_DRIVER_MEM", "64g")
+    assert vr._effective_env("bench")["driver_mem_effective"] == "8g"
+    assert vr._effective_env("scale_probe_all")["driver_mem_effective"] == "48g"
+
+
+def test_measurement_env_stripped_from_surface_subprocess():
+    """run_surface strips shell-exported measurement vars before applying
+    ENV_EXTRA, so a surface always measures the recorder's prescription."""
+    for var in ("SPARK_DRIVER_MEM", "SPARK_GRAFT_SCALE_REPLICAS", "SPARK_GRAFT_SF_DIR"):
+        assert var in vr._MEASUREMENT_ENV
+    # ENV_EXTRA keys must still reach the subprocess (prescription wins)
+    assert vr.ENV_EXTRA["scale_probe_all"]["SPARK_DRIVER_MEM"] == "48g"
+
+
+def test_snapshot_decade_record_merges_cache(tmp_path, monkeypatch):
+    """Round-9 verdict ask #2: the full per-query decade maps become a
+    committed per-round artifact instead of dying in the untracked,
+    self-overwriting cache."""
+    import json
+    import os
+
+    monkeypatch.setattr(vr, "REPO", str(tmp_path))
+    cache = tmp_path / ".bench_data" / "scale_probe_cache"
+    os.makedirs(cache)
+    rec10 = {"fingerprint": {"commit": "a" * 40}, "replicas": 10,
+             "base": {"q": 0.5}, "scaled": {"q": 4.0}}
+    rec100 = {"fingerprint": {"commit": "a" * 40}, "replicas": 100,
+              "base": {"q": 0.5}, "scaled": {"q": 40.0}}
+    (cache / "all_x10.json").write_text(json.dumps(rec10))
+    vr.snapshot_decade_record(10, "scale_probe_all")
+    (cache / "all_x100.json").write_text(json.dumps(rec100))
+    vr.snapshot_decade_record(10, "scale_probe_all_x100")
+    vr.snapshot_decade_record(10, "pytest")  # non-scale surface: no-op
+    snap = json.loads((tmp_path / "SCALE_DECADE_r10.json").read_text())
+    assert snap["all_x10"] == rec10 and snap["all_x100"] == rec100
+    assert set(snap) == {"all_x10", "all_x100"}

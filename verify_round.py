@@ -167,6 +167,7 @@ TIMEOUT_SEC = {
 # surface after the first would self-report stale.
 _ARTIFACT_RE = re.compile(
     r"(VERIFY_r\d+\.json|BENCH(_DETAIL)?_r\d+\.json|CORRECTNESS_r\d+\.json"
+    r"|SCALE_DECADE_r\d+\.json|SKEW_PROBE_r\d+\.json"
     r"|derby\.log|spark-warehouse/|metastore_db/|__pycache__/|\.pyc$"
     r"|\.pytest_cache/|\.hypothesis/)"
 )
@@ -198,6 +199,8 @@ _ENGINE_PATHSPEC = [
     ":(exclude)BENCH_r*.json",
     ":(exclude)BENCH_DETAIL_r*.json",
     ":(exclude)CORRECTNESS_r*.json",
+    ":(exclude)SCALE_DECADE_r*.json",
+    ":(exclude)SKEW_PROBE_r*.json",
     ":(exclude)PROGRESS.jsonl",
     ":(exclude)verify_round.py",
     ":(exclude)tests/test_verify_round.py",
@@ -277,22 +280,45 @@ def check_final(record: dict) -> list[str]:
     return bad
 
 
+# Environment variables that change what a surface MEASURES. run_surface
+# strips any of these the shell happens to export before applying the
+# surface's ENV_EXTRA, so a surface always runs under the recorder's
+# prescription — and _effective_env can pin the literal defaults instead of
+# reading the checker's shell at --final time (round-9 advice: an exported
+# SPARK_DRIVER_MEM at check time spuriously staled every default-heap
+# surface; exported at record time, it silently measured a non-default heap).
+_MEASUREMENT_ENV = (
+    "SPARK_DRIVER_MEM",
+    "SPARK_GRAFT_SCALE_REPLICAS",
+    "SPARK_GRAFT_SCALE_ALL",
+    "SPARK_GRAFT_SCALE_RUNS",
+    "SPARK_GRAFT_SCALE_SKEW",
+    "SPARK_GRAFT_ORACLE_SF",
+    "SPARK_GRAFT_SF_DIR",
+    "SPARK_GRAFT_BENCH_RUNS",
+    "SPARK_GRAFT_DEGEN_ORACLE",
+    "SPARK_GRAFT_STREAM_SCALE",
+)
+
+
 def _effective_env(name: str) -> dict:
     """The surface's measured conditions (round-8 verdict ask #5): its
     ENV_EXTRA plus the effective driver heap. Recorded per surface and
     compared by --final, so a recorder-env edit AFTER a record stales that
-    record instead of silently re-labeling what it measured."""
+    record instead of silently re-labeling what it measured. The driver
+    heap is the literal '8g' default unless ENV_EXTRA prescribes one —
+    run_surface strips shell-exported measurement vars, so the prescription
+    IS the effective env, independent of the checker's shell."""
     extra = dict(ENV_EXTRA.get(name, {}))
     return {
         **extra,
-        "driver_mem_effective": extra.get(
-            "SPARK_DRIVER_MEM", os.environ.get("SPARK_DRIVER_MEM", "8g")
-        ),
+        "driver_mem_effective": extra.get("SPARK_DRIVER_MEM", "8g"),
     }
 
 
 def run_surface(name: str) -> dict:
-    env = dict(os.environ, **ENV_EXTRA.get(name, {}))
+    env = {k: v for k, v in os.environ.items() if k not in _MEASUREMENT_ENV}
+    env.update(ENV_EXTRA.get(name, {}))
     commit, dirty = _git_state()
     started = datetime.datetime.now(datetime.timezone.utc)
     try:
@@ -415,6 +441,46 @@ def run_surface(name: str) -> dict:
     return rec
 
 
+# Which scale_probe cache record each surface produces (mode, replicas) —
+# snapshotted per round so the FULL per-query decade maps are a committed
+# artifact (round-9 verdict ask #2: VERIFY records n_compared=239 but only
+# the top-20 ratios survived for post-hoc audit; the cache is untracked and
+# self-overwriting, so a future judge needed a 2-hour re-record to re-check
+# query #21-#239).
+_DECADE_CACHE_KEYS = {
+    "scale_probe": ("heavy", 10),
+    "scale_probe_x100": ("heavy", 100),
+    "scale_probe_all": ("all", 10),
+    "scale_probe_all_x100": ("all", 100),
+}
+
+
+def snapshot_decade_record(rnd: int, surface: str) -> None:
+    """Merge the surface's scale-probe cache record (fingerprint + full
+    per-query base/scaled timing maps) into SCALE_DECADE_r{N}.json."""
+    key = _DECADE_CACHE_KEYS.get(surface)
+    if key is None:
+        return
+    mode, replicas = key
+    cache = os.path.join(
+        REPO, ".bench_data", "scale_probe_cache", f"{mode}_x{replicas}.json"
+    )
+    try:
+        with open(cache) as f:
+            rec = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return
+    path = os.path.join(REPO, f"SCALE_DECADE_r{rnd:02d}.json")
+    try:
+        with open(path) as f:
+            snap = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        snap = {}
+    snap[f"{mode}_x{replicas}"] = rec
+    with open(path, "w") as f:
+        json.dump(snap, f, indent=1)
+
+
 def main() -> int:
     rnd = int(sys.argv[1])
     only = sys.argv[2:] or list(SURFACES)
@@ -440,6 +506,7 @@ def main() -> int:
         print(f"[verify] {name}: {json.dumps(record[name])[:300]}", flush=True)
         with open(path, "w") as f:
             json.dump(record, f, indent=1)
+        snapshot_decade_record(rnd, name)
     bad = [n for n, r in record.items() if not r.get("ok")]
     print(f"[verify] wrote {path}; failing surfaces: {bad or 'none'}")
     return 1 if bad else 0
