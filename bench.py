@@ -103,7 +103,16 @@ HEAVY = [
     "ann_ivf_pq",
     "ann_ivf_pq_packed",
     "corpus_curation_end_to_end",
+    # Round-10 additions (r9 verdict ask #6): the DF-capped ngram pair is
+    # the registered 100 TB scale path the SCALE_ALLOW text points at, so it
+    # carries round-over-round timing history like every other named scale
+    # path. `heavy_llm` (and `value`) grow by these two from r10 on; the
+    # `heavy_llm_r9set` / `value_r9set` subtotals keep the pre-r10 sums so
+    # cross-round comparison stays like-for-like.
+    "dedup_ngram_jaccard_capped",
+    "dedup_ngram_containment_capped",
 ]
+_HEAVY_R9SET = HEAVY[:5]
 
 # Round-6 widening (verdict ask #6): the top-shuffle plans per PLANS.md that
 # had no bench row, so a regression in them was invisible. Kept in their own
@@ -281,12 +290,16 @@ def main() -> None:
     # attribution aid.
     norm = SENTINEL_REF_SEC / max(sent_min, 1e-9)
     norm_med = SENTINEL_REF_SEC / max(sent_median, 1e-9)
+    heavy_r9 = [n for n in _HEAVY_R9SET if n in specs]
     subtotals = {
         "headline_12": round(sum(times[n] for n in headline), 4),
         "heavy_llm": round(sum(times[n] for n in heavy), 4),
         "heavy_wide": round(sum(times[n] for n in heavy_wide), 4),
+        # pre-r10 sums for like-for-like round-over-round comparison
+        "heavy_llm_r9set": round(sum(times[n] for n in heavy_r9), 4),
+        "value_r9set": round(sum(times[n] for n in headline + heavy_r9), 4),
     }
-    for key in ("headline_12", "heavy_llm", "heavy_wide"):
+    for key in ("headline_12", "heavy_llm", "heavy_wide", "heavy_llm_r9set"):
         subtotals[f"{key}_sentinel_norm"] = round(subtotals[key] * norm, 4)
         subtotals[f"{key}_sentinel_norm_median"] = round(
             subtotals[key] * norm_med, 4
