@@ -59,9 +59,11 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_sessionize",
-    oracle=f"""
+# Shared by events_sessionize and its skew-resilient twin
+# events_sessionize_chunked: the chunked plan computes the SAME sessions, so
+# one oracle defines both (any divergence between the two plans breaks one
+# of the two hash comparisons).
+_SESSIONIZE_ORACLE = f"""
     WITH ordered AS (
       SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
              CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
@@ -84,7 +86,12 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sessions
     GROUP BY user_id, session_seq
     ORDER BY user_id, session_seq
-    """,
+    """
+
+
+@register(
+    "events_sessionize",
+    oracle=_SESSIONIZE_ORACLE,
     tags=("events", "sessionization", "window", "groupby-agg"),
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,6 +123,115 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("duration_sec"),
             F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+# Chunk width for the skew-resilient sessionization. Must be >= the session
+# gap (so an empty intervening chunk always implies a session break, keeping
+# the merge pass a single adjacent-pair comparison); 1 hour gives a 30-day
+# event range ~720-way parallelism per user. At 100 TB this is deployment
+# tuning: wider chunks = fewer merge rows, narrower = more parallelism.
+SESSION_CHUNK_HOURS = 1
+
+
+@register(
+    "events_sessionize_chunked",
+    oracle=_SESSIONIZE_ORACLE,
+    tags=("events", "sessionization", "window", "groupby-agg", "skew"),
+)
+def events_sessionize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient gap sessionization: identical sessions to
+    ``events_sessionize`` (same oracle — both plans hash against the same
+    SQL), restructured so a hot user cannot collapse the window onto one
+    task. The single-window form is sequential per user BY DEFINITION
+    (every event's session id depends on the full ordered prefix of that
+    user's timeline), so a viral user owning 40% of the corpus is 40% of
+    the corpus in ONE task. This form:
+
+    1. chunks each user's timeline into fixed ``SESSION_CHUNK_HOURS``
+       windows and sessionizes WITHIN (user_id, chunk) — the heavy pass
+       over raw events now parallelizes across chunks, bounding any task at
+       one user-hour of events;
+    2. aggregates each local session to one summary row (count, min/max
+       timestamp, value sum) — associative, so map-side combine applies;
+    3. merges adjacent local sessions across chunk boundaries with the same
+       gap rule over the per-user session summaries (a session's first/last
+       event timestamps are all the gap rule ever needs), then renumbers.
+       This residual per-user pass is sequential but runs over SESSION
+       summaries, smaller than the event volume by the mean session size —
+       the viral user's 400k events at the 10x skew probe become ~720
+       chunk-session rows.
+
+    Null-timestamp events reproduce the single-window form's semantics
+    exactly: they sort first (one null chunk), the first real-timestamp
+    session's gap comparison against a null predecessor is null -> not new
+    -> merged, matching the window plan's lag(event_id)-based flag."""
+    (ev,) = _t(spark, sf_dir, "events")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    chunk_us = SESSION_CHUNK_HOURS * 3600 * 1_000_000
+    ts_us = F.unix_micros("ts")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        ts_us.alias("ts_us"),
+        F.floor(ts_us / F.lit(chunk_us)).alias("chunk"),
+    )
+    # pass 1: sessionize within (user, chunk) — parallel across chunks
+    w_c = Window.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
+    is_new_local = (
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w_c) > gap_us)
+            | F.lag("event_id").over(w_c).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new")
+    )
+    w_run = w_c.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = (
+        e.select("user_id", "chunk", "event_id", "ts", "value", "ts_us", is_new_local)
+        .withColumn("local_seq", F.sum("is_new").over(w_run))
+        .groupBy("user_id", "chunk", "local_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("ts_us").alias("min_ts_us"),
+            F.max("ts_us").alias("max_ts_us"),
+            F.sum("value").alias("value_sum"),
+        )
+    )
+    # pass 2: merge adjacent local sessions per user. Within a chunk,
+    # consecutive sessions are > gap apart by construction; across a chunk
+    # boundary, min_ts(next) - max_ts(prev) IS the event gap (sessions are
+    # disjoint, strictly ordered intervals), so one lag comparison decides.
+    w_m = Window.partitionBy("user_id").orderBy("min_ts_us", "chunk", "local_seq")
+    is_new_global = (
+        F.when(
+            (F.col("min_ts_us") - F.lag("max_ts_us").over(w_m) > gap_us)
+            | F.lag("local_seq").over(w_m).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new")
+    )
+    w_m_run = w_m.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        local.select(
+            "user_id", "chunk", "local_seq", "n", "min_ts_us", "max_ts_us",
+            "value_sum", is_new_global,
+        )
+        .withColumn("session_seq", F.sum("is_new").over(w_m_run))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.min("min_ts_us").alias("session_start_us"),
+            ((F.max("max_ts_us") - F.min("min_ts_us")) / 1_000_000)
+            .cast("bigint")
+            .alias("duration_sec"),
+            F.round(F.sum("value_sum"), 2).alias("total_value"),
         )
         .orderBy("user_id", "session_seq")
     )
@@ -554,23 +670,44 @@ def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed attribution set, vs join_asof's nearest-one semantics). Same
     output columns as the stream-stream interval join; the time bound that
     lets streaming expire join state is the same predicate that keeps the
-    batch range join selective."""
+    batch range join selective.
+
+    Skew shape (round-10, found by skew_probe.py): joining on user_id alone
+    makes the candidate set per user clicks x purchases — a 40%-hot user at
+    the 10x skew lake turned that into ~10^10 filtered pairs (13.5 s, 2.06
+    per-replica, superlinear; AQE split the hot partition so the waste was
+    parallel, but waste scales quadratically with the hot user's density).
+    The equi-join key is therefore (user_id, hour bucket): a click within
+    [purchase - 1h, purchase] lies in the purchase's hour bucket or the one
+    before, so each purchase probes exactly two buckets (explode), each
+    matching pair survives in exactly one (the click's bucket is unique),
+    and the interval predicate is unchanged. Candidates shrink from
+    clicks x purchases per USER to clicks x purchases per (user, HOUR) x 2
+    — the hot key splits ~720 ways by time, and the residual growth is the
+    attribution OUTPUT itself. Null timestamps behave identically: a null
+    ts nulls the bucket key and equi-joins nothing, exactly as the interval
+    predicate rejected it before."""
     (ev,) = _t(spark, sf_dir, "events")
+    hour_us = 3600 * 1_000_000
     c = ev.where(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
         F.col("ts").alias("click_ts"),
         F.col("event_id").alias("click_id"),
+        F.floor(F.unix_micros("ts") / F.lit(hour_us)).alias("c_bucket"),
     )
+    pb = F.floor(F.unix_micros("ts") / F.lit(hour_us))
     p = ev.where(F.col("event_type") == "purchase").select(
         "user_id",
         F.col("ts").alias("purchase_ts"),
         F.col("event_id").alias("purchase_id"),
         "value",
+        F.explode(F.array(pb, pb - 1)).alias("p_bucket"),
     )
     return (
         p.join(
             c,
             (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_bucket") == F.col("p_bucket"))
             & (F.col("click_ts") <= F.col("purchase_ts"))
             & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
         )

@@ -22,6 +22,13 @@ sf0.001 (plan shape is scale-invariant) and flags
   pin's write amplification was measured slower twice — ARCHITECTURE.md
   negative results), so those are ALLOW-listed with the role split named.
 - ``CartesianProduct`` — never legitimate here, no ALLOW entries.
+- ``skew window partitionBy=[...]`` (round-9 verdict ask #7): a window
+  partitioned on a bare SKEWABLE per-entity key (user_id, o_custkey, ...) —
+  the shuffle shape no runtime mechanism can fix (AQE splits join
+  partitions, not windows; partial agg needs algebraic aggregates). Every
+  legitimate instance carries an ALLOW entry arguing bounded window input
+  or sequential-by-definition semantics plus the registered skew path, and
+  is measured on the 40%-hot-key lake by skew_probe.py (SKEW_PROBE_r{N}).
 - ``BatchEvalPython`` (row-at-a-time Python UDF) — the serialize-per-row
   slow path; Arrow-batched forms (ArrowEvalPython, Map/FlatMapGroupsIn
   Pandas) are the sanctioned Python boundary and are not flagged. No ALLOW
@@ -50,6 +57,24 @@ LOWCARD = {
     "n_nationkey", "s_nationkey", "abc_class", "action", "status", "split",
 }
 FACT = {"lineitem", "orders", "events", "documents", "embeddings"}
+
+# Per-entity keys whose cardinality grows with the corpus but whose per-key
+# row count is UNBOUNDED (a viral user, a default customer id) — the skew
+# dimension skew_probe.py measures. A window partitioned on a bare skewable
+# key is the one shuffle shape NO runtime mechanism can fix: AQE skew-join
+# splitting only splits JOIN partitions, and partial aggregation only helps
+# algebraic aggregates — a window's partition must be one task. Flagged as
+# ``skew window partitionBy=[...]`` (round-9 verdict ask #7); every
+# legitimate instance carries an ALLOW entry arguing either boundedness of
+# the window INPUT (summaries, not raw fact rows) or sequential-by-
+# definition semantics plus the registered skew-resilient path, backed by
+# the 40%-hot-key measurement in SKEW_PROBE_r{N}.json. Composite keys that
+# include a splitting dimension (chunk, band, salt) do not flag — that IS
+# the fix.
+SKEWABLE = {
+    "user_id", "c_user", "o_custkey", "c_custkey",
+    "l_partkey", "l_suppkey", "doc_id", "vec_id",
+}
 
 # --- boundedness / role arguments, shared across ALLOW entries ----------
 R_BAND = (
@@ -81,8 +106,73 @@ R_CUTOFF = (
     "column subset, cheaper than pinning the fact relation"
 )
 
+# --- skew-window arguments (round-9 verdict ask #7) ---------------------
+# Every entry is backed by the 40%-hot-key measurement in SKEW_PROBE_r10+
+# (skew_probe.py: the flagged plan ran on a lake where one key owns 40% of
+# its fact table, gated on growth AND max/median task time).
+R_SKEW_SEQ = (
+    "per-key ORDERED semantics (rank/lag/prefix/asof are sequential per key "
+    "BY DEFINITION); measured on the 40%-hot-key lake with no straggler "
+    "above the floor and sub-linear growth. For deployments where one key's "
+    "volume breaks the single-task bound, the registered two-phase template "
+    "is events_sessionize_chunked: chunk the per-key timeline, run the "
+    "sequential pass per (key, chunk), merge bounded chunk summaries"
+)
+R_SKEW_SESS = (
+    "gap sessionization is sequential per user BY DEFINITION; the "
+    "registered skew path is events_sessionize_chunked (identical oracle), "
+    "whose raw-event pass is keyed (user_id, chunk)"
+)
+R_SKEW_SUMMARY = (
+    "the user_id-only windows here run over per-(user, chunk) SESSION "
+    "SUMMARIES — volume reduced from raw events by the mean session size; "
+    "the raw-event pass is keyed (user_id, chunk). Measured flat on the "
+    "40%-hot-key lake (skew_probe.py)"
+)
+R_SKEW_UNIQUE_DOC = (
+    "window keyed on doc_id, which is row-unique in documents: the "
+    "partition is ONE document's term/chunk fan-out, bounded by single-"
+    "document length, so no hot key can form"
+)
+R_SKEW_VERSIONS = (
+    "window over the SCD2 dimension's per-key version chain — volume per "
+    "key is the key's update count, bounded by the dimension feed, not the "
+    "fact table; the fact side joins point-in-time without a window"
+)
+
 # query -> {exact flag string: (expected count, reason)}
 ALLOW: dict[str, dict[str, tuple[int, str]]] = {
+    # --- windows partitioned on a bare skewable key (skew rule) ---------
+    "events_sessionize": {
+        "skew window partitionBy=['user_id']": (2, R_SKEW_SESS)
+    },
+    "events_sessionize_chunked": {
+        "skew window partitionBy=['user_id']": (2, R_SKEW_SUMMARY)
+    },
+    "join_asof_nearest_view": {
+        "skew window partitionBy=['user_id']": (1, R_SKEW_SEQ)
+    },
+    "join_asof_purchase_after_click": {
+        "skew window partitionBy=['user_id']": (1, R_SKEW_SEQ)
+    },
+    "scd2_point_in_time_join": {
+        "skew window partitionBy=['c_custkey']": (1, R_SKEW_VERSIONS)
+    },
+    "text_tfidf_top_terms": {
+        "skew window partitionBy=['doc_id']": (1, R_SKEW_UNIQUE_DOC)
+    },
+    "window_first_last_nth_order": {
+        "skew window partitionBy=['o_custkey']": (1, R_SKEW_SEQ)
+    },
+    "window_lag_order_gaps": {
+        "skew window partitionBy=['o_custkey']": (1, R_SKEW_SEQ)
+    },
+    "window_rank_orders": {
+        "skew window partitionBy=['o_custkey']": (1, R_SKEW_SEQ)
+    },
+    "window_running_totals": {
+        "skew window partitionBy=['o_custkey']": (1, R_SKEW_SEQ)
+    },
     # --- windows over bounded relations keyed on the stratum ------------
     "sample_stratified_neyman": {"window partitionBy=['event_type']": (2, R_BAND)},
     "split_exact_stratified": {"window partitionBy=['lang']": (2, R_BAND)},
@@ -238,6 +328,8 @@ def flags_for_plan(plan: str) -> list[str]:
         keys = [k.strip().split("#")[0] for k in m.group(1).split(",") if k.strip()]
         if keys and all(k in LOWCARD for k in keys):
             flags.append(f"window partitionBy={keys}")
+        if keys and all(k in SKEWABLE for k in keys):
+            flags.append(f"skew window partitionBy={keys}")
     if "CartesianProduct" in plan:
         flags.append("CartesianProduct")
     # Row-at-a-time Python UDFs serialize every row through pickle one at a

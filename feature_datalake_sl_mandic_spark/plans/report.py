@@ -221,7 +221,10 @@ def main() -> None:
         f"`plans/probe.py` swept {len(specs)} plans: {len(flagged)} queries "
         f"carry {n_flags} flags, ALL matched against the documented-"
         "legitimate ALLOW classes (bounded band/daily-aggregate windows, "
-        "role-based repeat scans, bounded-cutoff passes) — "
+        "role-based repeat scans, bounded-cutoff passes, and — round 10 — "
+        "skew windows on a bare per-entity key, each argued bounded-input "
+        "or sequential-by-definition and measured on the 40%-hot-key lake, "
+        "SKEW_PROBE_r10.json) — "
         f"**{len(unexplained)} unexplained, {len(stale)} stale allowlist "
         "entries**. CartesianProduct has no allow class; zero found.",
     ]

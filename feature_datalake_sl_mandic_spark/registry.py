@@ -222,75 +222,79 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # more slots from thrice-sweep-verified entries
 # (sketch_kmv_set_algebra_users, lm_bigram_next_tokens,
 # stats_bootstrap_ci_mean).
-# ---- round-9 window (exactly the r8 verdict ask #6 prescription) ----
-# Head: every round-9 new/changed value or plan path — the two DF-capped
-# ngram registrations (ask #2), their uncapped twins (whose bodies moved
-# into shared pair-builders this round; plan-identical, but code motion
-# re-earns its driver row), and cdf_incremental_ingest (its feed is now
-# localCheckpoint-pinned and its scratch txlog root reused per sf_dir —
-# advice items 2-4). Then the five r7-head names the verdict called the
-# next-stalest. The remaining 40 slots fill oldest-driver-green-first
+# ---- round-10 window (exactly the r9 verdict ask #5 prescription) ----
+# Head: every round-10 new/changed value or plan path — the skew-resilient
+# chunked sessionize (NEW, r9 ask #1), events_click_attribution (plan
+# changed: skew_probe.py measured its per-user interval join at 13.5 s /
+# 2.06 per-replica on the 40%-hot 10x lake; the equi-join key is now
+# (user_id, hour bucket), 0.8 s same lake, identical output), and
+# cdf_incremental_ingest (scratch txlog root now allocates a per-execution
+# uuid subdir — r9 advice). Then ALL 21 remaining last-green-in-r2 names
+# (the verdict's list; events_click_attribution among them moved to the
+# head), then the 27 alphabetically-first of the 33 last-green-in-r3 names
 # (judge convention: last round each name hash-matched in any
-# CORRECTNESS_r*.json): all 34 names last green in ROUND 1 plus the six
-# oldest round-2 names. None of their plans or oracles changed since
+# CORRECTNESS_r*.json; the remaining six r3 names lead round 11's fill).
+# None of the tail's plans or oracles changed since their last green
 # (value-path changes always window immediately), and all are green in
-# every full sf0.01/sf0.1 parity sweep — this rotation turns that into
+# every full sf0.01/sf0.1 parity sweep — the rotation turns that into
 # fresh driver-hash evidence for the longest-unchecked rows.
 _PRIORITY: list[str] = [
-    # --- round-9 new / changed paths
-    "dedup_ngram_jaccard_capped",  # NEW r9: DF-capped 100 TB ngram path (r8 verdict ask #2)
-    "dedup_ngram_containment_capped",  # NEW r9: capped containment twin
-    "dedup_ngram_jaccard",  # shared-pair-builder refactor r9 (plan-identical code motion)
-    "dedup_ngram_containment",  # shared-pair-builder refactor r9
-    "cdf_incremental_ingest",  # r9: feed localCheckpoint + scratch-root reuse (advice fixes)
-    # --- the five r7-head names (green r7, unchanged, queued since)
-    "join_lateral_topn_grouped",
-    "ann_two_stage_rerank",
-    "corpus_chunk_udtf",
-    "recursive_cte_customer_chain",
-    "er_parts_scored_matches",
-    # --- oldest driver-green: the full last-green-in-r1 set (34)
-    "topk_orders",
-    "set_ops_nations",
-    "q6_forecast_revenue",
-    "q13_customer_order_distribution",
-    "q8_market_share",
-    "q16_supplier_count_by_part",
-    "join_full_outer_nation_activity",
-    "merge_upsert_orders",
-    "pivot_status_by_nation",
-    "subquery_above_segment_avg",
-    "text_tokenize_vectorized_udf",
-    "maps_event_type_counts",
-    "join_not_in_null_aware",
-    "groupmap_user_value_trend",
-    "q22_inactive_high_balance",
-    "sample_deterministic_hash",
-    "join_broadcast_order_priority",
-    "join_semi_customers_with_urgent_orders",
-    "join_anti_customers_no_urgent",
-    "join_range_lineitem_shipped_late",
-    "join_asof_purchase_after_click",
-    "window_rank_orders",
-    "window_lag_order_gaps",
-    "window_running_totals",
-    "window_first_last_nth_order",
-    "window_range_frame_moving_avg",
-    "agg_rollup_orders",
-    "agg_cube_lineitem",
-    "agg_grouping_sets_events",
-    "agg_distinct_suppliers",
-    "agg_stats_acctbal",
-    "agg_conditional_pivot",
-    "agg_unpivot_nation_metrics",
-    "scalar_string_part",
-    # --- then the six oldest last-green-in-r2 names
-    "scalar_date_orders",
-    "scalar_math_lineitem",
-    "scalar_json_events",
-    "arrays_posexplode_leading_tokens",
-    "events_tumbling_hourly",
-    "events_sessionize",
+    # --- round-10 new / changed paths
+    "events_sessionize_chunked",  # NEW r10: skew-resilient two-phase sessionize (r9 ask #1)
+    "events_click_attribution",  # r10: hour-bucketed interval join (skew_probe found the
+    #   per-user candidate blowup: 13.5s -> 0.8s on the 40%-hot 10x lake)
+    "cdf_incremental_ingest",  # r10: per-execution uuid scratch subdir (r9 advice)
+    # --- the remaining 20 last-green-in-r2 names (r9 verdict ask #5 list,
+    #     minus events_click_attribution which moved to the head)
+    "agg_approx_sketches",
+    "arrays_collect_per_order",
+    "change_detection",
+    "corpus_chunk_sliding",
+    "corpus_mixture_resample",
+    "corpus_pii_redact",
+    "dedup_exact_documents",
+    "dedup_levenshtein_blocked",
+    "events_funnel_signup_purchase",
+    "events_session_window_builtin",
+    "events_time_rollup",
+    "events_user_profiles_batch",
+    "multimodal_ppm_decode",
+    "nested_json_shred",
+    "sample_stratified_orders",
+    "text_fingerprint",
+    "text_language_id",
+    "text_quality_score",
+    "text_token_stats",
+    "txlog_merge_upsert",
+    # --- then the 27 alphabetically-first of the 33 last-green-in-r3 names
+    #     (the remaining six lead the round-11 fill)
+    "bloom_prefilter_supplier_join",
+    "corpus_length_batches",
+    "dedup_prefix_fingerprint",
+    "events_assoc_rules",
+    "events_markov_transitions",
+    "events_sequence_pattern",
+    "graph_bfs_distances",
+    "graph_cosupply_triangles",
+    "graph_min_cost_paths",
+    "graph_pagerank_cosupply",
+    "incremental_agg_refresh",
+    "profile_orders_columns",
+    "q11_important_part_value",
+    "q12_priority_by_linestatus",
+    "q15_top_supplier",
+    "q20_excess_supply_share",
+    "q2_min_cost_supplier",
+    "q9_product_profit_by_nation_year",
+    "quality_decile_stats",
+    "quality_unigram_entropy",
+    "quality_unigram_perplexity",
+    "source_overlap_jaccard",
+    "stats_chi2_segment_priority",
+    "stats_mutual_info_lang_source",
+    "text_bm25_search",
+    "text_sparse_cosine_pairs",
+    "ts_ewma_daily_value",
 ]
 # (multimodal_feature_extract was retired from the registry in round 4: its
 # codec stubs made it permanently rows-only and every registered query must

@@ -67,7 +67,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
-        .config("spark.ui.enabled", "false")
+        # UI off by default (test/bench hygiene); SPARK_GRAFT_UI=1 turns it
+        # on for probes that read task-time dispersion from the status REST
+        # API (skew_probe.py's straggler gate — the API is the UI's backend)
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
     for k, v in RUNTIME_CONFS.items():

@@ -165,6 +165,77 @@ _SHIFT_COLS: dict[str, list[str]] = {
 # so give them cores-wide file counts; relational tables stay modest.
 _WIDE_FILES = {"documents", "embeddings", "events"}
 
+# Hot-key skew injection (round-9 verdict ask #1): the replica lake is
+# uniform, so linear growth on it does not prove a plan survives a hot key —
+# and every real 100 TB corpus has one (a viral user, a default/sentinel
+# customer id, boilerplate text). With skew=True the generator remaps a
+# fixed fraction of each skewable dimension onto ONE existing key (hash of a
+# row-unique column decides membership, so the remap is deterministic and
+# replica-independent): after it, user_id=0 owns ~40% of events, customer 0
+# ~40% of orders, supplier/part 0 ~30% of lineitem each, and ~35% of
+# documents share a boilerplate PREFIX (the skew shape for text: shared
+# shingles whose document frequency grows with the corpus — exactly what
+# the registered DF cap bounds; the uncapped ngram oracles DEFINE quadratic
+# pair sets over shared shingles, so their skew answer IS the capped
+# variant, same as their SCALE_ALLOW scale path). Fractions stay constant
+# across replica counts, so base-vs-scaled growth on the skewed lake
+# measures scaling UNDER skew, and task-time dispersion on the scaled lake
+# measures whether the hot key collapses parallelism.
+SKEW_HOT_FRAC = {"events": 0.40, "orders": 0.40, "lineitem": 0.30}
+SKEW_DOC_FRAC = 0.35
+SKEW_BOILERPLATE = (
+    "terms of service apply this page is provided as is without any "
+    "warranty of any kind see the license for details "
+)
+
+
+def _apply_skew(t: str, d):
+    """Remap hot fractions onto key 0 / prepend boilerplate (see above)."""
+    from pyspark.sql import functions as F
+
+    def hot(unique_cols, frac, seed):
+        return F.pmod(
+            F.xxhash64(*[F.col(c) for c in unique_cols], F.lit(seed)), F.lit(100)
+        ) < int(frac * 100)
+
+    if t == "events":
+        d = d.withColumn(
+            "user_id",
+            F.when(hot(["event_id"], SKEW_HOT_FRAC["events"], 1), F.lit(0))
+            .otherwise(F.col("user_id"))
+            .cast("bigint"),
+        )
+    elif t == "orders":
+        d = d.withColumn(
+            "o_custkey",
+            F.when(hot(["o_orderkey"], SKEW_HOT_FRAC["orders"], 2), F.lit(0))
+            .otherwise(F.col("o_custkey"))
+            .cast("bigint"),
+        )
+    elif t == "lineitem":
+        uc = ["l_orderkey", "l_linenumber"]
+        frac = SKEW_HOT_FRAC["lineitem"]
+        d = d.withColumn(
+            "l_suppkey",
+            F.when(hot(uc, frac, 3), F.lit(0))
+            .otherwise(F.col("l_suppkey"))
+            .cast("bigint"),
+        ).withColumn(
+            "l_partkey",
+            F.when(hot(uc, frac, 4), F.lit(0))
+            .otherwise(F.col("l_partkey"))
+            .cast("bigint"),
+        )
+    elif t == "documents":
+        d = d.withColumn(
+            "text",
+            F.when(
+                hot(["doc_id"], SKEW_DOC_FRAC, 5),
+                F.concat(F.lit(SKEW_BOILERPLATE), F.col("text")),
+            ).otherwise(F.col("text")),
+        ).withColumn("n_chars", F.length("text").cast("bigint"))
+    return d
+
 
 def probe_names() -> list[str]:
     """HEAVY + HEAVY_WIDE + representative headline queries, minus plans
@@ -239,8 +310,12 @@ def _time_queries(spark, specs, names, sf_dir, n_runs):
     return times, errors, sentinel_runs
 
 
-def prepare_scaled_dir(spark, sf_dir: str, replicas: int) -> str:
+def prepare_scaled_dir(spark, sf_dir: str, replicas: int, skew: bool = False) -> str:
     """Materialize (once, manifest-cached) the replicas-fold lake.
+
+    ``skew=True`` additionally injects the hot-key distribution described at
+    SKEW_HOT_FRAC (one dominant key per skewable dimension, a boilerplate
+    document cluster) into its own cached directory — the skew probe's lake.
 
     ``replicas=1`` builds the probe's BASE lake: identical rows to the
     source, written under the SAME file-count policy as the scaled lake so
@@ -261,7 +336,10 @@ def prepare_scaled_dir(spark, sf_dir: str, replicas: int) -> str:
         if os.path.exists(p):
             src_manifest[t] = os.path.getsize(p)
     target = os.path.join(
-        REPO, ".bench_data", f"{os.path.basename(sf_dir.rstrip('/'))}x{replicas}"
+        REPO,
+        ".bench_data",
+        f"{os.path.basename(sf_dir.rstrip('/'))}x{replicas}"
+        + ("skew" if skew else ""),
     )
     marker = os.path.join(target, ".ready.json")
     import hashlib
@@ -270,11 +348,21 @@ def prepare_scaled_dir(spark, sf_dir: str, replicas: int) -> str:
     want = {
         "src": sf_dir,
         "replicas": replicas,
+        "skew": skew,
         "sizes": src_manifest,
         "gen": {
             "stride": STRIDE,
             "shift_cols": _SHIFT_COLS,
             "wide_files": sorted(_WIDE_FILES),
+            "skew_gen": {
+                "hot_frac": SKEW_HOT_FRAC,
+                "doc_frac": SKEW_DOC_FRAC,
+                "src_md5": hashlib.md5(
+                    inspect.getsource(_apply_skew).encode()
+                ).hexdigest(),
+            }
+            if skew
+            else None,
             # hash of THIS function's source: any edit to the tagging
             # expression, file-count policy, or shift logic mechanically
             # invalidates cached lakes — no hand-maintained version string
@@ -296,7 +384,7 @@ def prepare_scaled_dir(spark, sf_dir: str, replicas: int) -> str:
         df = catalog.load_table(spark, sf_dir, t)
         shift = _SHIFT_COLS.get(t)
         if shift is None or replicas <= 1:
-            out_df = df
+            out_df = _apply_skew(t, df) if skew else df
         else:
             # One explode, not an N-way union: the plan stays O(1) in the
             # replica count (a 100-way union is 100 scan branches per table).
@@ -337,6 +425,11 @@ def prepare_scaled_dir(spark, sf_dir: str, replicas: int) -> str:
                     ),
                 )
             out_df = d.drop("_r")
+            if skew:
+                # skew AFTER the replica shift: the hot key absorbs rows from
+                # every replica, so its share of the TOTAL corpus stays at
+                # the configured fraction at any replica count
+                out_df = _apply_skew(t, out_df)
         n_files = 32 if t in _WIDE_FILES else (8 if t in _SHIFT_COLS else 1)
         out_df.repartition(n_files).write.mode("overwrite").parquet(
             os.path.join(target, f"{t}.parquet")

@@ -115,3 +115,50 @@ def test_full_sweep_no_unexplained(spark):
     flagged, unexplained, stale = probe.sweep(spark, SF_SMALL)
     assert not unexplained, unexplained
     assert not stale, stale
+
+
+class TestSkewWindowRule:
+    """Round-9 verdict ask #7: windows partitioned on a bare skewable
+    per-entity key flag as `skew window partitionBy=[...]`."""
+
+    def test_bare_skewable_key_flags(self):
+        plan = CANNED.replace(
+            "windowspecdefinition(lang#2,", "windowspecdefinition(user_id#2L,"
+        ).replace("], [lang#2], [", "], [user_id#2L], [")
+        flags = probe.flags_for_plan(plan)
+        assert "skew window partitionBy=['user_id']" in flags
+        # and it is NOT also a low-card flag (disjoint key sets)
+        assert not [f for f in flags if f.startswith("window partitionBy")]
+
+    def test_composite_with_chunk_does_not_flag(self):
+        """(user_id, chunk) is the chunked two-phase FIX — must not flag."""
+        plan = CANNED.replace(
+            "windowspecdefinition(lang#2,",
+            "windowspecdefinition(user_id#2L, chunk#9L,",
+        ).replace("], [lang#2], [", "], [user_id#2L, chunk#9L], [")
+        assert not [
+            f for f in probe.flags_for_plan(plan) if f.startswith("skew window")
+        ]
+
+    def test_every_skew_allow_entry_names_a_flagged_query(self):
+        """Each `skew window` ALLOW entry must cite a skewable key the rule
+        can actually produce (guards entry/rule drift)."""
+        import re as _re
+
+        for name, entries in probe.ALLOW.items():
+            for flag in entries:
+                if flag.startswith("skew window"):
+                    keys = _re.findall(r"'(\w+)'", flag)
+                    assert keys and all(k in probe.SKEWABLE for k in keys), (
+                        name,
+                        flag,
+                    )
+
+    def test_skew_flagged_plans_are_skew_probed(self):
+        """Every query with a skew-window ALLOW entry carries a hot-lake
+        measurement in skew_probe.SKEW_NAMES (the entries cite that record)."""
+        import skew_probe
+
+        for name, entries in probe.ALLOW.items():
+            if any(f.startswith("skew window") for f in entries):
+                assert name in skew_probe.SKEW_NAMES, name

@@ -104,6 +104,10 @@ SURFACES: dict[str, list[str]] = {
     "scale_probe_x100": [sys.executable, "scale_probe.py"],
     "scale_probe_all": [sys.executable, "scale_probe.py"],
     "scale_probe_all_x100": [sys.executable, "scale_probe.py"],
+    # 12. the hot-key skew probe (round-9 verdict ask #1): shuffle-heavy
+    #     plans on a skewed replica lake, gated on growth-under-skew AND a
+    #     max/median task-time straggler bound read from the status REST API
+    "scale_probe_skew": [sys.executable, "skew_probe.py"],
 }
 
 # Surface-specific environment additions. The two ALL sweeps run under the
@@ -148,6 +152,7 @@ _SUMMARY_RES = {
     "scale_probe_x100": re.compile(r'"metric"\s*:\s*"scale_probe"'),
     "scale_probe_all": re.compile(r'"metric"\s*:\s*"scale_probe"'),
     "scale_probe_all_x100": re.compile(r'"metric"\s*:\s*"scale_probe"'),
+    "scale_probe_skew": re.compile(r'"metric"\s*:\s*"skew_probe"'),
 }
 
 
@@ -159,6 +164,7 @@ TIMEOUT_SEC = {
     "scale_probe_all": 7200,
     "scale_probe_x100": 7200,
     "scale_probe_all_x100": 14400,
+    "scale_probe_skew": 7200,
 }
 
 
@@ -395,6 +401,48 @@ def run_surface(name: str) -> dict:
             rec["sf"] = parsed["sf"]
         else:
             rec["ok"] = False
+    elif name == "scale_probe_skew":
+        line = next(
+            (
+                ln
+                for ln in proc.stdout.splitlines()
+                if ln.startswith('{"metric": "skew_probe"')
+                or ln.startswith('{"metric":"skew_probe"')
+            ),
+            None,
+        )
+        if line:
+            parsed = json.loads(line)
+            rec["replicas"] = parsed["replicas"]
+            rec["n_queries"] = len(parsed["queries"])
+            rec["max_per_replica"] = parsed["max_per_replica"]
+            rec["max_straggler"] = parsed["max_straggler"]
+            rec["superlinear"] = parsed["superlinear"]
+            rec["straggler_flagged"] = parsed["straggler_flagged"]
+            rec["allowed_stragglers"] = parsed["allowed_stragglers"]
+            rec["stale_skew_allow"] = parsed["stale_skew_allow"]
+            rec["errors"] = parsed["errors"]
+            rec["missing"] = parsed["missing"]
+            # the worst stragglers, for readability; full map in the snapshot
+            rec["queries"] = dict(
+                sorted(
+                    parsed["queries"].items(),
+                    key=lambda kv: -(
+                        (kv[1].get("straggler") or {}).get("ratio") or 0
+                    ),
+                )[:8]
+            )
+            rec["sentinel"] = parsed["sentinel"]
+            rec["ok"] = (
+                rec["ok"]
+                and not parsed["superlinear"]
+                and not parsed["straggler_flagged"]
+                and not parsed["stale_skew_allow"]
+                and not parsed["errors"]
+                and not parsed["missing"]
+            )
+        else:
+            rec["ok"] = False
     elif name.startswith("scale_probe"):
         line = next(
             (
@@ -457,7 +505,21 @@ _DECADE_CACHE_KEYS = {
 
 def snapshot_decade_record(rnd: int, surface: str) -> None:
     """Merge the surface's scale-probe cache record (fingerprint + full
-    per-query base/scaled timing maps) into SCALE_DECADE_r{N}.json."""
+    per-query base/scaled timing maps) into SCALE_DECADE_r{N}.json; the skew
+    probe's full record snapshots to SKEW_PROBE_r{N}.json."""
+    if surface == "scale_probe_skew":
+        replicas = ENV_EXTRA.get(surface, {}).get("SPARK_GRAFT_SCALE_REPLICAS", "10")
+        cache = os.path.join(
+            REPO, ".bench_data", "scale_probe_cache", f"skew_x{replicas}.json"
+        )
+        try:
+            with open(cache) as f:
+                rec = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return
+        with open(os.path.join(REPO, f"SKEW_PROBE_r{rnd:02d}.json"), "w") as f:
+            json.dump(rec, f, indent=1)
+        return
     key = _DECADE_CACHE_KEYS.get(surface)
     if key is None:
         return
