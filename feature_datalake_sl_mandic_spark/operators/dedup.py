@@ -88,15 +88,27 @@ def shingles_with_df_cap(dc: DataFrame, max_df: int) -> DataFrame:
     shared by 1M docs would otherwise contribute 10^12 candidate pairs on
     its own. Near-dup semantics survive because ultra-common shingles carry
     no discriminating signal. One extra partial-aggregated shuffle (shingle
-    df counts) + a left-semi join that only moves shingle keys."""
+    df counts) + an anti-join against the HOT set only.
+
+    The filter is expressed as LEFT ANTI against shingles with df > max_df
+    — NOT left-semi against the df <= max_df survivors, although the two
+    are equivalent (every shingle has df >= 1, so not-hot == keep). The
+    survivor relation is CORPUS-SCALE, and Catalyst's size estimate for an
+    aggregate is unreliable enough that it chose to BROADCAST it: fine at
+    the fixture, an 8g-driver OOM on the 100x heavy probe (r10), fatal at
+    100 TB. The hot side is the one that stays small (boilerplate
+    shingles; |hot| <= total occurrences / max_df, and with the cap scaled
+    as a fraction of n_docs — the production setting — bounded independent
+    of corpus size), so IT is the side a broadcast may legitimately pick
+    up. Same inversion doc_hash_arrays uses for the MinHash path."""
     sh = _spark_shingles(dc)
-    keep = (
+    hot = (
         sh.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= max_df)
+        .where(F.col("df") > max_df)
         .select("s")
     )
-    return sh.join(keep, "s", "left_semi")
+    return sh.join(hot, "s", "left_anti")
 
 
 def doc_hash_array_col(ws_col: str = "ws") -> Column:
@@ -282,11 +294,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _jaccard_pairs(sh: DataFrame) -> DataFrame:
     """Jaccard >= threshold pairs from a pinned (doc_id, s) shingle relation:
     inverted-index equi-join candidates + exact |A∩B|/|A∪B| filter. Shared
-    by the uncapped (oracle-exact) and DF-capped (100 TB) registrations."""
+    by the uncapped (oracle-exact) and DF-capped (100 TB) registrations.
+
+    Every join side here GROWS WITH THE CORPUS — the shingle relation, and
+    the per-doc size relation — so all three joins are pinned sort-merge
+    (``hint("merge")``, spill-safe at any scale). Without the pin, Catalyst
+    read the pinned relation's statistics as broadcastable and BROADCAST
+    the fact-scale shingle side: fine at sf0.1, an 8g-driver OOM on the
+    100x heavy probe (round 10), fatal at 100 TB. The legitimate broadcast
+    in this pipeline is the bounded HOT-shingle set inside
+    shingles_with_df_cap, never a corpus-scale relation."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b.hint("merge"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -294,8 +318,8 @@ def _jaccard_pairs(sh: DataFrame) -> DataFrame:
     sb = sizes.alias("sb")
     jac = F.col("n_inter") / (F.col("sa.n") + F.col("sb.n") - F.col("n_inter"))
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        inter.join(sa.hint("merge"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb.hint("merge"), F.col("doc_b") == F.col("sb.doc_id"))
         .where(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
@@ -1023,11 +1047,16 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _containment_pairs(sh: DataFrame) -> DataFrame:
     """Containment >= threshold pairs from a pinned (doc_id, s) shingle
-    relation; shared by the uncapped and DF-capped registrations."""
+    relation; shared by the uncapped and DF-capped registrations. All join
+    sides grow with the corpus, so every join is pinned sort-merge — see
+    _jaccard_pairs for the round-10 broadcast-OOM lesson."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b.hint("merge"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -1036,8 +1065,8 @@ def _containment_pairs(sh: DataFrame) -> DataFrame:
     ca = F.col("n_inter") / F.col("n_a")
     cb = F.col("n_inter") / F.col("n_b")
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        inter.join(sa.hint("merge"), "doc_a")
+        .join(sb.hint("merge"), "doc_b")
         .where(F.greatest(ca, cb) >= CONTAINMENT_THRESHOLD)
         .select(
             "doc_a",

@@ -231,9 +231,11 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # cdf_incremental_ingest (scratch txlog root now allocates a per-execution
 # uuid subdir — r9 advice). Then ALL 21 remaining last-green-in-r2 names
 # (the verdict's list; events_click_attribution among them moved to the
-# head), then the 27 alphabetically-first of the 33 last-green-in-r3 names
-# (judge convention: last round each name hash-matched in any
-# CORRECTNESS_r*.json; the remaining six r3 names lead round 11's fill).
+# head), plus the four ngram pair plans (changed: sort-merge pins after
+# the 100x broadcast-OOM find — see the head comment), then the 23
+# alphabetically-first of the 33 last-green-in-r3 names (judge convention:
+# last round each name hash-matched in any CORRECTNESS_r*.json; the
+# remaining ten r3 names lead round 11's fill).
 # None of the tail's plans or oracles changed since their last green
 # (value-path changes always window immediately), and all are green in
 # every full sf0.01/sf0.1 parity sweep — the rotation turns that into
@@ -244,6 +246,15 @@ _PRIORITY: list[str] = [
     "events_click_attribution",  # r10: hour-bucketed interval join (skew_probe found the
     #   per-user candidate blowup: 13.5s -> 0.8s on the 40%-hot 10x lake)
     "cdf_incremental_ingest",  # r10: per-execution uuid scratch subdir (r9 advice)
+    # r10: the shared ngram pair builders pin every corpus-scale join side
+    # to sort-merge, and the DF cap anti-joins the bounded HOT set instead
+    # of semi-joining the corpus-scale survivor set (the 100x heavy probe
+    # at the default 8g heap caught Catalyst broadcasting fact-scale sides
+    # off pinned-relation statistics — OOM at 100x, fatal at 100 TB)
+    "dedup_ngram_jaccard_capped",
+    "dedup_ngram_containment_capped",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_containment",
     # --- the remaining 20 last-green-in-r2 names (r9 verdict ask #5 list,
     #     minus events_click_attribution which moved to the head)
     "agg_approx_sketches",
@@ -291,10 +302,6 @@ _PRIORITY: list[str] = [
     "quality_unigram_perplexity",
     "source_overlap_jaccard",
     "stats_chi2_segment_priority",
-    "stats_mutual_info_lang_source",
-    "text_bm25_search",
-    "text_sparse_cosine_pairs",
-    "ts_ewma_daily_value",
 ]
 # (multimodal_feature_extract was retired from the registry in round 4: its
 # codec stubs made it permanently rows-only and every registered query must
