@@ -126,6 +126,18 @@ HEAVY_WIDE = [
     "multimodal_phash_banded_pairs",
 ]
 
+# Round-11 (r10 verdict ask #7): the two registered skew-resilient event
+# plans carry round-over-round timing history like every other named scale
+# path. Their own subtotal (`skew_path`), OUT of `value` and OUT of HEAVY —
+# adding to HEAVY would also add them to scale_probe's heavy 10x/100x sets
+# (probe_names() reads bench.HEAVY), where both are already measured by the
+# dedicated skew probe surfaces; keeping the sets disjoint keeps each
+# decade record's query list stable.
+SKEW_PATH = [
+    "events_sessionize_chunked",
+    "events_click_attribution",
+]
+
 
 # Co-tenant noise sentinel (round-6 verdict ask #2): a fixed synthetic
 # compute-bound op (no IO, no shuffle — pure range + codegen arithmetic)
@@ -224,7 +236,8 @@ def main() -> None:
     headline = [n for n in HEADLINE if n in specs] or sorted(specs)
     heavy = [n for n in HEAVY if n in specs]
     heavy_wide = [n for n in HEAVY_WIDE if n in specs]
-    names = headline + heavy + heavy_wide
+    skew_path = [n for n in SKEW_PATH if n in specs]
+    names = headline + heavy + heavy_wide + skew_path
 
     # Warm the JVM + parquet footer caches AND the shuffle/codegen machinery:
     # one cheap scan probe, then one full join-heavy query. Without the full
@@ -295,6 +308,7 @@ def main() -> None:
         "headline_12": round(sum(times[n] for n in headline), 4),
         "heavy_llm": round(sum(times[n] for n in heavy), 4),
         "heavy_wide": round(sum(times[n] for n in heavy_wide), 4),
+        "skew_path": round(sum(times[n] for n in skew_path), 4),
         # pre-r10 sums for like-for-like round-over-round comparison
         "heavy_llm_r9set": round(sum(times[n] for n in heavy_r9), 4),
         "value_r9set": round(sum(times[n] for n in headline + heavy_r9), 4),

@@ -181,14 +181,22 @@ from feature_datalake_sl_mandic_spark.registry import register  # noqa: E402
 # (removed at process exit), with a fresh uuid-named subdirectory per
 # EXECUTION and the previous execution's subdir deleted on entry (round-9
 # advice). The footprint stays bounded at ~one live lake copy per sf_dir
-# (the round-8 leak fix), but two executions never share a live txlog path:
-# a still-unconsumed DataFrame from execution N-1 goes stale only when
-# execution N starts tearing its subdir down, and two CONCURRENT executions
-# in one process (threads sharing a session) get disjoint paths — the lock
-# makes the swap-and-delete atomic, so neither can wipe a subdir the other
-# just allocated.
+# (the round-8 leak fix), and SEQUENTIAL executions never share a live
+# txlog path: a still-unconsumed DataFrame from execution N-1 goes stale
+# only when execution N starts tearing its subdir down. CONCURRENT
+# executions against the SAME sf_dir are NOT supported (round-10 advice —
+# the earlier comment overclaimed): the swap is lock-atomic, but the
+# rmtree of the superseded subdir runs outside the lock and would tear
+# down a subdir an overlapping execution just allocated and is still
+# writing. Concurrent executions against DIFFERENT sf_dirs are safe
+# (disjoint entries, deletion only touches the same-sf_dir predecessor).
 _SCRATCH_BY_SF: dict[str, tuple[str, str]] = {}  # sf_dir -> (root, live subdir)
-_SCRATCH_LOCK = None  # created lazily; module import must stay cheap
+# Created at import (round-10 advice): the lazy `if None: Lock()` pattern
+# was itself a check-then-act race that could hand two threads different
+# locks; threading is stdlib and the import cost is negligible.
+import threading as _threading  # noqa: E402
+
+_SCRATCH_LOCK = _threading.Lock()
 
 
 def _scratch_dir(sf_dir: str) -> str:
@@ -196,12 +204,8 @@ def _scratch_dir(sf_dir: str) -> str:
     import os
     import shutil
     import tempfile
-    import threading
     import uuid
 
-    global _SCRATCH_LOCK
-    if _SCRATCH_LOCK is None:
-        _SCRATCH_LOCK = threading.Lock()
     with _SCRATCH_LOCK:
         entry = _SCRATCH_BY_SF.get(sf_dir)
         if entry is None:

@@ -33,6 +33,17 @@ sf0.001 (plan shape is scale-invariant) and flags
   slow path; Arrow-batched forms (ArrowEvalPython, Map/FlatMapGroupsIn
   Pandas) are the sanctioned Python boundary and are not flagged. No ALLOW
   entries.
+- ``broadcast of <table>`` (round-10 verdict ask #1): a ``BroadcastExchange``
+  whose build-side subtree scans a FACT-set table with NO bounded reduction
+  (aggregate / limit / join) between the scan and the exchange — the build
+  side's row count then grows WITH the corpus, and materializing it on
+  every executor is the round-10 ngram OOM class (Catalyst picked those
+  broadcasts off misleading localCheckpoint-pinned statistics; the 48g
+  all-registry sweeps masked the blast until the 8g/100x heavy probe).
+  Every legitimate flag carries an ALLOW entry stating the boundedness (or
+  stats-accuracy) argument, and the flagged-plan set is additionally
+  MEASURED at 8g/100x by the scale_probe broadcast surfaces (COVERAGE.md
+  round-11) — the static rule finds candidates, the probe proves them.
 
 ``BroadcastNestedLoopJoin`` is deliberately NOT flagged: every crossJoin in
 the package broadcasts a tiny aggregate relation (cutoffs, centroids,
@@ -140,6 +151,31 @@ R_SKEW_VERSIONS = (
     "fact table; the fact side joins point-in-time without a window"
 )
 
+# --- broadcast build-side arguments (round-10 verdict ask #1) -----------
+# Two legitimate classes, distinguished by WHAT the planner's size estimate
+# is derived from. The dangerous class — the round-10 ngram OOM — is a
+# broadcast picked off statistics that do NOT track the data
+# (localCheckpoint-pinned relations freeze their estimate); neither class
+# below has that property. Every entry is additionally backed by an
+# 8g-heap/100x-lake measurement (COVERAGE.md round-11 broadcast section +
+# the scale_probe broadcast surfaces in VERIFY_r11): the static argument
+# says why it cannot OOM, the probe shows it does not.
+R_BC_FIXED = (
+    "the broadcast side is the FIXED-cardinality set (query vectors "
+    "vec_id < N_QUERIES and/or the pinned codebook/training id range) via a "
+    "pushed fixed-id-range filter: bounded by construction — corpus growth "
+    "grows the PROBE side, never this relation"
+)
+R_BC_STATS = (
+    "the broadcast side is a direct parquet scan slice, so the planner's "
+    "size estimate IS the (selectivity-unreduced) file size and tracks the "
+    "corpus: past autoBroadcastJoinThreshold the same plan compiles to "
+    "sort-merge (verified on the inflated lakes: the 10x/100x records run "
+    "these plans at 8g), and AQE re-validates join strategy from "
+    "materialized runtime sizes. Unlike a localCheckpoint-pinned relation, "
+    "the deciding statistic cannot stay stale as the data grows"
+)
+
 # query -> {exact flag string: (expected count, reason)}
 ALLOW: dict[str, dict[str, tuple[int, str]]] = {
     # --- windows partitioned on a bare skewable key (skew rule) ---------
@@ -156,7 +192,8 @@ ALLOW: dict[str, dict[str, tuple[int, str]]] = {
         "skew window partitionBy=['user_id']": (1, R_SKEW_SEQ)
     },
     "scd2_point_in_time_join": {
-        "skew window partitionBy=['c_custkey']": (1, R_SKEW_VERSIONS)
+        "skew window partitionBy=['c_custkey']": (1, R_SKEW_VERSIONS),
+        "broadcast of orders": (1, R_BC_STATS),
     },
     "text_tfidf_top_terms": {
         "skew window partitionBy=['doc_id']": (1, R_SKEW_UNIQUE_DOC)
@@ -265,10 +302,12 @@ ALLOW: dict[str, dict[str, tuple[int, str]]] = {
     "join_null_safe_profiles": {"scan x2 of events": (1, R_ROLE)},
     "agg_winsorized_event_values": {"scan x2 of events": (1, R_CUTOFF)},
     "arrays_setops_adjacent_docs": {
-        "scan x2 of documents": (1, R_ROLE + " (adjacent-doc self-join sides)")
+        "scan x2 of documents": (1, R_ROLE + " (adjacent-doc self-join sides)"),
+        "broadcast of documents": (1, R_BC_STATS),
     },
     "events_click_attribution": {
-        "scan x2 of events": (1, R_ROLE + " (click vs purchase slices)")
+        "scan x2 of events": (1, R_ROLE + " (click vs purchase slices)"),
+        "broadcast of events": (1, R_BC_STATS + " (the click slice)"),
     },
     "change_detection": {
         "scan x2 of events": (1, R_ROLE + " (source vs history sides, S6)")
@@ -293,21 +332,83 @@ ALLOW: dict[str, dict[str, tuple[int, str]]] = {
         )
     },
     # --- embedding-role repeats (codebook/query/corpus sides) -----------
-    "dedup_embedding_cosine": {"scan x2 of embeddings": (1, R_EMB)},
-    "dedup_levenshtein_blocked": {"scan x2 of documents": (1, R_ROLE)},
-    "knn_cosine_topk": {"scan x2 of embeddings": (1, R_EMB)},
-    "ann_lsh_bucketed": {"scan x2 of embeddings": (1, R_EMB)},
+    "dedup_embedding_cosine": {
+        "scan x2 of embeddings": (1, R_EMB),
+        "broadcast of embeddings": (1, R_BC_STATS),
+    },
+    "dedup_levenshtein_blocked": {
+        "scan x2 of documents": (1, R_ROLE),
+        "broadcast of documents": (1, R_BC_STATS),
+    },
+    "knn_cosine_topk": {
+        "scan x2 of embeddings": (1, R_EMB),
+        "broadcast of embeddings": (1, R_BC_FIXED),
+    },
+    "ann_lsh_bucketed": {
+        "scan x2 of embeddings": (1, R_EMB),
+        "broadcast of embeddings": (1, R_BC_FIXED),
+    },
     "ann_ivf_cells": {"scan x2 of embeddings": (1, R_EMB)},
     "ann_ivf_cells_nprobe2": {"scan x2 of embeddings": (1, R_EMB)},
-    "ann_scalar_quantized": {"scan x4 of embeddings": (1, R_EMB)},
-    "mine_hard_negatives": {"scan x2 of embeddings": (1, R_EMB)},
-    "ann_ivf_pq": {"scan x4 of embeddings": (1, R_EMB)},
-    "ann_ivf_pq_packed": {"scan x3 of embeddings": (1, R_EMB)},
-    "ann_two_stage_rerank": {"scan x4 of embeddings": (1, R_EMB)},
-    "ann_pq_lloyd_refined": {"scan x2 of embeddings": (1, R_EMB)},
-    "eval_matryoshka_recall": {"scan x4 of embeddings": (1, R_EMB)},
+    "ann_scalar_quantized": {
+        "scan x4 of embeddings": (1, R_EMB),
+        "broadcast of embeddings": (2, R_BC_FIXED),
+    },
+    "mine_hard_negatives": {
+        "scan x2 of embeddings": (1, R_EMB),
+        "broadcast of embeddings": (1, R_BC_FIXED),
+    },
+    "ann_ivf_pq": {
+        "scan x4 of embeddings": (1, R_EMB),
+        # the two broadcast sides are the query set (vec_id < 10) and the
+        # exploded codebook training range (vec_id in [10, 26))
+        "broadcast of embeddings": (2, R_BC_FIXED),
+    },
+    "ann_ivf_pq_packed": {
+        "scan x3 of embeddings": (1, R_EMB),
+        "broadcast of embeddings": (2, R_BC_FIXED),
+    },
+    "ann_two_stage_rerank": {
+        "scan x4 of embeddings": (1, R_EMB),
+        "broadcast of embeddings": (
+            3,
+            "two sides are the fixed query set (" + R_BC_FIXED + "); the "
+            "third is the exact-rerank corpus side of the shortlist join — "
+            + R_BC_STATS,
+        ),
+    },
+    "ann_pq_lloyd_refined": {
+        "scan x2 of embeddings": (1, R_EMB),
+        "broadcast of embeddings": (1, R_BC_FIXED),
+    },
+    "eval_matryoshka_recall": {
+        "scan x4 of embeddings": (1, R_EMB),
+        "broadcast of embeddings": (2, R_BC_FIXED),
+    },
     "embedding_standardize_dims": {"scan x2 of embeddings": (1, R_EMB)},
     "drift_embedding_centroid_shift": {"scan x2 of embeddings": (1, R_EMB)},
+    # --- scan-stat-driven fact broadcasts (round-10 verdict ask #1) ------
+    # TPC-H-shaped fact-fact equi-joins where the build side is small at
+    # fixture scale and the estimate is the parquet file size (R_BC_STATS):
+    # each compiles to sort-merge on the inflated lakes.
+    "join_anti_customers_no_urgent": {"broadcast of orders": (1, R_BC_STATS)},
+    "join_range_lineitem_shipped_late": {"broadcast of orders": (1, R_BC_STATS)},
+    "join_semi_customers_with_urgent_orders": {
+        "broadcast of orders": (1, R_BC_STATS)
+    },
+    "nested_json_shred": {"broadcast of orders": (1, R_BC_STATS)},
+    "q3_shipping_priority": {"broadcast of orders": (1, R_BC_STATS)},
+    "q4_order_priority_exists": {"broadcast of lineitem": (1, R_BC_STATS)},
+    "q5_local_supplier_volume": {"broadcast of orders": (1, R_BC_STATS)},
+    "q7_volume_shipping": {"broadcast of orders": (1, R_BC_STATS)},
+    "q8_market_share": {"broadcast of orders": (1, R_BC_STATS)},
+    "q9_product_profit_by_nation_year": {"broadcast of orders": (1, R_BC_STATS)},
+    "q10_returned_items": {"broadcast of orders": (1, R_BC_STATS)},
+    "q12_priority_by_linestatus": {"broadcast of orders": (1, R_BC_STATS)},
+    "q13_customer_order_distribution": {"broadcast of orders": (1, R_BC_STATS)},
+    "q18_large_volume_orders": {"broadcast of orders": (1, R_BC_STATS)},
+    "q21_sole_late_supplier": {"broadcast of orders": (1, R_BC_STATS)},
+    "q22_inactive_high_balance": {"broadcast of orders": (1, R_BC_STATS)},
 }
 
 _WIN_RE = re.compile(
@@ -315,6 +416,79 @@ _WIN_RE = re.compile(
     re.M,
 )
 _SCAN_RE = re.compile(r"Location: \w+ \[[^\]]*?/(\w+)\.parquet")
+
+# --- broadcast build-side audit (round-10 verdict ask #1) ----------------
+# Tree lines render the operator name followed by its id: ``+- Filter (2)``;
+# detail headers invert that (``(2) Filter``), so anchoring the id at
+# end-of-line selects tree lines only.
+_TREE_NODE_RE = re.compile(r"^([:\s+|-]*)([A-Za-z][\w .]*?) \((\d+)\)\s*$")
+# details: map scan node id -> parquet table name
+_SCAN_DETAIL_RE = re.compile(
+    r"^\((\d+)\) Scan parquet ?\n(?:[^\n]+\n)*?"
+    r"Location: \w+ \[[^\]]*?/(\w+)\.parquet",
+    re.M,
+)
+# Operators that BOUND the relation flowing through them relative to the
+# corpus-scale scan beneath: an aggregate collapses to its (bounded or
+# low-cardinality) key set — the HOT-style ``count > cap`` base is this
+# shape; a limit is bounded by definition; a join (semi/anti against a
+# bounded set, or a selective dim equi-join) gates the fact rows. A bare
+# Filter/Project/Window does NOT bound: its output is proportional to the
+# corpus, whatever the current selectivity estimate says.
+_BOUNDING = ("Aggregate", "Limit", "Join", "TakeOrderedAndProject")
+
+
+def _parse_tree(plan: str) -> list[tuple[int, str, str]]:
+    """All (indent, node_name, node_id) tree lines, in document order.
+
+    The formatted output may hold several trees (main plan + subquery
+    sections); indentation resets at each root, which the stack walk in
+    ``broadcast_flags`` handles naturally (an indent <= the stack top pops
+    it). Detail-section lines never match (id precedes the name there)."""
+    nodes = []
+    for line in plan.splitlines():
+        m = _TREE_NODE_RE.match(line)
+        if m:
+            nodes.append((len(m.group(1)), m.group(2).strip(), m.group(3)))
+    return nodes
+
+
+def broadcast_flags(plan: str) -> list[str]:
+    """``broadcast of <table>`` per BroadcastExchange whose build side scans
+    a FACT table with no _BOUNDING operator between scan and exchange.
+
+    ReusedExchange nodes are skipped: they re-reference an exchange that is
+    itself audited where it appears. One flag per offending exchange per
+    fact table (a build side scanning two fact tables unboundedly flags
+    both — each is independently a corpus-scale relation on every executor).
+    """
+    nodes = _parse_tree(plan)
+    scan_table = {sid: t for sid, t in _SCAN_DETAIL_RE.findall(plan)}
+    flags: list[str] = []
+    # stack of (indent, name) from the root to the current node: descendants
+    # of a node N are exactly the lines that follow N while N stays on the
+    # stack (their indent is greater), so for each fact scan the stack IS
+    # the root->scan path and any enclosing BroadcastExchange is on it.
+    stack: list[tuple[int, str, str]] = []
+    per_exchange: dict[str, set[str]] = {}
+    for indent, name, nid in nodes:
+        while stack and stack[-1][0] >= indent:
+            stack.pop()
+        stack.append((indent, name, nid))
+        table = scan_table.get(nid)
+        if table not in FACT:
+            continue
+        # walk ancestors scan -> root; the nearest enclosing exchange wins,
+        # and any bounding node STRICTLY BETWEEN scan and exchange clears it
+        for _, aname, aid in reversed(stack[:-1]):
+            if aname.startswith("BroadcastExchange"):
+                per_exchange.setdefault(aid, set()).add(table)
+                break
+            if any(b in aname for b in _BOUNDING):
+                break
+    for _, tables in sorted(per_exchange.items(), key=lambda kv: int(kv[0])):
+        flags.extend(f"broadcast of {t}" for t in sorted(tables))
+    return flags
 
 
 def flags_for_plan(plan: str) -> list[str]:
@@ -338,6 +512,7 @@ def flags_for_plan(plan: str) -> list[str]:
     # all fine and not flagged). No ALLOW entries exist for this class.
     if "BatchEvalPython" in plan:
         flags.append("BatchEvalPython")
+    flags.extend(broadcast_flags(plan))
     return flags
 
 

@@ -222,86 +222,84 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # more slots from thrice-sweep-verified entries
 # (sketch_kmv_set_algebra_users, lm_bigram_next_tokens,
 # stats_bootstrap_ci_mean).
-# ---- round-10 window (exactly the r9 verdict ask #5 prescription) ----
-# Head: every round-10 new/changed value or plan path — the skew-resilient
-# chunked sessionize (NEW, r9 ask #1), events_click_attribution (plan
-# changed: skew_probe.py measured its per-user interval join at 13.5 s /
-# 2.06 per-replica on the 40%-hot 10x lake; the equi-join key is now
-# (user_id, hour bucket), 0.8 s same lake, identical output), and
-# cdf_incremental_ingest (scratch txlog root now allocates a per-execution
-# uuid subdir — r9 advice). Then ALL 21 remaining last-green-in-r2 names
-# (the verdict's list; events_click_attribution among them moved to the
-# head), plus the four ngram pair plans (changed: sort-merge pins after
-# the 100x broadcast-OOM find — see the head comment), then the 23
-# alphabetically-first of the 33 last-green-in-r3 names (judge convention:
-# last round each name hash-matched in any CORRECTNESS_r*.json; the
-# remaining ten r3 names lead round 11's fill).
+# ---- round-11 window (exactly the r10 verdict ask #5 prescription) ----
+# Head: every round-11 changed value or plan path — events_click_attribution
+# (the bucket probe count is now DERIVED from the interval, n_back =
+# ceil(interval/bucket), and the interval predicate moved to exact micros
+# arithmetic — r10 ask #3), events_sessionize_chunked (module-load
+# chunk>=gap assert guarding the merge-completeness invariant; plan
+# unchanged, windowed with its property-test round), and
+# cdf_incremental_ingest (scratch lock now created at import, concurrency
+# contract re-documented — r10 advice). Then the 10 remaining
+# last-green-in-r3 names (the verdict's list), then ALL 25 last-green-in-r4
+# names, then the 12 alphabetically-first of the 31 last-green-in-r5 names
+# (the remaining 19 lead the round-12 fill). Histogram after r10
+# (judge-confirmed): r3=10, r4=25, r5=31, r6=34, r8=48, r9=45, r10=50.
 # None of the tail's plans or oracles changed since their last green
 # (value-path changes always window immediately), and all are green in
 # every full sf0.01/sf0.1 parity sweep — the rotation turns that into
 # fresh driver-hash evidence for the longest-unchecked rows.
+# (Round-10 window provenance: head was the NEW chunked sessionize, the
+# re-keyed attribution join, cdf's uuid scratch subdir, and the four ngram
+# plans after the 100x broadcast-OOM fix; then the 21 last-green-r2 names
+# and the 23 alphabetically-first r3 names — all 50 driver-green in
+# CORRECTNESS_r10.json.)
 _PRIORITY: list[str] = [
-    # --- round-10 new / changed paths
-    "events_sessionize_chunked",  # NEW r10: skew-resilient two-phase sessionize (r9 ask #1)
-    "events_click_attribution",  # r10: hour-bucketed interval join (skew_probe found the
-    #   per-user candidate blowup: 13.5s -> 0.8s on the 40%-hot 10x lake)
-    "cdf_incremental_ingest",  # r10: per-execution uuid scratch subdir (r9 advice)
-    # r10: the shared ngram pair builders pin every corpus-scale join side
-    # to sort-merge, and the DF cap anti-joins the bounded HOT set instead
-    # of semi-joining the corpus-scale survivor set (the 100x heavy probe
-    # at the default 8g heap caught Catalyst broadcasting fact-scale sides
-    # off pinned-relation statistics — OOM at 100x, fatal at 100 TB)
-    "dedup_ngram_jaccard_capped",
-    "dedup_ngram_containment_capped",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_containment",
-    # --- the remaining 20 last-green-in-r2 names (r9 verdict ask #5 list,
-    #     minus events_click_attribution which moved to the head)
-    "agg_approx_sketches",
-    "arrays_collect_per_order",
-    "change_detection",
-    "corpus_chunk_sliding",
-    "corpus_mixture_resample",
-    "corpus_pii_redact",
-    "dedup_exact_documents",
-    "dedup_levenshtein_blocked",
-    "events_funnel_signup_purchase",
-    "events_session_window_builtin",
-    "events_time_rollup",
-    "events_user_profiles_batch",
-    "multimodal_ppm_decode",
-    "nested_json_shred",
-    "sample_stratified_orders",
-    "text_fingerprint",
-    "text_language_id",
-    "text_quality_score",
-    "text_token_stats",
-    "txlog_merge_upsert",
-    # --- then the 27 alphabetically-first of the 33 last-green-in-r3 names
-    #     (the remaining six lead the round-11 fill)
-    "bloom_prefilter_supplier_join",
-    "corpus_length_batches",
-    "dedup_prefix_fingerprint",
-    "events_assoc_rules",
-    "events_markov_transitions",
-    "events_sequence_pattern",
-    "graph_bfs_distances",
-    "graph_cosupply_triangles",
-    "graph_min_cost_paths",
-    "graph_pagerank_cosupply",
-    "incremental_agg_refresh",
-    "profile_orders_columns",
-    "q11_important_part_value",
-    "q12_priority_by_linestatus",
-    "q15_top_supplier",
-    "q20_excess_supply_share",
-    "q2_min_cost_supplier",
-    "q9_product_profit_by_nation_year",
-    "quality_decile_stats",
-    "quality_unigram_entropy",
-    "quality_unigram_perplexity",
-    "source_overlap_jaccard",
-    "stats_chi2_segment_priority",
+    # --- round-11 changed paths
+    "events_click_attribution",  # r11: derived bucket probe count (r10 ask #3)
+    "events_sessionize_chunked",  # r11: chunk>=gap import assert + property tests
+    "cdf_incremental_ingest",  # r11: import-time scratch lock (r10 advice)
+    # --- the 10 remaining last-green-in-r3 names (r10 verdict ask #5 list)
+    "stats_mutual_info_lang_source",
+    "text_bm25_search",
+    "text_sparse_cosine_pairs",
+    "ts_ewma_daily_value",
+    "ts_linear_interpolate",
+    "ts_mad_outliers",
+    "ts_rolling_median_value",
+    "ts_zscore_anomalies",
+    "txlog_change_data_feed",
+    "validate_quarantine_orders",
+    # --- all 25 last-green-in-r4 names
+    "agg_exact_mode_priority",
+    "agg_winsorized_event_values",
+    "arrays_setops_adjacent_docs",
+    "arrow_batch_embedding_norms",
+    "checksum_orders_content",
+    "corpus_dsir_importance",
+    "corpus_quality_weighted_sample",
+    "embedding_standardize_dims",
+    "events_hopping_3h_1h",
+    "graph_link_prediction_jaccard",
+    "join_asof_nearest_view",
+    "join_interval_overlap_campaigns",
+    "join_lateral_topn_customers",
+    "join_null_safe_profiles",
+    "kanon_release_customers",
+    "layout_skipping_scorecard",
+    "maps_zipwith_type_rates",
+    "multimodal_video_frame_sample",
+    "multimodal_wav_decode",
+    "privacy_dp_noisy_counts",
+    "pyds_training_shards_roundtrip",
+    "sketch_ddsketch_order_quantiles",
+    "text_bpe_pair_stats",
+    "udaf_median_session_value",
+    "variant_props_events",
+    # --- the 12 alphabetically-first of the 31 last-green-in-r5 names
+    #     (the remaining 19 lead the round-12 fill)
+    "agg_weighted_median_price",
+    "corpus_js_divergence_sources",
+    "customers_pareto_abc",
+    "dedup_url_canonical",
+    "drift_embedding_centroid_shift",
+    "embedding_outliers_mahalanobis",
+    "events_capped_running_balance",
+    "events_survival_kaplan_meier",
+    "graph_components_star",
+    "kanon_l_diversity",
+    "multimodal_audio_fingerprint_pairs",
+    "multimodal_image_phash_pairs",
 ]
 # (multimodal_feature_extract was retired from the registry in round 4: its
 # codec stubs made it permanently rows-only and every registered query must

@@ -72,10 +72,21 @@ if REPO not in sys.path:
 
 REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
 ALL_QUERIES = os.environ.get("SPARK_GRAFT_SCALE_ALL", "0") == "1"
+# Alternative probe sets (round-10 verdict ask #2): "broadcast" selects
+# every plan carrying a `broadcast of` ALLOW entry in the plan sweep plus
+# the most expensive non-HEAVY plans, run at the DEFAULT 8g heap — the heap
+# the 48g all-registry sweeps were shown to mask broadcast OOMs at
+# (COVERAGE.md round-10: the ngram pair builders passed every 48g surface
+# and died only on the 8g/100x heavy probe).
+SCALE_SET = os.environ.get("SPARK_GRAFT_SCALE_SET", "")
 # Full-registry sweeps take ~2 base + ~2 scaled registry passes; two runs
 # keep the wall clock near an hour while still absorbing first-run codegen
 # warm-up in the min. The curated heavy set affords a third sample.
-N_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2" if ALL_QUERIES else "3"))
+N_RUNS = int(
+    os.environ.get(
+        "SPARK_GRAFT_SCALE_RUNS", "2" if (ALL_QUERIES or SCALE_SET) else "3"
+    )
+)
 
 # Linearity gate: flag a query as superlinear only when BOTH hold. The
 # tolerance absorbs run-to-run noise on an idle box (bench dispersion shows
@@ -237,14 +248,63 @@ def _apply_skew(t: str, d):
     return d
 
 
+# The "most expensive non-HEAVY plans" half of the broadcast measurement
+# set (round-10 verdict ask #2): the top plans by scaled_sec in the r10
+# full-registry 100x record (SCALE_DECADE_r10.json all_x100) that are not
+# already 8g-probed via the heavy set and not SCALE_ALLOW quadratics. These
+# ran only at 48g before; an 8g/100x pass proves default-heap viability.
+_BROADCAST_EXPENSIVE_EXTRA = [
+    "pyds_training_shards_roundtrip",
+    "graph_bfs_distances",
+    "graph_cosupply_triangles",
+    "graph_components_star",
+    "eval_dedup_lsh_recall",
+    "graph_min_cost_paths",
+    "graph_link_prediction_jaccard",
+    "graph_pagerank_cosupply",
+    "eval_lsh_band_tuning",
+    "profile_orders_columns",
+    "dedup_incremental_minhash",
+    "corpus_cdc_chunking",
+    "dedup_duplicate_ngram_spans",
+    "dedup_ngram_containment",
+    "dedup_ngram_jaccard",
+    "groupmap_user_value_trend",
+]
+
+
+def broadcast_probe_names() -> list[str]:
+    """The broadcast-audit measurement set (round-10 verdict ask #2),
+    DERIVED from the plan sweep's ALLOW map so the static rule and the
+    measurement cannot drift apart: every query with a ``broadcast of``
+    ALLOW entry, plus the pinned most-expensive-non-HEAVY extras. At
+    REPLICAS >= 100 the SCALE_ALLOW quadratic oracles drop out exactly as
+    in ALL mode (their pair sets are quadratic BY DEFINITION; their
+    broadcast sides are measured by the 10x record at the same 8g heap)."""
+    from feature_datalake_sl_mandic_spark.plans import probe as plan_probe
+
+    flagged = sorted(
+        n
+        for n, entries in plan_probe.ALLOW.items()
+        if any(f.startswith("broadcast of") for f in entries)
+    )
+    names = flagged + [n for n in _BROADCAST_EXPENSIVE_EXTRA if n not in flagged]
+    if REPLICAS >= 100:
+        names = [n for n in names if n not in SCALE_ALLOW]
+    return names
+
+
 def probe_names() -> list[str]:
     """HEAVY + HEAVY_WIDE + representative headline queries, minus plans
     that ignore sf_dir (multimodal payloads are deterministic in-plan).
     With SPARK_GRAFT_SCALE_ALL=1: every registered query (sf_dir-ignoring
     plans stay in — they pass trivially at ratio ~1 and cost their base
-    time, which keeps the claim simple: ALL of them)."""
+    time, which keeps the claim simple: ALL of them). With
+    SPARK_GRAFT_SCALE_SET=broadcast: the broadcast measurement set."""
     import bench
 
+    if SCALE_SET == "broadcast":
+        return broadcast_probe_names()
     if ALL_QUERIES:
         from feature_datalake_sl_mandic_spark import registry
 
@@ -452,6 +512,14 @@ def _git_head() -> str:
     return verify_round._engine_head()
 
 
+def _mode() -> str:
+    """Which probe set this process runs — also the decade-record namespace
+    (each mode gates 100x against ITS OWN same-env 10x record)."""
+    if SCALE_SET:
+        return SCALE_SET
+    return "all" if ALL_QUERIES else "heavy"
+
+
 def _decade_fingerprint(sf_dir: str) -> dict:
     """Everything (besides the replica count) that must be IDENTICAL between
     two decades for their timing ratio to measure the plan: estimator
@@ -461,17 +529,17 @@ def _decade_fingerprint(sf_dir: str) -> dict:
         "driver_mem": os.environ.get("SPARK_DRIVER_MEM", "8g"),
         "sf": sf_dir,
         "all_queries": ALL_QUERIES,
+        "scale_set": SCALE_SET,
         "commit": _git_head(),
     }
 
 
-def _decade_record_path(replicas: int) -> str:
-    mode = "all" if ALL_QUERIES else "heavy"
-    return os.path.join(_CACHE_DIR, f"{mode}_x{replicas}.json")
+def _decade_record_path(replicas: int, mode: str | None = None) -> str:
+    return os.path.join(_CACHE_DIR, f"{mode or _mode()}_x{replicas}.json")
 
 
 def _persist_decade_record(
-    fingerprint: dict, base: dict, scaled: dict, errors: dict
+    fingerprint: dict, base: dict, scaled: dict, errors: dict, mode: str | None = None
 ) -> None:
     """Persist this run's per-query timings as the decade baseline record.
 
@@ -491,7 +559,7 @@ def _persist_decade_record(
     if errors:
         record["partial"] = True
         record["errors"] = errors
-    rec_path = _decade_record_path(REPLICAS)
+    rec_path = _decade_record_path(REPLICAS, mode)
     if errors:
         try:
             with open(rec_path) as f:
@@ -504,7 +572,7 @@ def _persist_decade_record(
         json.dump(record, f, indent=1)
 
 
-def _decade_gate(scaled: dict, fingerprint: dict) -> dict | None:
+def _decade_gate(scaled: dict, fingerprint: dict, mode: str | None = None) -> dict | None:
     """Cross-decade growth check vs the same-env 10x record (round-8 ask
     #1). Returns None below the hi decade; at REPLICAS > 10 a missing or
     env-mismatched 10x record is a FAILED gate (status != "ok") — a decade
@@ -522,7 +590,7 @@ def _decade_gate(scaled: dict, fingerprint: dict) -> dict | None:
         "superlinear_decade": [],
     }
     try:
-        with open(_decade_record_path(DECADE_BASE_REPLICAS)) as f:
+        with open(_decade_record_path(DECADE_BASE_REPLICAS, mode)) as f:
             rec = json.load(f)
     except (FileNotFoundError, json.JSONDecodeError):
         out["status"] = (
@@ -638,17 +706,29 @@ def main() -> int:
             default=None,
         )
     )
+    if ALL_QUERIES:
+        skipped_quadratic = sorted(n for n in SCALE_ALLOW if n not in names)
+    elif SCALE_SET == "broadcast":
+        # only the quadratics the broadcast set would otherwise contain
+        # (i.e. broadcast-ALLOW-listed ones excluded at the 100x decade)
+        from feature_datalake_sl_mandic_spark.plans import probe as _pp
+
+        skipped_quadratic = sorted(
+            n
+            for n in SCALE_ALLOW
+            if n not in names
+            and any(f.startswith("broadcast of") for f in _pp.ALLOW.get(n, {}))
+        )
+    else:
+        skipped_quadratic = []
     out = {
         "metric": "scale_probe",
         "replicas": REPLICAS,
         "sf": sf_dir,
         "n_runs": N_RUNS,
         "all_queries": ALL_QUERIES,
-        "skipped_allowed_quadratic": sorted(
-            n for n in SCALE_ALLOW if n not in names
-        )
-        if ALL_QUERIES
-        else [],
+        "scale_set": SCALE_SET,
+        "skipped_allowed_quadratic": skipped_quadratic,
         "prep_sec": prep_sec,
         "queries": queries,
         "errors": errors,

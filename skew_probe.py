@@ -34,8 +34,12 @@ interval join: 13.5 s / 2.06 per-replica on the hot lake, now hour-bucketed
 at 0.9 s).
 
 Prints ONE JSON line (``{"metric": "skew_probe", ...}``); wired into
-verify_round.py as the ``scale_probe_skew`` surface, snapshotted per round
-to SKEW_PROBE_r{N}.json.
+verify_round.py as the ``scale_probe_skew`` (10x) and
+``scale_probe_skew_x100`` surfaces, snapshotted per round to
+SKEW_PROBE_r{N}.json. Round-10 verdict ask #4: the probe carries the same
+decade-over-decade gate as the uniform probes — each run persists its
+per-query timings under scale_probe's cache (mode ``skewdec``), and the
+100x run gates per-query growth vs the same-fingerprint 10x record.
 """
 
 from __future__ import annotations
@@ -115,13 +119,23 @@ SKEW_NAMES = [
 # Straggler ALLOW list (the SCALE_ALLOW pattern): each entry argues why the
 # max-task concentration is the query's SEMANTICS — not a missing salt — and
 # names the registered skew-resilient path a 100 TB deployment uses instead.
-# Currently EMPTY: at this probe's lake every plan clears the straggler gate
-# (r10 record: worst 2.99x vs tol 8, the 40%-hot user's sessionize window
-# sorting in ~1 s) — the entries-only-for-actual-flags discipline is what
-# keeps staleness checkable. The permanent plan-SHAPE documentation of the
-# sequential-per-key windows (and their registered chunked skew path) lives
-# in plans/probe.py's `skew window` rule, which flags them at ANY scale.
-SKEW_ALLOW: dict[str, str] = {}
+# Entries are REPLICA-AWARE (round-10 verdict ask #4): the absolute
+# STRAGGLER_MIN_TASK_SEC floor means a sequential-by-definition plan can
+# clear the gate at 10x (its one hot task still under a second) yet flag at
+# 100x when the same task, 10x bigger, crosses the floor — one decade's
+# legitimate flag must not read as the other decade's stale entry, so each
+# entry lists the replica counts at which it is EXPECTED to flag; staleness
+# is judged per decade against that list. The entries-only-for-actual-flags
+# discipline is unchanged: nothing is listed that was not measured flagging.
+# The permanent plan-SHAPE documentation of the sequential-per-key windows
+# (and their registered chunked skew path) lives in plans/probe.py's
+# `skew window` rule, which flags them at ANY scale.
+SKEW_ALLOW: dict[str, dict] = {}
+
+
+def _straggler_allowed(name: str) -> bool:
+    e = SKEW_ALLOW.get(name)
+    return e is not None and REPLICAS in e["replicas"]
 
 
 def _ui_base(spark) -> str | None:
@@ -207,6 +221,20 @@ def main() -> int:
     errors = {n: f"base: {m}" for n, m in base_errs.items()}
     errors.update({n: f"scaled: {m}" for n, m in scaled_errs.items()})
 
+    # Decade-over-decade gate (round-10 verdict ask #4): the skew surface
+    # carries the same two-decade evidence as the uniform probes — this
+    # run's per-query timings persist under the "skewdec" record namespace
+    # (distinct from this probe's own skew_x{R}.json OUTPUT snapshot), and
+    # a run at REPLICAS > 10 gates scaled_hi/scaled_10x against the
+    # same-fingerprint 10x skew record (scale_probe's gate, tolerances, and
+    # fail-closed env/partial handling, verbatim). N_RUNS is overridden in
+    # the fingerprint because scale_probe's module default differs outside
+    # ALL mode (3) from this probe's (2) — the ratio must compare records
+    # taken under THIS estimator.
+    fingerprint = {**sp._decade_fingerprint(sf_dir), "n_runs": N_RUNS}
+    sp._persist_decade_record(fingerprint, base, scaled, errors, mode="skewdec")
+    decade = sp._decade_gate(scaled, fingerprint, mode="skewdec")
+
     # instrumented straggler pass on the scaled lake
     stragglers: dict[str, dict] = {}
     ui = _ui_base(spark)
@@ -250,22 +278,24 @@ def main() -> int:
         if q["straggler"]
         and q["straggler"]["ratio"] is not None
         and q["straggler"]["ratio"] > STRAGGLER_TOL
-        and n not in SKEW_ALLOW
+        and not _straggler_allowed(n)
     )
     allowed_stragglers = {
-        n: SKEW_ALLOW[n]
+        n: SKEW_ALLOW[n]["reason"]
         for n, q in sorted(queries.items())
         if q["straggler"]
         and q["straggler"]["ratio"] is not None
         and q["straggler"]["ratio"] > STRAGGLER_TOL
-        and n in SKEW_ALLOW
+        and _straggler_allowed(n)
     }
     # SKEW_ALLOW staleness (the SCALE_ALLOW discipline): an entry whose
-    # query no longer straggles would suppress a future genuine flag
+    # query no longer straggles AT A DECADE THE ENTRY CLAIMS would suppress
+    # a future genuine flag (decades the entry does not claim say nothing)
     stale_allow = sorted(
         n
         for n in SKEW_ALLOW
-        if n in queries
+        if _straggler_allowed(n)
+        and n in queries
         and queries[n]["straggler"]
         and queries[n]["straggler"]["ratio"] is not None
         and queries[n]["straggler"]["ratio"] <= STRAGGLER_TOL
@@ -286,6 +316,7 @@ def main() -> int:
         "straggler_flagged": straggler_flagged,
         "allowed_stragglers": allowed_stragglers,
         "stale_skew_allow": stale_allow,
+        "decade": decade,
         "max_per_replica": max(
             (q["per_replica"] for q in queries.values()), default=None
         ),
@@ -307,7 +338,15 @@ def main() -> int:
     with open(os.path.join(sp._CACHE_DIR, f"skew_x{REPLICAS}.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
-    bad = superlinear or straggler_flagged or errors or stale_allow or missing
+    bad = (
+        superlinear
+        or straggler_flagged
+        or errors
+        or stale_allow
+        or missing
+        or (decade is not None and decade["status"] != "ok")
+        or (decade is not None and decade["superlinear_decade"])
+    )
     return 1 if bad else 0
 
 

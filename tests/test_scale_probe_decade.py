@@ -196,5 +196,12 @@ def test_refuses_env_mismatch(monkeypatch, tmp_path):
 
 def test_fingerprint_carries_the_comparability_fields():
     fp = sp._decade_fingerprint("/some/sf")
-    assert set(fp) == {"n_runs", "driver_mem", "sf", "all_queries", "commit"}
+    assert set(fp) == {
+        "n_runs",
+        "driver_mem",
+        "sf",
+        "all_queries",
+        "scale_set",
+        "commit",
+    }
     assert len(fp["commit"]) == 40

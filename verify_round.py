@@ -108,6 +108,17 @@ SURFACES: dict[str, list[str]] = {
     #     plans on a skewed replica lake, gated on growth-under-skew AND a
     #     max/median task-time straggler bound read from the status REST API
     "scale_probe_skew": [sys.executable, "skew_probe.py"],
+    # 13. the skew probe at 100x (round-10 verdict ask #4): the skewed lake
+    #     carries the same two-decade evidence as the uniform probes, gated
+    #     decade-over-decade against the same-fingerprint 10x skew record
+    "scale_probe_skew_x100": [sys.executable, "skew_probe.py"],
+    # 14./15. the broadcast measurement surfaces (round-10 verdict ask #2):
+    #     every plan with a `broadcast of` ALLOW entry in the plan sweep,
+    #     plus the most expensive non-HEAVY plans, timed at BOTH decades
+    #     under the DEFAULT 8g heap — the heap the 48g all-registry sweeps
+    #     were shown to mask broadcast OOMs at (round-10 ngram find)
+    "scale_probe_broadcast": [sys.executable, "scale_probe.py"],
+    "scale_probe_broadcast_x100": [sys.executable, "scale_probe.py"],
 }
 
 # Surface-specific environment additions. The two ALL sweeps run under the
@@ -135,6 +146,14 @@ ENV_EXTRA = {
         # is deployment conf, not engine code.
         "SPARK_DRIVER_MEM": "48g",
     },
+    "scale_probe_skew_x100": {"SPARK_GRAFT_SCALE_REPLICAS": "100"},
+    # the broadcast surfaces run at the DEFAULT heap on purpose (that IS
+    # the measurement); N_RUNS pinned so both decades share a fingerprint
+    "scale_probe_broadcast": {"SPARK_GRAFT_SCALE_SET": "broadcast"},
+    "scale_probe_broadcast_x100": {
+        "SPARK_GRAFT_SCALE_SET": "broadcast",
+        "SPARK_GRAFT_SCALE_REPLICAS": "100",
+    },
 }
 
 # What "pass" looks like per surface, extracted from the output tail.
@@ -153,6 +172,9 @@ _SUMMARY_RES = {
     "scale_probe_all": re.compile(r'"metric"\s*:\s*"scale_probe"'),
     "scale_probe_all_x100": re.compile(r'"metric"\s*:\s*"scale_probe"'),
     "scale_probe_skew": re.compile(r'"metric"\s*:\s*"skew_probe"'),
+    "scale_probe_skew_x100": re.compile(r'"metric"\s*:\s*"skew_probe"'),
+    "scale_probe_broadcast": re.compile(r'"metric"\s*:\s*"scale_probe"'),
+    "scale_probe_broadcast_x100": re.compile(r'"metric"\s*:\s*"scale_probe"'),
 }
 
 
@@ -165,6 +187,9 @@ TIMEOUT_SEC = {
     "scale_probe_x100": 7200,
     "scale_probe_all_x100": 14400,
     "scale_probe_skew": 7200,
+    "scale_probe_skew_x100": 10800,
+    "scale_probe_broadcast": 7200,
+    "scale_probe_broadcast_x100": 10800,
 }
 
 
@@ -298,7 +323,7 @@ _MEASUREMENT_ENV = (
     "SPARK_GRAFT_SCALE_REPLICAS",
     "SPARK_GRAFT_SCALE_ALL",
     "SPARK_GRAFT_SCALE_RUNS",
-    "SPARK_GRAFT_SCALE_SKEW",
+    "SPARK_GRAFT_SCALE_SET",
     "SPARK_GRAFT_ORACLE_SF",
     "SPARK_GRAFT_SF_DIR",
     "SPARK_GRAFT_BENCH_RUNS",
@@ -401,7 +426,7 @@ def run_surface(name: str) -> dict:
             rec["sf"] = parsed["sf"]
         else:
             rec["ok"] = False
-    elif name == "scale_probe_skew":
+    elif name.startswith("scale_probe_skew"):
         line = next(
             (
                 ln
@@ -421,6 +446,7 @@ def run_surface(name: str) -> dict:
             rec["straggler_flagged"] = parsed["straggler_flagged"]
             rec["allowed_stragglers"] = parsed["allowed_stragglers"]
             rec["stale_skew_allow"] = parsed["stale_skew_allow"]
+            rec["decade"] = parsed.get("decade")
             rec["errors"] = parsed["errors"]
             rec["missing"] = parsed["missing"]
             # the worst stragglers, for readability; full map in the snapshot
@@ -500,47 +526,60 @@ _DECADE_CACHE_KEYS = {
     "scale_probe_x100": ("heavy", 100),
     "scale_probe_all": ("all", 10),
     "scale_probe_all_x100": ("all", 100),
+    "scale_probe_broadcast": ("broadcast", 10),
+    "scale_probe_broadcast_x100": ("broadcast", 100),
+    # the skew surfaces' per-query decade timing records (their full probe
+    # output additionally snapshots to SKEW_PROBE_r{N}.json below)
+    "scale_probe_skew": ("skewdec", 10),
+    "scale_probe_skew_x100": ("skewdec", 100),
 }
 
 
-def snapshot_decade_record(rnd: int, surface: str) -> None:
-    """Merge the surface's scale-probe cache record (fingerprint + full
-    per-query base/scaled timing maps) into SCALE_DECADE_r{N}.json; the skew
-    probe's full record snapshots to SKEW_PROBE_r{N}.json."""
-    if surface == "scale_probe_skew":
-        replicas = ENV_EXTRA.get(surface, {}).get("SPARK_GRAFT_SCALE_REPLICAS", "10")
-        cache = os.path.join(
-            REPO, ".bench_data", "scale_probe_cache", f"skew_x{replicas}.json"
-        )
-        try:
-            with open(cache) as f:
-                rec = json.load(f)
-        except (FileNotFoundError, json.JSONDecodeError):
-            return
-        with open(os.path.join(REPO, f"SKEW_PROBE_r{rnd:02d}.json"), "w") as f:
-            json.dump(rec, f, indent=1)
-        return
-    key = _DECADE_CACHE_KEYS.get(surface)
-    if key is None:
-        return
-    mode, replicas = key
-    cache = os.path.join(
-        REPO, ".bench_data", "scale_probe_cache", f"{mode}_x{replicas}.json"
-    )
-    try:
-        with open(cache) as f:
-            rec = json.load(f)
-    except (FileNotFoundError, json.JSONDecodeError):
-        return
-    path = os.path.join(REPO, f"SCALE_DECADE_r{rnd:02d}.json")
+def _merge_into(path: str, key: str, rec: dict) -> None:
     try:
         with open(path) as f:
             snap = json.load(f)
     except (FileNotFoundError, json.JSONDecodeError):
         snap = {}
-    snap[f"{mode}_x{replicas}"] = rec
+    snap[key] = rec
     with open(path, "w") as f:
         json.dump(snap, f, indent=1)
+
+
+def snapshot_decade_record(rnd: int, surface: str) -> None:
+    """Merge the surface's scale-probe cache record (fingerprint + full
+    per-query base/scaled timing maps) into SCALE_DECADE_r{N}.json; the skew
+    probe's full output records merge into SKEW_PROBE_r{N}.json keyed by
+    replica decade (``skew_x10`` / ``skew_x100``)."""
+    cache_dir = os.path.join(REPO, ".bench_data", "scale_probe_cache")
+    if surface.startswith("scale_probe_skew"):
+        replicas = ENV_EXTRA.get(surface, {}).get("SPARK_GRAFT_SCALE_REPLICAS", "10")
+        try:
+            with open(os.path.join(cache_dir, f"skew_x{replicas}.json")) as f:
+                rec = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            rec = None
+        if rec is not None:
+            _merge_into(
+                os.path.join(REPO, f"SKEW_PROBE_r{rnd:02d}.json"),
+                f"skew_x{replicas}",
+                rec,
+            )
+        # fall through: the skewdec decade record snapshots like the others
+    key = _DECADE_CACHE_KEYS.get(surface)
+    if key is None:
+        return
+    mode, replicas = key
+    try:
+        with open(os.path.join(cache_dir, f"{mode}_x{replicas}.json")) as f:
+            rec = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return
+    _merge_into(
+        os.path.join(REPO, f"SCALE_DECADE_r{rnd:02d}.json"),
+        f"{mode}_x{replicas}",
+        rec,
+    )
 
 
 def main() -> int:
