@@ -221,10 +221,14 @@ def main() -> None:
         f"`plans/probe.py` swept {len(specs)} plans: {len(flagged)} queries "
         f"carry {n_flags} flags, ALL matched against the documented-"
         "legitimate ALLOW classes (bounded band/daily-aggregate windows, "
-        "role-based repeat scans, bounded-cutoff passes, and — round 10 — "
+        "role-based repeat scans, bounded-cutoff passes; round 10 — "
         "skew windows on a bare per-entity key, each argued bounded-input "
         "or sequential-by-definition and measured on the 40%-hot-key lake, "
-        "SKEW_PROBE_r10.json) — "
+        "SKEW_PROBE_r{N}.json; round 11 — broadcast build sides scanning a "
+        "fact table without a bounded reduction, each argued fixed-"
+        "cardinality-by-filter or scan-stat-driven and measured at the "
+        "default 8g heap at both decades, SCALE_DECADE_r{N}.json "
+        "broadcast_x10/x100) — "
         f"**{len(unexplained)} unexplained, {len(stale)} stale allowlist "
         "entries**. CartesianProduct has no allow class; zero found.",
     ]

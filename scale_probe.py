@@ -199,49 +199,80 @@ SKEW_BOILERPLATE = (
     "warranty of any kind see the license for details "
 )
 
+# Skew SHAPE (round-10 verdict ask #6, stretch): "hot" is the adversarial
+# single-key extreme above; "zipf" remaps SKEW_ZIPF_FRAC of each skewable
+# dimension onto a Zipf(s~1) head of SKEW_ZIPF_KEYS ranks — the top rank
+# owns ~frac * ln(2)/ln(K+1) of the TOTAL corpus (~9-10% at 0.6/100), rank
+# r owns ~1/r of that, and the untouched remainder keeps the original
+# long-tail keys. One hot key is what makes the worst straggler; a heavy
+# TAIL of moderately-hot keys is what production corpora look like and
+# what AQE coalescing and the bucketed/banded plans actually see — the two
+# shapes stress different mechanisms. Document boilerplate stays the
+# shared-prefix shape in both (its skew dimension is content, not a key).
+SKEW_SHAPE = os.environ.get("SPARK_GRAFT_SKEW_SHAPE", "hot")
+SKEW_ZIPF_FRAC = 0.6
+SKEW_ZIPF_KEYS = 100
+
 
 def _apply_skew(t: str, d):
-    """Remap hot fractions onto key 0 / prepend boilerplate (see above)."""
+    """Remap hot fractions onto key 0 (shape "hot") or a Zipf head (shape
+    "zipf"); prepend boilerplate to documents (both shapes — see above)."""
     from pyspark.sql import functions as F
 
-    def hot(unique_cols, frac, seed):
-        return F.pmod(
-            F.xxhash64(*[F.col(c) for c in unique_cols], F.lit(seed)), F.lit(100)
-        ) < int(frac * 100)
+    def pct(unique_cols, seed):
+        """Deterministic uniform in [0, 1): hash of a row-unique column set,
+        so the remap is replica-independent and reproducible."""
+        return (
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in unique_cols], F.lit(seed)),
+                F.lit(1_000_000),
+            )
+            + F.lit(0.5)
+        ) / F.lit(1_000_000.0)
+
+    def skewed_key(orig, unique_cols, hot_frac, seed):
+        if SKEW_SHAPE == "zipf":
+            u = pct(unique_cols, seed)
+            # inverse-CDF sample of Zipf(s=1) over ranks 1..K:
+            # P(rank <= r) = ln(r+1)/ln(K+1)  =>  rank = floor((K+1)^u)
+            rank = F.least(
+                F.greatest(
+                    F.floor(F.pow(F.lit(float(SKEW_ZIPF_KEYS + 1)), u)), F.lit(1)
+                ),
+                F.lit(SKEW_ZIPF_KEYS),
+            )
+            return (
+                F.when(pct(unique_cols, seed + 100) < SKEW_ZIPF_FRAC, rank)
+                .otherwise(F.col(orig))
+                .cast("bigint")
+            )
+        return (
+            F.when(pct(unique_cols, seed) < hot_frac, F.lit(0))
+            .otherwise(F.col(orig))
+            .cast("bigint")
+        )
 
     if t == "events":
         d = d.withColumn(
             "user_id",
-            F.when(hot(["event_id"], SKEW_HOT_FRAC["events"], 1), F.lit(0))
-            .otherwise(F.col("user_id"))
-            .cast("bigint"),
+            skewed_key("user_id", ["event_id"], SKEW_HOT_FRAC["events"], 1),
         )
     elif t == "orders":
         d = d.withColumn(
             "o_custkey",
-            F.when(hot(["o_orderkey"], SKEW_HOT_FRAC["orders"], 2), F.lit(0))
-            .otherwise(F.col("o_custkey"))
-            .cast("bigint"),
+            skewed_key("o_custkey", ["o_orderkey"], SKEW_HOT_FRAC["orders"], 2),
         )
     elif t == "lineitem":
         uc = ["l_orderkey", "l_linenumber"]
         frac = SKEW_HOT_FRAC["lineitem"]
         d = d.withColumn(
-            "l_suppkey",
-            F.when(hot(uc, frac, 3), F.lit(0))
-            .otherwise(F.col("l_suppkey"))
-            .cast("bigint"),
-        ).withColumn(
-            "l_partkey",
-            F.when(hot(uc, frac, 4), F.lit(0))
-            .otherwise(F.col("l_partkey"))
-            .cast("bigint"),
-        )
+            "l_suppkey", skewed_key("l_suppkey", uc, frac, 3)
+        ).withColumn("l_partkey", skewed_key("l_partkey", uc, frac, 4))
     elif t == "documents":
         d = d.withColumn(
             "text",
             F.when(
-                hot(["doc_id"], SKEW_DOC_FRAC, 5),
+                pct(["doc_id"], 5) < SKEW_DOC_FRAC,
                 F.concat(F.lit(SKEW_BOILERPLATE), F.col("text")),
             ).otherwise(F.col("text")),
         ).withColumn("n_chars", F.length("text").cast("bigint"))
@@ -395,11 +426,14 @@ def prepare_scaled_dir(spark, sf_dir: str, replicas: int, skew: bool = False) ->
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             src_manifest[t] = os.path.getsize(p)
+    skew_tag = ""
+    if skew:
+        # shape-suffixed so the hot and zipf lakes cache side by side
+        skew_tag = "skew" + ("" if SKEW_SHAPE == "hot" else SKEW_SHAPE)
     target = os.path.join(
         REPO,
         ".bench_data",
-        f"{os.path.basename(sf_dir.rstrip('/'))}x{replicas}"
-        + ("skew" if skew else ""),
+        f"{os.path.basename(sf_dir.rstrip('/'))}x{replicas}{skew_tag}",
     )
     marker = os.path.join(target, ".ready.json")
     import hashlib
@@ -415,8 +449,10 @@ def prepare_scaled_dir(spark, sf_dir: str, replicas: int, skew: bool = False) ->
             "shift_cols": _SHIFT_COLS,
             "wide_files": sorted(_WIDE_FILES),
             "skew_gen": {
+                "shape": SKEW_SHAPE,
                 "hot_frac": SKEW_HOT_FRAC,
                 "doc_frac": SKEW_DOC_FRAC,
+                "zipf": {"frac": SKEW_ZIPF_FRAC, "keys": SKEW_ZIPF_KEYS},
                 "src_md5": hashlib.md5(
                     inspect.getsource(_apply_skew).encode()
                 ).hexdigest(),

@@ -61,6 +61,12 @@ import scale_probe as sp  # noqa: E402  (lake builder + estimator + tolerances)
 
 REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
 N_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))
+# Skew shape (round-10 verdict ask #6): "hot" (one key, 40% — the gated
+# verify surfaces) or "zipf" (sp.SKEW_SHAPE; a heavy tail of moderately-hot
+# keys, recorded as a one-off COVERAGE.md section). Shape-suffixed cache /
+# decade-record paths keep the two shapes' evidence from clobbering each
+# other; SKEW_ALLOW entries apply to the gated hot shape.
+_SHAPE_SUFFIX = "" if sp.SKEW_SHAPE == "hot" else f"_{sp.SKEW_SHAPE}"
 
 # A stage has a straggler when its slowest task runs STRAGGLER_TOL x the
 # stage's median task AND at least STRAGGLER_MIN_TASK_SEC absolute. The
@@ -232,8 +238,9 @@ def main() -> int:
     # ALL mode (3) from this probe's (2) — the ratio must compare records
     # taken under THIS estimator.
     fingerprint = {**sp._decade_fingerprint(sf_dir), "n_runs": N_RUNS}
-    sp._persist_decade_record(fingerprint, base, scaled, errors, mode="skewdec")
-    decade = sp._decade_gate(scaled, fingerprint, mode="skewdec")
+    dec_mode = f"skewdec{_SHAPE_SUFFIX}"
+    sp._persist_decade_record(fingerprint, base, scaled, errors, mode=dec_mode)
+    decade = sp._decade_gate(scaled, fingerprint, mode=dec_mode)
 
     # instrumented straggler pass on the scaled lake
     stragglers: dict[str, dict] = {}
@@ -305,6 +312,7 @@ def main() -> int:
         "replicas": REPLICAS,
         "sf": sf_dir,
         "n_runs": N_RUNS,
+        "skew_shape": sp.SKEW_SHAPE,
         "hot_frac": sp.SKEW_HOT_FRAC,
         "doc_boilerplate_frac": sp.SKEW_DOC_FRAC,
         "straggler_tol": STRAGGLER_TOL,
@@ -335,7 +343,9 @@ def main() -> int:
         },
     }
     os.makedirs(sp._CACHE_DIR, exist_ok=True)
-    with open(os.path.join(sp._CACHE_DIR, f"skew_x{REPLICAS}.json"), "w") as f:
+    with open(
+        os.path.join(sp._CACHE_DIR, f"skew{_SHAPE_SUFFIX}_x{REPLICAS}.json"), "w"
+    ) as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
     bad = (

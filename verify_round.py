@@ -324,6 +324,7 @@ _MEASUREMENT_ENV = (
     "SPARK_GRAFT_SCALE_ALL",
     "SPARK_GRAFT_SCALE_RUNS",
     "SPARK_GRAFT_SCALE_SET",
+    "SPARK_GRAFT_SKEW_SHAPE",
     "SPARK_GRAFT_ORACLE_SF",
     "SPARK_GRAFT_SF_DIR",
     "SPARK_GRAFT_BENCH_RUNS",
