@@ -58,6 +58,23 @@ _DUCK_SHINGLES = """
 """
 
 
+def _shingle_set_col(ws_col: str = "ws") -> Column:
+    """In-row array of a document's DISTINCT word-trigram shingles, over a
+    BOUND token-array column (the quadratic-HOF rule: element_at over an
+    attribute is O(1); embedding split(text) in the lambda body would
+    re-evaluate it once per element)."""
+    ws = F.col(ws_col)
+    trigrams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+        ),
+    )
+    return F.when(F.size(ws) >= 3, F.array_distinct(trigrams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def _spark_shingles(dc: DataFrame) -> DataFrame:
     """doc_id, s — distinct word-trigram shingles per document.
 
@@ -66,18 +83,8 @@ def _spark_shingles(dc: DataFrame) -> DataFrame:
     lambda body, which Spark re-evaluates once per element (3n splits per
     row — the quadratic HOF pitfall recorded in ARCHITECTURE.md). As an
     attribute read it is O(1)."""
-    ws = F.col("ws")
-    trigrams = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
-        ),
-    )
-    shingles = F.when(F.size(ws) >= 3, F.array_distinct(trigrams)).otherwise(
-        F.array().cast("array<string>")
-    )
     return dc.select("doc_id", F.split("text", " ").alias("ws")).select(
-        "doc_id", F.explode(shingles).alias("s")
+        "doc_id", F.explode(_shingle_set_col()).alias("s")
     )
 
 
@@ -109,6 +116,93 @@ def shingles_with_df_cap(dc: DataFrame, max_df: int) -> DataFrame:
         .select("s")
     )
     return sh.join(hot, "s", "left_anti")
+
+
+def capped_shingle_arrays(dc: DataFrame, max_df: int) -> DataFrame:
+    """(doc_id, n, ss): each document's DF-capped distinct shingle set as ONE
+    in-row array plus its size — the string-shingle analog of
+    ``doc_hash_arrays`` (round 11). Semantically identical to grouping
+    ``shingles_with_df_cap`` per doc: the hot set (shingles with df >
+    max_df) is removed by in-row ``array_except`` against one broadcast
+    collect_set row instead of an anti-join of the exploded relation, and
+    the per-doc capped size is a projection instead of a groupBy.
+
+    Scale argument (same as doc_hash_arrays): |hot| <= total shingle
+    occurrences / max_df — with the cap scaled as a fraction of n_docs,
+    bounded independent of corpus size — so the broadcast side is bounded
+    by construction; the corpus-scale array relation is pinned ONCE and
+    both the hot count and the capped projection read that
+    materialization."""
+    base = (
+        dc.select("doc_id", F.split("text", " ").alias("ws"))
+        .select("doc_id", _shingle_set_col().alias("ss_all"))
+        .localCheckpoint()
+    )
+    hot = (
+        base.select(F.explode("ss_all").alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df)
+        .agg(F.collect_set("s").alias("hot"))
+    )
+    return (
+        base.crossJoin(F.broadcast(hot))
+        .select("doc_id", F.array_except("ss_all", "hot").alias("ss"))
+        .where(F.size("ss") > 0)
+        .select("doc_id", F.size("ss").cast("bigint").alias("n"), "ss")
+    )
+
+
+def _grouped_pair_counts(capped: DataFrame) -> DataFrame:
+    """(doc_a, n_a, doc_b, n_b, n_inter) from a per-doc capped shingle-array
+    relation — the shuffle-lean replacement for the exploded self-join
+    (round 11, guide §2.3/§2.4).
+
+    The join form shuffled the exploded (doc_id, shingle-string) relation
+    TWICE (both sort-merge self-join sides) plus twice more for the sizes
+    joins; here the shingle strings cross the wire exactly ONCE, into a
+    partial-aggregated ``collect_list`` inverted index whose per-shingle
+    posting list is bounded by the DF cap (<= max_df entries — the hot set
+    is already gone, so no group can blow up), and candidate pairs are
+    emitted IN-ROW from each posting list. Per-doc capped sizes ride along
+    in the posting-list structs, so the sizes joins disappear outright.
+
+    Equivalence to the self-join: a pair (a, b), a < b, shares k shingles
+    iff exactly k posting lists contain both docs; each such list emits the
+    ordered pair once (posting lists hold distinct docs because per-doc
+    shingle sets are distinct), so count-per-pair == n_inter."""
+    inv = (
+        capped.select("doc_id", "n", F.explode("ss").alias("s"))
+        .groupBy("s")
+        .agg(F.collect_list(F.struct("doc_id", "n")).alias("mem"))
+        .where(F.size("mem") >= 2)
+        .select(F.array_sort("mem").alias("mem"))
+    )
+    # Pairs (i < j) from the doc_id-sorted posting list. `mem` is bound to a
+    # column attribute so the slice inside the lambda reads it O(1) (the
+    # quadratic-HOF rule); the per-element slice copy is O(pairs emitted),
+    # bounded by max_df^2 per shingle.
+    mem = F.col("mem")
+    pair_structs = F.flatten(
+        F.transform(
+            mem,
+            lambda x, i: F.transform(
+                F.slice(mem, i + F.lit(2), F.size(mem)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        inv.select(F.explode(pair_structs).alias("p"))
+        .select(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.a.n").alias("n_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.b.n").alias("n_b"),
+        )
+        .groupBy("doc_a", "n_a", "doc_b", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
 
 
 def doc_hash_array_col(ws_col: str = "ws") -> Column:
@@ -369,10 +463,23 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     module already applied on its MinHash path, now carried by a registered,
     oracle-verified exact-ngram plan. Jaccard is computed over the CAPPED
     shingle sets on both engines (the cap is part of the semantics, mirrored
-    in the oracle as a HAVING count(*) <= max_df sub-select)."""
+    in the oracle as a HAVING count(*) <= max_df sub-select).
+
+    Round 11: candidates come from the in-row grouped pipeline
+    (``capped_shingle_arrays`` + ``_grouped_pair_counts``) instead of the
+    exploded sort-merge self-join — shingle strings cross the shuffle once,
+    the sizes joins are gone, and the bounded posting lists make the pair
+    blowup in-row and cap-bounded. Output is identical (pytest pins grouped
+    == join-form; the oracle SQL is unchanged)."""
     (dc,) = _t(spark, sf_dir, "documents")
     dc.createOrReplaceTempView("documents")
-    return _jaccard_pairs(shingles_with_df_cap(dc, NGRAM_MAX_DF).localCheckpoint())
+    pc = _grouped_pair_counts(capped_shingle_arrays(dc, NGRAM_MAX_DF))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        pc.where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 def _duck_minhash_lsh_sql(batch_min: int | None = None) -> str:
@@ -1107,11 +1214,26 @@ def dedup_ngram_containment_capped(spark: SparkSession, sf_dir: str) -> DataFram
     ``shingles_with_df_cap``, bounding every shingle's candidate fan-out at
     NGRAM_MAX_DF regardless of corpus size. Containment denominators are the
     CAPPED per-doc shingle counts on both engines (the cap is part of the
-    semantics, mirrored in the oracle)."""
+    semantics, mirrored in the oracle).
+
+    Round 11: same grouped inverted-index pipeline as
+    ``dedup_ngram_jaccard_capped`` (see there) — one string shuffle, no
+    sizes joins, cap-bounded in-row pair emission."""
     (dc,) = _t(spark, sf_dir, "documents")
     dc.createOrReplaceTempView("documents")
-    return _containment_pairs(
-        shingles_with_df_cap(dc, NGRAM_MAX_DF).localCheckpoint()
+    pc = _grouped_pair_counts(capped_shingle_arrays(dc, NGRAM_MAX_DF))
+    ca = F.col("n_inter") / F.col("n_a")
+    cb = F.col("n_inter") / F.col("n_b")
+    return (
+        pc.where(F.greatest(ca, cb) >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            F.round(ca, 6).alias("containment_a"),
+            F.round(cb, 6).alias("containment_b"),
+        )
+        .orderBy("doc_a", "doc_b")
     )
 
 
