@@ -422,15 +422,32 @@ def sample_stratified_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pandas-udf", "group-map", "applyInPandas", "statistics"),
 )
 def groupmap_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group model fit via ``applyInPandas`` (Arrow group-map): OLS slope
-    of event value over the user's event sequence — the per-entity-regression
-    shape (trend features, drift detection) that built-in SQL aggregates
-    can't express once the model gets any richer than regr_slope.
+    """Per-group model fit over the Arrow boundary: OLS slope of event value
+    over the user's event sequence — the per-entity-regression shape (trend
+    features, drift detection) that built-in SQL aggregates can't express
+    once the model gets any richer than regr_slope.
 
-    Scale: one shuffle on user_id; each group materializes as ONE pandas
-    frame, so the constraint is max-group-size (bounded here by per-user event
-    counts), not partition size. Regressing on the sequence index keeps the
-    arithmetic scale-free so the oracle comparison is stable at 6 decimals."""
+    Round 11 (guide §4): the group-map transport is ``mapInPandas`` over a
+    user-hash-partitioned, user-sorted relation with an in-kernel group
+    carve, NOT ``groupBy().applyInPandas``. applyInPandas frames EVERY GROUP
+    as its own Arrow batch + Python call: measured 4.1 s noop at sf0.1 for a
+    near-identity kernel over 1500 groups / 100k rows (7.6 s for the real
+    fit) — pure per-group IPC overhead, which at 100 TB multiplies by
+    billions of entities. Here whole 10k-row Arrow batches cross the
+    boundary; groups are contiguous (sortWithinPartitions on the hash key),
+    so the kernel slices complete groups out of each batch and carries the
+    possibly-split tail group into the next one — per-group cost drops to a
+    numpy slice. The per-group arithmetic (and its float-op order) is
+    UNCHANGED: each sliced group runs the same ``fit`` kernel, including its
+    own (ts, event_id) sort, so outputs are bit-identical to the
+    applyInPandas form (oracle + degenerate-lake gates unchanged).
+    Measured: 7.6 -> 1.0 s noop min at sf0.1.
+
+    Scale: one shuffle on user_id (same as applyInPandas); memory per task
+    is one Arrow batch plus one in-flight group, so the constraint is still
+    max-group-size, not partition size. Regressing on the sequence index
+    keeps the arithmetic scale-free so the oracle comparison is stable at 6
+    decimals."""
     import numpy as np
 
     (ev,) = _t(spark, sf_dir, "events")
@@ -440,28 +457,68 @@ def groupmap_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         # rounding, which disagrees with Spark/DuckDB ROUND on .5 boundaries
         return float(np.floor(abs(x) * 1e6 + 0.5) / 1e6 * (1 if x >= 0 else -1))
 
-    out_cols = ["user_id", "n_events", "trend_slope", "avg_value"]
+    def fit_stream(batches):
+        """Carve complete user groups out of each Arrow batch (input is
+        sorted by user_id within the partition) and fit each group; the
+        tail group, which may continue in the next batch, is carried
+        forward. One pandas sort + one output frame PER BATCH; per group
+        only numpy slice arithmetic — the per-group float-op sequence
+        (arange/mean/centered products/pairwise sums) is exactly the
+        former per-group kernel's, so slopes are bit-identical."""
+        carry = None
 
-    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:  # slope undefined: skip the 0/0 fit entirely
-            return pd.DataFrame(columns=out_cols)
-        pdf = pdf.sort_values(["ts", "event_id"])
-        y = pdf["value"].to_numpy(dtype="float64")
-        x = np.arange(1, len(y) + 1, dtype="float64")
-        xc, yc = x - x.mean(), y - y.mean()
-        slope = float((xc * yc).sum() / (xc * xc).sum())
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [len(y)],
-                "trend_slope": [r6(slope)],
+        def emit(pdf: pd.DataFrame):
+            # == per-group sort_values(["ts", "event_id"]): user_id is
+            # constant within a group, so the lexicographic whole-frame
+            # sort restricted to a group is the same ordering
+            pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+            ids = pdf["user_id"].to_numpy()
+            vals = pdf["value"].to_numpy(dtype="float64")
+            change = np.flatnonzero(ids[1:] != ids[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(ids)]))
+            out_id, out_n, out_slope, out_avg = [], [], [], []
+            for s0, e0 in zip(starts, ends):
+                n_g = int(e0 - s0)
+                if n_g < 2:  # slope undefined: skip the 0/0 fit entirely
+                    continue
+                y = vals[s0:e0]
+                x = np.arange(1, n_g + 1, dtype="float64")
+                xc, yc = x - x.mean(), y - y.mean()
+                slope = float((xc * yc).sum() / (xc * xc).sum())
+                out_id.append(int(ids[s0]))
+                out_n.append(n_g)
+                out_slope.append(r6(slope))
                 # value is 2-decimal: x100 is an exact int64, so the sum is
                 # order-independent and the double division matches the oracle
-                "avg_value": [
-                    r6(float(np.round(y * 100).astype("int64").sum()) / 100.0 / len(y))
-                ],
-            }
-        )
+                out_avg.append(
+                    r6(float(np.round(y * 100).astype("int64").sum()) / 100.0 / n_g)
+                )
+            if out_id:
+                yield pd.DataFrame(
+                    {
+                        "user_id": out_id,
+                        "n_events": out_n,
+                        "trend_slope": out_slope,
+                        "avg_value": out_avg,
+                    }
+                )
+
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            # rows of the batch's last user may continue in the next batch;
+            # user_id is sorted within the partition, so searchsorted finds
+            # the first row of that (possibly incomplete) tail group
+            cut = int(pdf["user_id"].searchsorted(pdf["user_id"].iloc[-1], "left"))
+            if cut > 0:
+                yield from emit(pdf.iloc[:cut])
+            carry = pdf.iloc[cut:].copy()
+        if carry is not None and len(carry):
+            yield from emit(carry)
 
     return (
         ev.select("user_id", "ts", "event_id", "value")
@@ -471,9 +528,10 @@ def groupmap_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("ts").isNotNull()
             & F.col("value").isNotNull()
         )
-        .groupBy("user_id")
-        .applyInPandas(
-            fit,
+        .repartition("user_id")
+        .sortWithinPartitions("user_id")
+        .mapInPandas(
+            fit_stream,
             schema="user_id bigint, n_events bigint, trend_slope double, avg_value double",
         )
         .where(F.col("n_events") >= 2)
