@@ -36,18 +36,28 @@ from feature_datalake_sl_mandic_spark.registry import register
 
 def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Long-format profile: one row per column with row/null/distinct counts
-    and stringified min/max. Single aggregation pass over ``df``."""
+    and stringified min/max.
+
+    Plan shape (round 11): the n DISTINCT counts and the scalar aggregates
+    (count/nulls/min/max) run as TWO branches crossJoined on their
+    single-row results, not one agg. Mixed, RewriteDistinctAggregates'
+    Expand (x n+1 rows) makes every scalar aggregate ride every Expand
+    slot — measured 1.82 s vs 0.44 s noop at sf0.1 over 6 orders columns
+    (the same composition pathology as agg_approx_sketches, milder because
+    all buffers here are codegen-friendly). Two pruned scans beat one
+    Expand-multiplied pass at any scale."""
     cols = cols or df.columns
     dtypes = dict(df.dtypes)
-    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    scalar_aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    distinct_aggs = []
     for c in cols:
-        aggs += [
+        scalar_aggs += [
             F.sum(F.col(c).isNull().cast("bigint")).alias(f"__nulls_{c}"),
-            F.countDistinct(c).alias(f"__distinct_{c}"),
             F.min(c).cast("string").alias(f"__min_{c}"),
             F.max(c).cast("string").alias(f"__max_{c}"),
         ]
-    wide = df.agg(*aggs)
+        distinct_aggs.append(F.countDistinct(c).alias(f"__distinct_{c}"))
+    wide = df.agg(*scalar_aggs).crossJoin(F.broadcast(df.agg(*distinct_aggs)))
     # Unpivot the single wide row with stack() — one generator projection,
     # so the aggregation runs ONCE (a per-column union would re-execute the
     # agg subtree once per column).

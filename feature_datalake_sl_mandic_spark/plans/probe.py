@@ -301,6 +301,17 @@ ALLOW: dict[str, dict[str, tuple[int, str]]] = {
     },
     "join_null_safe_profiles": {"scan x2 of events": (1, R_ROLE)},
     "agg_winsorized_event_values": {"scan x2 of events": (1, R_CUTOFF)},
+    "profile_orders_columns": {
+        "scan x2 of orders": (
+            1,
+            "scalar-aggregate branch vs multi-DISTINCT branch (round 11): "
+            "fused, the distinct rewrite's Expand (x n_cols+1 rows) makes "
+            "every null/min/max aggregate ride every Expand slot — measured "
+            "1.8s vs 0.4s noop at sf0.1. Both branches reduce to ONE row "
+            "before the crossJoin; same split rationale as "
+            "agg_approx_sketches",
+        )
+    },
     "agg_approx_sketches": {
         "scan x2 of lineitem": (
             1,
