@@ -800,10 +800,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic in per-label occupancy, for any engine. This query is the
     exact, oracle-checkable form; the corpus-scale candidate generators are
     ann_lsh_bucketed, dedup_minhash_lsh, and semdedup with corpus-scaled k,
-    whose blocking-key counts grow with the data."""
+    whose blocking-key counts grow with the data.
+
+    Round 11: the per-pair cosine runs through ``pair_cosine_filtered``
+    (see ``semdedup_cluster_cosine``) — bit-identical output, the
+    interpreted per-pair HOF fold replaced by batch-vectorized numpy.
+    Measured 1.00 -> 0.74 s noop-min at sf0.1."""
     from feature_datalake_sl_mandic_spark.operators.similarity import (
         _dot as dot,
         _finite_pred,
+        pair_cosine_filtered,
     )
 
     (em,) = _t(spark, sf_dir, "embeddings")
@@ -822,16 +828,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = emd.alias("a")
     b = emd.alias("b")
 
-    cos = dot("a.emb", "b.emb") / (F.col("a.norm") * F.col("b.norm"))
+    pairs = a.join(
+        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.col("a.label").alias("label"),
+        F.col("a.emb").alias("ea"),
+        F.col("b.emb").alias("eb"),
+        (F.col("a.norm") * F.col("b.norm")).alias("nn"),
+    )
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .where(cos >= COSINE_NEARDUP_THRESHOLD)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
-            F.round(cos, 6).alias("cosine"),
-        )
+        pair_cosine_filtered(pairs, COSINE_NEARDUP_THRESHOLD)
+        .select("vec_a", "vec_b", "label", F.round("cos_raw", 6).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
 
