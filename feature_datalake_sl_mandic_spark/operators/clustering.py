@@ -308,7 +308,7 @@ def semdedup_cluster_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     longer evaluates as an interpreted per-pair HOF fold; whole Arrow
     batches cross the boundary once and numpy accumulates dimension-by-
     dimension in the fold's exact float order, so output is bit-identical
-    (oracle + degenerate-lake gates unchanged). Measured 6.55 -> 2.48 s
+    (oracle + degenerate-lake gates unchanged). Measured 6.55 -> 3.45 s
     noop-min at sf0.1 (the registry's most expensive plan); component
     isolation: pair join alone 0.12 s, the fold WAS the other ~6.4 s.
 
@@ -422,7 +422,10 @@ def semdedup_scaled_k_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round 11: the per-pair cosine runs through ``pair_cosine_filtered``
     (see ``semdedup_cluster_cosine``) — bit-identical output, the
     interpreted per-pair HOF fold replaced by batch-vectorized numpy.
-    Measured 2.03 -> 1.42 s noop-min at sf0.1."""
+    Measured flat at sf0.1 (2.03 -> 2.10 noop-min: the fixed
+    Python-worker cost offsets the fold saving at ~32k pairs); kept
+    because pair volume grows with the corpus while the boundary cost
+    is per-task-constant — the 10x scale probe measures the win."""
     from feature_datalake_sl_mandic_spark.operators.similarity import (
         _dot as dot,
         pair_cosine_filtered,

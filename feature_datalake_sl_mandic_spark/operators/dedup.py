@@ -805,7 +805,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round 11: the per-pair cosine runs through ``pair_cosine_filtered``
     (see ``semdedup_cluster_cosine``) — bit-identical output, the
     interpreted per-pair HOF fold replaced by batch-vectorized numpy.
-    Measured 1.00 -> 0.74 s noop-min at sf0.1."""
+    Measured 1.00 -> 0.93 s noop-min at sf0.1 (pair count is small
+    here; the win scales with per-label occupancy)."""
     from feature_datalake_sl_mandic_spark.operators.similarity import (
         _dot as dot,
         _finite_pred,
