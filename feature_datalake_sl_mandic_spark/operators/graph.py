@@ -484,7 +484,11 @@ def _star_round(e_norm: DataFrame) -> DataFrame:
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
     )
-    ln = _normalize(large).localCheckpoint()
+    # lazy: ln is only read inside THIS round's small-star job (twice, as
+    # the two sides of the m_small join), so an eager materialization here
+    # is one extra sequential job per round — the fixpoint loop's cost is
+    # job count, not data (round 11, guide §2.6)
+    ln = _normalize(large).localCheckpoint(eager=False)
     # small-star on the large-star output: orient (hi -> lo), every smaller
     # neighbor AND hi itself link to the minimum of the group
     hi = ln.select(F.col("v").alias("h"), F.col("u").alias("l"))
@@ -507,8 +511,19 @@ def star_components(e_norm: DataFrame):
     for _ in range(CC_STAR_MAX_ROUNDS):
         nxt = _star_round(e)
         rounds += 1
+        # convergence = set equality of two DISTINCT edge relations; the
+        # symmetric difference via union + groupBy is ONE job where the
+        # two-sided exceptAll pair was two (round 11, guide §2.6 — the
+        # fixpoint loop's cost is sequential job count). Identical
+        # stopping round: a row is in the n==1 group iff exactly one of
+        # exceptAll(nxt,e)/exceptAll(e,nxt) would emit it.
         changed = (
-            nxt.exceptAll(e).limit(1).count() + e.exceptAll(nxt).limit(1).count()
+            nxt.unionAll(e)
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") == 1)
+            .limit(1)
+            .count()
         )
         e = nxt
         if changed == 0:
