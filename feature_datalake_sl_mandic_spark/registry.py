@@ -245,10 +245,21 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # and the 23 alphabetically-first r3 names — all 50 driver-green in
 # CORRECTNESS_r10.json.)
 _PRIORITY: list[str] = [
-    # --- round-11 changed paths
+    # --- round-11 changed paths (build asks + the optimization round's
+    #     plan/value-path rewrites, so the driver window re-greens each)
     "events_click_attribution",  # r11: derived bucket probe count (r10 ask #3)
     "events_sessionize_chunked",  # r11: chunk>=gap import assert + property tests
     "cdf_incremental_ingest",  # r11: import-time scratch lock (r10 advice)
+    "agg_approx_sketches",  # r11 opt: distinct/sketch branch split
+    "dedup_ngram_jaccard_capped",  # r11 opt: grouped inverted-index pipeline
+    "dedup_ngram_containment_capped",  # r11 opt: grouped inverted-index pipeline
+    "groupmap_user_value_trend",  # r11 opt: mapInPandas group carve
+    "profile_orders_columns",  # r11 opt: distinct/scalar branch split
+    "semdedup_cluster_cosine",  # r11 opt: Arrow pair-cosine kernel
+    "semdedup_scaled_k_pairs",  # r11 opt: Arrow pair-cosine kernel
+    "dedup_embedding_cosine",  # r11 opt: Arrow pair-cosine kernel
+    "ann_pq_lloyd_refined",  # r11 opt: unrolled subvector distance
+    "graph_components_star",  # r11 opt: lazy intra-round ckpt + 1-job converge
     # --- the 10 remaining last-green-in-r3 names (r10 verdict ask #5 list)
     "stats_mutual_info_lang_source",
     "text_bm25_search",
@@ -286,20 +297,12 @@ _PRIORITY: list[str] = [
     "text_bpe_pair_stats",
     "udaf_median_session_value",
     "variant_props_events",
-    # --- the 12 alphabetically-first of the 31 last-green-in-r5 names
-    #     (the remaining 19 lead the round-12 fill)
+    # --- the 2 alphabetically-first of the 31 last-green-in-r5 names
+    #     (the remaining 29 lead the round-12 fill; the optimization
+    #     round's 10 changed-path heads displaced this section's tail —
+    #     graph_components_star moved up to the changed-path head)
     "agg_weighted_median_price",
     "corpus_js_divergence_sources",
-    "customers_pareto_abc",
-    "dedup_url_canonical",
-    "drift_embedding_centroid_shift",
-    "embedding_outliers_mahalanobis",
-    "events_capped_running_balance",
-    "events_survival_kaplan_meier",
-    "graph_components_star",
-    "kanon_l_diversity",
-    "multimodal_audio_fingerprint_pairs",
-    "multimodal_image_phash_pairs",
 ]
 # (multimodal_feature_extract was retired from the registry in round 4: its
 # codec stubs made it permanently rows-only and every registered query must
