@@ -1108,8 +1108,15 @@ def dedup_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dfr = dg.groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))
     dup_occ = F.sum(F.when(F.col("ndocs") >= 2, F.col("occ")).otherwise(0))
+    # BOTH sides of the frequency join grow with the corpus (dg = distinct
+    # (doc, span-hash) pairs, dfr = distinct span hashes), so the join is
+    # pinned sort-merge like the shingle joins in _jaccard_pairs /
+    # _containment_pairs. Without the pin, Catalyst reads the pinned dg
+    # relation's statistics as broadcastable and broadcasts a corpus-scale
+    # side: fine at sf0.1, an 8g-driver OOM on the 100x broadcast probe
+    # (round 11), fatal at 100 TB. AQE may still upgrade from RUNTIME sizes.
     return (
-        dg.join(dfr, "h")
+        dg.join(dfr.hint("merge"), "h")
         .groupBy("doc_id", "lang")
         .agg(
             F.sum("occ").alias("n_ngrams"),
